@@ -1,0 +1,131 @@
+"""Transitive closure over the span forest (SURVEY §2.3 J3-J5).
+
+The reference walks a driver-side "union of directed trees" with
+recursive DFS (UDT.traverse_from, opentelemetry_helpers.py:295-308).
+Spark has no recursive CTE, but span trees have a hard structural depth
+bound — dag-top-span → execute-task → timeout-guard →
+call-python-function → named-value/artefact, plus a notebook level —
+so an iterative self-join with a fixed depth budget computes the EXACT
+closure (FIXTURES.md invariant: depth ≤ 6; we default to 8 for margin).
+
+All linkage is keyed by (run_id, span_id): OTel span ids are unique only
+within one trace, and a 100 TB log holds millions of traces.
+
+Scale notes: each iteration is one shuffle join on (run_id, span_id);
+with depth ≤ 8 this is ≤ 8 shuffles TOTAL regardless of data size, and
+every frontier shrinks. For forests far deeper than the budget, pass a
+larger ``max_depth`` or switch to doubling (closure ⋈ closure), which
+needs only log2(depth) joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_MAX_DEPTH = 8
+
+_JOIN_KEYS = ["run_id", "span_id"]
+
+
+def descendants(
+    edges: DataFrame, max_depth: int = DEFAULT_MAX_DEPTH, validate: bool = False
+) -> DataFrame:
+    """All (run_id, ancestor_span_id, span_id, depth) pairs, depth >= 1.
+
+    ``edges`` must have columns (run_id, parent_span_id, span_id) — see
+    ``spans_ops.span_edges``. Equivalent to the reference's
+    UDT.traverse_from for every root at once (opentelemetry_helpers.py:295-308)
+    but set-at-a-time: one closure table reused by every consumer, fixing
+    the reference's 3-traversals-per-task hazard
+    (opentelemetry_task_span_parser.py:385,405,408-409; SURVEY §4).
+
+    With ``validate`` an extra pass asserts the forest really fits inside
+    ``max_depth``.
+    """
+    base = edges.select(
+        "run_id",
+        F.col("parent_span_id").alias("ancestor_span_id"),
+        F.col("span_id"),
+        F.lit(1).alias("depth"),
+    ).cache()
+
+    def _extend(frontier: DataFrame, d: int) -> DataFrame:
+        return (
+            frontier.alias("f")
+            .join(
+                edges.alias("e"),
+                (F.col("f.span_id") == F.col("e.parent_span_id"))
+                & (F.col("f.run_id") == F.col("e.run_id")),
+                "inner",
+            )
+            .select(
+                F.col("f.run_id"),
+                F.col("f.ancestor_span_id"),
+                F.col("e.span_id"),
+                F.lit(d).alias("depth"),
+            )
+        )
+
+    closure = base
+    frontier = base
+    for d in range(2, max_depth + 1):
+        step = _extend(frontier, d)
+        # Empty-frontier early exit: cheap on a shrinking frontier.
+        # (Trees: no cycles, so no visited-set needed.)
+        if step.isEmpty():
+            frontier = step
+            break
+        closure = closure.unionByName(step)
+        frontier = step
+
+    if validate and not frontier.isEmpty():
+        if not _extend(frontier, max_depth + 1).isEmpty():
+            raise ValueError(
+                f"span forest deeper than max_depth={max_depth}; raise the budget"
+            )
+    return closure
+
+
+def bound_under(
+    spans: DataFrame,
+    closure: DataFrame,
+    root_span_id: str,
+    run_id: str | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """J4: restrict a span table to the subtree under ``root_span_id``
+    (reference: Spans.bound_under/bound_inclusive,
+    opentelemetry_helpers.py:433-451). Semi-join against the closure."""
+    sub = closure.where(F.col("ancestor_span_id") == root_span_id)
+    if run_id is not None:
+        sub = sub.where(F.col("run_id") == run_id)
+    ids = sub.select("run_id", "span_id")
+    out = spans.join(
+        ids,
+        (spans["context.span_id"] == ids["span_id"])
+        & (spans["context.trace_id"] == ids["run_id"]),
+        "left_semi",
+    )
+    if inclusive:
+        root = spans.where(F.col("context.span_id") == root_span_id)
+        if run_id is not None:
+            root = root.where(F.col("context.trace_id") == run_id)
+        out = out.unionByName(root)
+    return out
+
+
+def contains_path(closure: DataFrame, run_id: str, *span_ids: str) -> bool:
+    """J5: do the given span ids lie on one ancestor chain, in order,
+    intermediates allowed (reference: UDT.contains_path,
+    opentelemetry_helpers.py:323-362)."""
+    if len(span_ids) < 2:
+        return True
+    pairs = [(run_id, a, b) for a, b in zip(span_ids, span_ids[1:])]
+    pairs_df = closure.sparkSession.createDataFrame(
+        pairs, "run_id string, ancestor_span_id string, span_id string"
+    )
+    hits = pairs_df.join(
+        closure, ["run_id", "ancestor_span_id", "span_id"], "left_semi"
+    ).count()
+    return hits == len(pairs)

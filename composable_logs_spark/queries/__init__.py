@@ -1,0 +1,60 @@
+"""The engine's query surface, as (spark_fn, oracle_sql) pairs.
+
+Each entry is one operator/query from SURVEY.md §2 (or a north-star
+scale operator) expressed twice:
+
+- a PySpark DataFrame program ``(spark, sf_dir) -> DataFrame``
+- an equivalent ANSI-SQL string DuckDB can run over the same parquet
+  views (or a VALUES-literal golden result for span-log queries whose
+  fixtures are deterministic) — the driver hash-compares the two.
+
+Column names and types are aligned on both sides; aggregates are rounded
+(sums to 2dp, averages/ratios to 4dp) so double arithmetic-order
+differences between engines can't flip the hash.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None => non-SQL-expressible, rows-only check
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one testdata table.
+
+    events.parquet stores TIMESTAMP(NANOS) which Spark only reads as a
+    long with the legacy flag; normalise to a proper TimestampType (µs)
+    here so every query sees the same schema regardless of how the
+    driver built the session.
+    """
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    from pyspark.sql import functions as F, types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+    return df
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    from . import relational, text_ops, similarity_q, span_q, dedup_q, streaming_q
+
+    out: dict[str, QuerySpec] = {}
+    for mod in (relational, text_ops, similarity_q, span_q, dedup_q, streaming_q):
+        out.update(mod.QUERIES)
+    return out

@@ -1,0 +1,469 @@
+"""Deduplication operators (north-star L5): exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Real near-duplicates are rare in the synthetic corpus, so each query
+builds its evaluation corpus as ``documents ∪ deterministic variant``
+(variant ids offset by +100000): exact-dup copies for exact dedup,
+truncated texts for MinHash/Jaccard/SimHash, perturbed vectors for the
+embedding path. The operator then has planted positives to find, and the
+DuckDB oracle checks the FULL pipeline (shingle → hash → band → candidate
+→ verify) value-for-value, because both engines share md5 as the hash.
+
+Scale design notes (the point of these operators):
+- No O(n²) stage: candidates come from an equi-join on band/bucket keys
+  (LSH banding / blocking), then only candidates are verified.
+- All hashing is built-in md5 (JVM-side, codegen) — no Python UDFs.
+- The shingle explode is the big intermediate; it shuffles on the
+  band-hash key, which is uniform by construction (hash output), so no
+  skew at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import QuerySpec, load
+
+_VARIANT_OFFSET = 100000
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy keep-min-id. Corpus = docs ∪ exact copies.
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + _VARIANT_OFFSET).alias("doc_id"), "text")
+    )
+    return (
+        corpus.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count("*").alias("group_size"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_VARIANT_OFFSET}, text FROM documents
+)
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS kept_doc_id,
+       count(*)    AS group_size
+FROM corpus GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shared corpus for near-dup ops: original + text truncated by 3 words.
+def _near_dup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    variant = d.select(
+        (F.col("doc_id") + _VARIANT_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))), " ").alias(
+            "text"
+        ),
+    )
+    return d.unionByName(variant)
+
+
+_NEAR_DUP_CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_VARIANT_OFFSET} AS doc_id,
+         array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1,
+                         greatest(len(string_split_regex(trim(text), '\\s+')) - 3, 1)),
+                         ' ') AS text
+  FROM documents
+"""
+
+
+def _shingles(text_col):
+    """Word 3-gram shingles as strings (distinct)."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+
+
+_SHINGLES_SQL = """
+  list_distinct(list_transform(
+    range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+    i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+         coalesce(string_split_regex(trim(text), '\\s+')[i+1], '') || ' ' ||
+         coalesce(string_split_regex(trim(text), '\\s+')[i+2], '')
+  ))
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding. k=12 hash functions, 4 bands × 3 rows.
+# minhash_s(doc) = min over shingles of md5(s || '|' || shingle) — string
+# min over hex is a valid uniform order; identical in both engines.
+_K = 12
+_BANDS = 4
+_ROWS = 3  # _K = _BANDS * _ROWS
+_JACCARD_THRESHOLD = 0.5
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _near_dup_corpus(spark, sf)
+    docs = corpus.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+
+    def _minhash(seed: int):
+        prefix = f"{seed}|"
+        # NB: the lambda must take exactly one arg — a two-arg lambda makes
+        # F.transform pass (element, index) and the index silently replaces
+        # any default-arg closure.
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda sh: F.md5(F.concat(F.lit(prefix), sh)))
+        )
+
+    sig = docs.select(
+        "doc_id",
+        "shingles",
+        *[_minhash(s).alias(f"mh{s}") for s in range(_K)],
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * _ROWS + r}") for r in range(_ROWS)])
+        ).alias(f"band{b}")
+        for b in range(_BANDS)
+    ]
+    sig = sig.select("doc_id", "shingles", *band_cols)
+
+    # candidates: docs sharing any band value (explode -> equi-join on
+    # (band_idx, band_hash) -> distinct pairs). Pure equi-join: no O(n^2).
+    bands_long = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bnd"),
+    ).select("doc_id", "bnd.band_idx", "bnd.band_hash")
+    cand = (
+        bands_long.alias("a")
+        .join(bands_long.alias("b"), ["band_idx", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    # verify candidates with exact shingle Jaccard
+    sh = sig.select("doc_id", "shingles")
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def _minhash_sql() -> str:
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(shingles, sh -> md5('{s}|' || sh))) AS mh{s}"
+        for s in range(_K)
+    )
+    band_cols = ",\n         ".join(
+        "md5({}) AS band{}".format(
+            " || '|' || ".join(f"mh{b * _ROWS + r}" for r in range(_ROWS)), b
+        )
+        for b in range(_BANDS)
+    )
+    band_union = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM sig" for b in range(_BANDS)
+    )
+    return f"""
+WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+docs AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus
+),
+mh AS (
+  SELECT doc_id, shingles,
+         {mh_cols}
+  FROM docs
+),
+sig AS (
+  SELECT *,
+         {band_cols}
+  FROM mh
+),
+bands_long AS (
+  {band_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_long a JOIN bands_long b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= {_JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 32-bit signature from per-token md5 bits, weighted majority.
+# Candidates via 4x 8-bit band buckets (a pair within Hamming<=3 must agree
+# on at least one full byte), exact Hamming verify (<= 3).
+# (Production would widen to 64/128 bits — same plan shape, more columns.)
+_SIMHASH_BITS = 32
+_HAMMING_MAX = 3
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _near_dup_corpus(spark, sf)
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    d = corpus.select("doc_id", toks.alias("toks"), F.transform(toks, F.md5).alias("hashes"))
+
+    # bit i of token-hash = low bit of hex char i+1:
+    # hexval(c) = instr('0123456789abcdef', c) - 1; bit = hexval % 2.
+    # Built via expr so the Spark and DuckDB expressions are literally the
+    # same text (strpos/substring/aggregate exist in both dialects).
+    bit_exprs = [
+        f"CASE WHEN aggregate(hashes, 0, (acc, h) -> acc + "
+        f"(CASE WHEN (instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) % 2 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(_SIMHASH_BITS)
+    ]
+    sig = d.select(
+        "doc_id", F.expr(" + ".join(bit_exprs)).cast("long").alias("simhash")
+    )
+
+    buckets = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("probe"),
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.probe", "bk.bucket")
+
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["probe", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+        )
+        .where(F.col("hamming") <= _HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_sql() -> str:
+    bit_exprs = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hashes, h -> "
+        f"CASE WHEN (instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) % 2 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+d AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split_regex(trim(text), '\\s+')), t -> md5(t)) AS hashes
+  FROM corpus
+),
+sig AS (
+  SELECT doc_id, CAST({bit_exprs} AS BIGINT) AS simhash FROM d
+),
+buckets AS (
+  SELECT doc_id, simhash, 0 AS probe, (simhash // 1) % 256 AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS probe, (simhash // 256) % 256 AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 2 AS probe, (simhash // 65536) % 256 AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 3 AS probe, (simhash // 16777216) % 256 AS bucket FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sig_a, b.simhash AS sig_b
+  FROM buckets a JOIN buckets b ON a.probe = b.probe AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_HAMMING_MAX}
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup WITHOUT minhash: candidates from shared-shingle
+# inverted index (explode + equi-join), then exact Jaccard.
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _near_dup_corpus(spark, sf)
+    docs = corpus.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    inv = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    cand = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        # candidate pruning: require >= 5 common shingles before the
+        # expensive verify — the inverted-index analogue of banding
+        .where(F.col("n_common") >= 5)
+    )
+    sizes = docs.select("doc_id", F.size("shingles").alias("n_sh"))
+    return (
+        cand.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+        )
+        .where(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+NGRAM_SQL = f"""
+WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+docs AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus
+),
+inv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM docs
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM inv a JOIN inv b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 5
+),
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM docs)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+FROM cand
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup with blocking: corpus ∪ perturbed vectors,
+# blocked on label (the quantization key), cosine >= 0.99 within block.
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", dbl.alias("vec"), "label")
+    variant = e.select(
+        (F.col("vec_id") + _VARIANT_OFFSET).alias("vec_id"),
+        F.transform(
+            dbl, lambda x, i: F.when(i == 0, x * 1.01).otherwise(x)
+        ).alias("vec"),
+        "label",
+    )
+    corpus = base.unionByName(variant)
+    norm = F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0), lambda a, x: a + x * x))
+    corpus = corpus.withColumn("norm", norm)
+    pairs = (
+        corpus.alias("a")
+        .join(corpus.alias("b"), "label")  # blocking: equi-join on quantization key
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("a.vec"), F.col("b.vec"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("a.norm") * F.col("b.norm")),
+                4,
+            ),
+        )
+        .where(F.col("cosine") >= 0.99)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "label",
+            "cosine",
+        )
+    )
+    return pairs
+
+
+EMB_DEDUP_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_VARIANT_OFFSET},
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        (x, i) -> CASE WHEN i = 1 THEN x * 1.01 ELSE x END),
+         label
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, vec, label,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+  FROM corpus
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       round(list_sum(list_transform(range(1, 65),
+                                     i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm), 4) AS cosine
+FROM n a JOIN n b ON a.label = b.label
+WHERE a.vec_id < b.vec_id
+  AND list_sum(list_transform(range(1, 65), i -> a.vec[i] * b.vec[i])) / (a.nrm * b.nrm) >= 0.99
+"""
+
+
+QUERIES = {
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _minhash_sql()),
+    "dedup_simhash": QuerySpec(dedup_simhash, _simhash_sql()),
+    "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_SQL),
+    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, EMB_DEDUP_SQL),
+}

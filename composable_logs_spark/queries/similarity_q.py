@@ -1,0 +1,145 @@
+"""Similarity search over the embeddings table (north-star L5).
+
+- ``ann_cosine_top5``: brute-force cosine top-k — the exactness baseline.
+  The query side is tiny (10 vectors) and broadcast; the corpus side
+  streams through one pass. At 100 TB this is the scan-everything
+  fallback; cost is one pass per query batch, no shuffle.
+- ``ann_ivf_label_probe``: IVF-style scale path — the corpus is
+  partitioned by a coarse quantization key (here the ``label`` column
+  stands in for a k-means centroid id) and only the probe cell is
+  scanned: an equi-join replaces the full scan.
+
+Both compute cosine in double precision with built-in higher-order
+functions (zip_with/aggregate) — no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import QuerySpec, load
+
+_N_QUERIES = 10
+_TOP_K = 5
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ann_cosine_top5(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    e = e.withColumn("norm", _norm(F.col("vec")))
+    queries = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        e.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 4
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+ANN_BRUTE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm FROM e WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(1, 65), i -> e.vec[i] * q.qvec[i]))
+               / (e.nrm * q.qnrm), 4) AS cosine
+  FROM e JOIN q ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}
+"""
+
+
+def ann_ivf_label_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF probe: only the query's own cell (label) is scanned."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("vec")
+    )
+    e = e.withColumn("norm", _norm(F.col("vec")))
+    queries = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        e.join(
+            F.broadcast(queries),
+            (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 4
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "label", "cosine", "rank")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, label AS qlabel, vec AS qvec, nrm AS qnrm
+      FROM e WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+         round(list_sum(list_transform(range(1, 65), i -> e.vec[i] * q.qvec[i]))
+               / (e.nrm * q.qnrm), 4) AS cosine
+  FROM e JOIN q ON e.label = q.qlabel AND e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, label, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}
+"""
+
+
+QUERIES = {
+    "ann_cosine_top5": QuerySpec(ann_cosine_top5, ANN_BRUTE_SQL),
+    "ann_ivf_label_probe": QuerySpec(ann_ivf_label_probe, ANN_IVF_SQL),
+}
