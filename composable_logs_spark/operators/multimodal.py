@@ -1,0 +1,204 @@
+"""Multimodal (image/audio/video) column operators (north-star L5).
+
+Design for 100 TB media processing on Spark:
+
+- Media is an opaque ``binary`` payload column plus a typed metadata
+  struct — never decoded at rest; parquet stores blobs column-oriented
+  and predicate pushdown on metadata prunes before any byte touches
+  Python.
+- Ingest: ``spark.read.format("binaryFile")`` (path, modificationTime,
+  length, content) or any table with a binary column.
+- Processing: Arrow-batched ``mapInPandas`` — bytes cross the JVM→Python
+  boundary once per batch, not per row. Each operator below keeps the
+  Spark-side plumbing (schema, partitioning, batch shape) real; the
+  codec-dependent inner step (JPEG decode, audio resample, video frame
+  extraction) is STUBBED as noted, since no media libraries ship in this
+  environment — swap ``_decode_stub`` for PIL/librosa/pyav in production.
+
+reference parity note: the reference has no media pipeline; this extends
+the artefact model (SURVEY §2.10) where binary artifacts already flow
+through the span log as base64 (task_opentelemetry_logging.py:124-143).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Media ingest from a directory of files (binaryFile source —
+    distributed read, no driver pass)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select(
+            F.abs(F.xxhash64("path")).alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.col("content").alias("payload"),
+            F.struct(
+                F.lit("application/octet-stream").alias("mime"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+                F.col("length").alias("n_bytes"),
+            ).alias("meta"),
+        )
+    )
+
+
+def synthetic_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stand-in media table derived from the documents
+    testdata (payload = utf-8 bytes of the text): exercises the binary
+    column plumbing end-to-end without real codecs."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes, kind: str):
+    """STUB for the codec step. Production: PIL.Image.open / librosa.load
+    / av.open. Raises so callers explicitly opt into the fake."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use deterministic_features=True or plug a real decoder"
+    )
+
+
+_FEATURE_DIM = 16
+
+
+def extract_features(
+    media: DataFrame, deterministic_features: bool = True
+) -> DataFrame:
+    """Feature extraction over media payloads via Arrow-batched
+    mapInPandas: one Python roundtrip per batch of rows.
+
+    With ``deterministic_features`` the inner step is a real computation
+    on raw bytes (16-bucket byte histogram, normalised) — codec-free and
+    deterministic; with it off, the codec stub raises NotImplementedError
+    (documenting exactly where a real decoder plugs in).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                data = bytes(payload)
+                if not deterministic_features:
+                    _decode_stub(data, kind)
+                hist = [0] * _FEATURE_DIM
+                for b in data:
+                    hist[b % _FEATURE_DIM] += 1
+                total = max(len(data), 1)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "kind": kind,
+                        "n_bytes": len(data),
+                        # no Python round() here: banker's rounding differs
+                        # from SQL HALF_UP; downstream F.round decides
+                        "features": [h / total for h in hist],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "n_bytes", "features"])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(run, out_schema)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize operator — full Spark plumbing, codec step stubbed.
+
+    Returns the same MEDIA_SCHEMA with meta.width/height updated; payload
+    transformation requires a codec (NotImplementedError inside the UDF
+    when a row is touched)."""
+    out_schema = media.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                _decode_stub(bytes(payload), kind)
+            yield pdf
+
+    return media.mapInPandas(run, out_schema)
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling operator — one output row per sampled frame.
+    Plumbing (explode shape, schema) real; decode stubbed."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ms", T.LongType()),
+            T.StructField("frame_payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                _decode_stub(bytes(payload), kind)
+            yield pd.DataFrame(
+                [], columns=["media_id", "frame_idx", "frame_ms", "frame_payload"]
+            )
+
+    return media.mapInPandas(run, out_schema)
+
+
+def media_checksums(media: DataFrame) -> DataFrame:
+    """Pure-JVM integrity pass over payloads (no Python): md5 + length.
+    The always-available fast path for dedup of media blobs."""
+    return media.select(
+        "media_id",
+        "kind",
+        F.md5("payload").alias("payload_md5"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )

@@ -52,9 +52,25 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import relational, text_ops, similarity_q, span_q, dedup_q, streaming_q
+    from . import (
+        relational,
+        text_ops,
+        similarity_q,
+        span_q,
+        dedup_q,
+        streaming_q,
+        multimodal_q,
+    )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (relational, text_ops, similarity_q, span_q, dedup_q, streaming_q):
+    for mod in (
+        relational,
+        text_ops,
+        similarity_q,
+        span_q,
+        dedup_q,
+        streaming_q,
+        multimodal_q,
+    ):
         out.update(mod.QUERIES)
     return out

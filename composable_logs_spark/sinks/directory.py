@@ -1,0 +1,103 @@
+"""Directory-tree sink (SURVEY §2.1 S6).
+
+Reference: write_spans_to_output_directory_structure
+(cli_pynb_log_parser.py:38-81): one directory per task run named
+``{type}-task--{task_id}--{span_id}--{OK|FAILED}`` containing
+``run-time-metadata.json`` plus the decoded artifact files; a top-level
+``run-time-metadata.json`` describes the workflow run.
+
+The summary DataFrames are distributed; the artifact blobs are written
+from collected per-run partitions — a per-run reporting tree is small by
+construction (one workflow's artifacts), so driver-side writing matches
+the reference CLI. For bulk export of MANY runs use
+``df.write.partitionBy("run_id")`` on the artifacts table instead.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from ..plans.summarize import SpanSummary
+
+
+def _safe_name(s: str) -> str:
+    """Path-safety (reference F6, cli_pynb_log_parser.py:25-28 + dir-name
+    building :59-70): no separators/dots in components."""
+    return re.sub(r"[/.]", "_", s)
+
+
+def safe_path(base: Path, *parts: str) -> Path:
+    out = base.joinpath(*parts).resolve()
+    if not str(out).startswith(str(base.resolve())):
+        raise ValueError(f"unsafe path escape: {parts}")
+    return out
+
+
+def write_spans_to_directory(summary: SpanSummary, out_dir: str | Path) -> list[str]:
+    """Write the exploded per-task directory tree; returns created paths."""
+    base = Path(out_dir)
+    base.mkdir(parents=True, exist_ok=True)
+    created: list[str] = []
+
+    workflows = {r["run_id"]: r.asDict() for r in summary.workflow_runs.collect()}
+    tasks = [r.asDict() for r in summary.task_runs.collect()]
+    artifacts = [r.asDict() for r in summary.artifacts.collect()]
+    values = [r.asDict() for r in summary.logged_values.collect()]
+
+    for run_id, wf in workflows.items():
+        run_dir = safe_path(base, _safe_name(run_id))
+        run_dir.mkdir(parents=True, exist_ok=True)
+        meta = {
+            "run_id": run_id,
+            "duration_s": wf["duration_s"],
+            "is_success": wf["is_success"],
+            "attributes": wf["attributes"] or {},
+        }
+        p = run_dir / "run-time-metadata.json"
+        p.write_text(json.dumps(meta, indent=2, default=str))
+        created.append(str(p))
+
+    for t in tasks:
+        status = "OK" if t["is_success"] else "FAILED"
+        dir_name = (
+            f"{t['task_type'] or 'python'}-task--{_safe_name(t['task_id'] or 'unknown')}"
+            f"--{t['span_id']}--{status}"
+        )
+        task_dir = safe_path(base, _safe_name(t["run_id"]), dir_name)
+        task_dir.mkdir(parents=True, exist_ok=True)
+        meta = {
+            "task_id": t["task_id"],
+            "span_id": t["span_id"],
+            "duration_s": t["duration_s"],
+            "is_success": t["is_success"],
+            "n_exceptions": t["n_exceptions"],
+            "attributes": t["attributes"] or {},
+            "logged_values": {
+                v["name"]: _value_of(v)
+                for v in values
+                if v["task_span_id"] == t["span_id"] and v["run_id"] == t["run_id"]
+            },
+        }
+        p = task_dir / "run-time-metadata.json"
+        p.write_text(json.dumps(meta, indent=2, default=str))
+        created.append(str(p))
+
+        for a in artifacts:
+            if a["task_span_id"] == t["span_id"] and a["run_id"] == t["run_id"]:
+                ap = safe_path(base, _safe_name(t["run_id"]), dir_name, a["name"])
+                ap.parent.mkdir(parents=True, exist_ok=True)
+                ap.write_bytes(bytes(a["content"]))
+                created.append(str(ap))
+
+    return created
+
+
+def _value_of(v: dict):
+    for k in ("value_str", "value_long", "value_double", "value_bool", "value_json"):
+        if v.get(k) is not None:
+            return v[k]
+    return None

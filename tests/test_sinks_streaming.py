@@ -1,0 +1,159 @@
+"""Sinks (S6/S7/S9), streaming ingest (S5), SpanRecorder, multimodal."""
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from composable_logs_spark.plans import summarize_spans
+from composable_logs_spark.sinks import (
+    make_mermaid_dag,
+    make_mermaid_gantt,
+    write_spans_to_directory,
+    write_static_data,
+)
+from composable_logs_spark.spanlog import SpanWriter, read_span_jsonl
+from composable_logs_spark.spanlog import fixtures as FX
+from composable_logs_spark.streaming import SpanRecorder, stream_task_runs
+from composable_logs_spark.operators.multimodal import (
+    extract_features,
+    media_checksums,
+    synthetic_media_from_documents,
+)
+
+from conftest import spans_df
+
+
+def test_directory_sink(spark, tmp_path):
+    s = summarize_spans(spans_df(spark, FX.logged_values_fixture(4)))
+    created = write_spans_to_directory(s, tmp_path)
+    # per-task dirs named {type}-task--{id}--{span}--{status}
+    task_dirs = [p for p in Path(tmp_path).glob("*/python-task--*")]
+    assert len(task_dirs) == 3
+    assert all("--OK" in p.name for p in task_dirs)
+    # artifacts decoded to files
+    pngs = list(Path(tmp_path).glob("*/*/plot.png"))
+    assert len(pngs) == 1
+    assert pngs[0].read_bytes() == bytes(range(256)) * 4
+    # metadata json includes logged values
+    meta = json.loads(
+        next(Path(tmp_path).glob("*/python-task--h--*/run-time-metadata.json")).read_text()
+    )
+    assert meta["logged_values"]["an_int"] == 42
+    assert meta["is_success"] is True
+
+
+def test_directory_sink_failed_status(spark, tmp_path):
+    s = summarize_spans(spans_df(spark, FX.parallel_fail(1)))
+    write_spans_to_directory(s, tmp_path)
+    assert len(list(Path(tmp_path).glob("*/python-task--g--*--FAILED"))) == 1
+    assert len(list(Path(tmp_path).glob("*/*--OK"))) == 2
+
+
+def test_mermaid_dag(spark):
+    s = summarize_spans(spans_df(spark, FX.compose3(0)))
+    run_id = s.workflow_runs.collect()[0]["run_id"]
+    mmd = make_mermaid_dag(s, run_id)
+    assert mmd.startswith("graph LR")
+    assert "input_1 (1s)" in mmd
+    assert "process (1.2s)" in mmd or "process (1.3s)" in mmd
+    assert mmd.count("-->") == 2
+    assert "#/experiments/input_1/runs/" in mmd
+
+
+def test_mermaid_dag_marks_failures(spark):
+    s = summarize_spans(spans_df(spark, FX.parallel_fail(1)))
+    run_id = s.workflow_runs.collect()[0]["run_id"]
+    mmd = make_mermaid_dag(s, run_id)
+    assert "❌" in mmd
+
+
+def test_mermaid_gantt(spark):
+    s = summarize_spans(spans_df(spark, FX.compose3(0)))
+    run_id = s.workflow_runs.collect()[0]["run_id"]
+    g = make_mermaid_gantt(s, run_id)
+    assert g.startswith("gantt")
+    assert "input_1" in g and "process" in g
+
+
+def test_static_data_sink(spark, tmp_path):
+    spans = FX.compose3(0) + FX.parallel_fail(1)
+    s = summarize_spans(spans_df(spark, spans))
+    out = write_static_data(s, tmp_path)
+    data = json.loads(out.read_text())
+    assert len(data) == 8  # 2 workflows + 6 tasks
+    kinds = {e["entry_type"] for e in data}
+    assert kinds == {"workflow", "task"}
+    # mermaid files per run
+    assert len(list(Path(tmp_path).glob("*/dag.mmd"))) == 2
+    assert len(list(Path(tmp_path).glob("*/gantt.mmd"))) == 2
+
+
+def test_span_recorder(spark, tmp_path):
+    w = SpanWriter(tmp_path)
+    w.write_many(FX.compose3(0))
+    with SpanRecorder(spark, tmp_path) as rec:
+        w2 = SpanWriter(tmp_path)
+        w2.write_many(FX.parallel_fail(1))
+    new_names = {r["run_id"] for r in
+                 rec.spans.select(F.col("context.trace_id").alias("run_id")).collect()}
+    assert new_names == {f"0x{1:032x}"}
+    assert rec.spans.count() == len(FX.parallel_fail(1))
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    log_dir = tmp_path / "log"
+    ckpt = tmp_path / "ckpt"
+    log_dir.mkdir()
+    SpanWriter(log_dir).write_many(FX.compose3(0))
+
+    seen = []
+    q = stream_task_runs(
+        spark, log_dir, lambda df, bid: seen.append(df.collect()), str(ckpt)
+    )
+    try:
+        q.processAllAvailable()
+        # new file arrives -> new micro-batch
+        SpanWriter(log_dir).write_many(FX.parallel_fail(1))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {(r["run_id"], r["task_id"]) for batch in seen for r in batch}
+    batch_rows = summarize_spans(read_span_jsonl(spark, log_dir)).task_runs
+    expected = {(r["run_id"], r["task_id"]) for r in batch_rows.collect()}
+    assert streamed == expected
+    assert len(streamed) == 6
+
+
+def test_media_features_roundtrip(spark, sf_dir):
+    media = synthetic_media_from_documents(spark, sf_dir)
+    feats = extract_features(media)
+    row = feats.orderBy("media_id").first()
+    assert len(row["features"]) == 16
+    assert abs(sum(row["features"]) - 1.0) < 1e-9
+    # cross-check one histogram in pure python
+    doc = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .first()
+    )
+    data = doc["text"].encode()
+    hist = [0] * 16
+    for b in data:
+        hist[b % 16] += 1
+    assert row["features"] == [h / len(data) for h in hist]
+    assert row["n_bytes"] == len(data)
+
+
+def test_media_decode_stub_raises(spark, sf_dir):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    media = synthetic_media_from_documents(spark, sf_dir).limit(1)
+    from composable_logs_spark.operators.multimodal import resize_images
+
+    with _pytest.raises(Exception) as ei:
+        resize_images(media, 64, 64).collect()
+    assert "NotImplementedError" in str(ei.value) or "media codecs" in str(ei.value)
