@@ -57,9 +57,11 @@ def all_queries() -> dict[str, QuerySpec]:
         text_ops,
         similarity_q,
         span_q,
+        span_ops_q,
         dedup_q,
         streaming_q,
         multimodal_q,
+        asof_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -68,9 +70,11 @@ def all_queries() -> dict[str, QuerySpec]:
         text_ops,
         similarity_q,
         span_q,
+        span_ops_q,
         dedup_q,
         streaming_q,
         multimodal_q,
+        asof_q,
     ):
         out.update(mod.QUERIES)
     return out

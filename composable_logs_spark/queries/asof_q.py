@@ -1,0 +1,105 @@
+"""As-of join and quantile operators.
+
+Spark has no native ASOF JOIN (guide: common OLAP patterns); the scalable
+composition is the union-window trick below — no per-key loop, no range
+explosion, one shuffle on the key:
+
+1. tag both streams, union them,
+2. sort within key by (ts, tag) so the reference stream sorts first at
+   equal timestamps (>= semantics),
+3. ``last(value, ignorenulls)`` over an unbounded-preceding window
+   carries the most recent reference row forward,
+4. keep only probe rows.
+
+DuckDB has a native ASOF JOIN — the oracle checks our composition
+against it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import QuerySpec, load
+
+
+def asof_join_purchase_click(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    # reference stream deduped to one row per (user, ts) for determinism
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    unioned = clicks.select(
+        "user_id",
+        "ts",
+        "click_id",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(0).alias("tag"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("click_id"),
+            "purchase_id",
+            F.lit(1).alias("tag"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        unioned.withColumn(
+            "matched_click_id", F.last("click_id", ignorenulls=True).over(w)
+        )
+        .where(F.col("tag") == 1)
+        .select("purchase_id", "user_id", "matched_click_id")
+    )
+
+
+ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+p AS (
+  SELECT user_id, ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, c.click_id AS matched_click_id
+FROM p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def agg_percentiles_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (both engines use the
+    same linear-interpolation definition on the sorted values)."""
+    e = load(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+PERCENTILE_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4)  AS p50,
+       round(quantile_cont(value, 0.9), 4)  AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "asof_join_purchase_click": QuerySpec(asof_join_purchase_click, ASOF_SQL),
+    "agg_percentiles_events": QuerySpec(agg_percentiles_events, PERCENTILE_SQL),
+}

@@ -84,17 +84,20 @@ _NEAR_DUP_CORPUS_SQL = f"""
 
 
 def _shingles(text_col):
-    """Word 3-gram shingles as strings (distinct)."""
+    """Word 3-gram shingles as strings (distinct).
+
+    Built from three aligned slices zipped together — O(n) per doc.
+    (The naive transform(sequence(...), i -> element_at(toks, i)) form is
+    O(n²) per evaluation because element_at walks the array, and Catalyst
+    re-evaluates the expression for every consumer column.)
+    """
     toks = F.split(F.trim(text_col), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
-        )
-    )
+    n = F.greatest(F.size(toks) - 2, F.lit(1))
+    a = F.slice(toks, 1, n)
+    b = F.slice(toks, 2, n)
+    c = F.slice(toks, 3, n)
+    pairs = F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y))
+    return F.array_distinct(F.zip_with(pairs, c, lambda xy, z: F.concat_ws(" ", xy, z)))
 
 
 _SHINGLES_SQL = """
@@ -119,21 +122,31 @@ _JACCARD_THRESHOLD = 0.5
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     corpus = _near_dup_corpus(spark, sf)
-    docs = corpus.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    # cache: the shingle array feeds both the signature pass and the
+    # Jaccard verify — without it Catalyst re-derives shingles from text
+    # for every consumer
+    docs = corpus.select("doc_id", _shingles(F.col("text")).alias("shingles")).cache()
 
-    def _minhash(seed: int):
-        prefix = f"{seed}|"
-        # NB: the lambda must take exactly one arg — a two-arg lambda makes
-        # F.transform pass (element, index) and the index silently replaces
-        # any default-arg closure.
-        return F.array_min(
-            F.transform(F.col("shingles"), lambda sh: F.md5(F.concat(F.lit(prefix), sh)))
-        )
-
+    # All K minhashes in ONE pass over the shingle array: fold with an
+    # element-wise min against the K hashes of each shingle. (K separate
+    # array_min(transform(...)) columns would re-scan the array K times.)
+    init = F.array(*[F.lit("￿") for _ in range(_K)])
     sig = docs.select(
         "doc_id",
         "shingles",
-        *[_minhash(s).alias(f"mh{s}") for s in range(_K)],
+        F.aggregate(
+            F.col("shingles"),
+            init,
+            lambda acc, sh: F.zip_with(
+                acc,
+                F.array(*[F.md5(F.concat(F.lit(f"{s}|"), sh)) for s in range(_K)]),
+                lambda a, b: F.least(a, b),
+            ),
+        ).alias("mh"),
+    ).select(
+        "doc_id",
+        "shingles",
+        *[F.col("mh").getItem(s).alias(f"mh{s}") for s in range(_K)],
     )
     band_cols = [
         F.md5(
@@ -243,22 +256,39 @@ _HAMMING_MAX = 3
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     corpus = _near_dup_corpus(spark, sf)
-    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
-    d = corpus.select("doc_id", toks.alias("toks"), F.transform(toks, F.md5).alias("hashes"))
+    # hash 3-gram shingles, not single tokens: token-set simhash collapses
+    # on a shared-vocabulary corpus (every doc within hamming<=3 of every
+    # other) while shingles keep word order and separate documents
+    d = corpus.select(
+        "doc_id", F.transform(_shingles(F.col("text")), F.md5).alias("hashes")
+    )
 
-    # bit i of token-hash = low bit of hex char i+1:
-    # hexval(c) = instr('0123456789abcdef', c) - 1; bit = hexval % 2.
-    # Built via expr so the Spark and DuckDB expressions are literally the
-    # same text (strpos/substring/aggregate exist in both dialects).
-    bit_exprs = [
-        f"CASE WHEN aggregate(hashes, 0, (acc, h) -> acc + "
-        f"(CASE WHEN (instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) % 2 = 1 "
-        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END"
+    # bit i of shingle-hash = low bit of hex char i+1 (hexval via conv).
+    # Explode the hash array and accumulate the 32 per-bit ±1 sums with a
+    # codegen'd hash aggregate (map-side partial combine -> the shuffle
+    # carries one 32-column row per doc) — faster than per-element array
+    # folds, and the shape that scales: the wide payload is reduced before
+    # it moves.
+    exploded = d.select("doc_id", F.explode("hashes").alias("h"))
+    bit_cols = [
+        (
+            F.when(
+                F.conv(F.substring(F.col("h"), i + 1, 1), 16, 10).cast("int") % 2 == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
         for i in range(_SIMHASH_BITS)
     ]
-    sig = d.select(
-        "doc_id", F.expr(" + ".join(bit_exprs)).cast("long").alias("simhash")
+    sums = (
+        exploded.select("doc_id", *bit_cols)
+        .groupBy("doc_id")
+        .agg(*[F.sum(f"b{i}").alias(f"s{i}") for i in range(_SIMHASH_BITS)])
     )
+    simhash_col = None
+    for i in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        simhash_col = term if simhash_col is None else simhash_col + term
+    sig = sums.select("doc_id", simhash_col.cast("long").alias("simhash"))
 
     buckets = sig.select(
         "doc_id",
@@ -311,7 +341,7 @@ def _simhash_sql() -> str:
 WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
 d AS (
   SELECT doc_id,
-         list_transform(list_distinct(string_split_regex(trim(text), '\\s+')), t -> md5(t)) AS hashes
+         list_transform({_SHINGLES_SQL}, t -> md5(t)) AS hashes
   FROM corpus
 ),
 sig AS (
@@ -342,7 +372,7 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_HAMMING_MAX}
 # inverted index (explode + equi-join), then exact Jaccard.
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     corpus = _near_dup_corpus(spark, sf)
-    docs = corpus.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    docs = corpus.select("doc_id", _shingles(F.col("text")).alias("shingles")).cache()
     inv = docs.select("doc_id", F.explode("shingles").alias("shingle"))
     cand = (
         inv.alias("a")

@@ -149,14 +149,17 @@ class SpanFixtureBuilder:
             )
         )
 
+        data_seq = [0]
+
         def _data_span(span_name: str, name: str, value: Any) -> None:
             sd = SerializedData.encode(value)
+            data_seq[0] += 1
             self.spans.append(
                 S.span_row(
                     span_id=self._new_id(),
                     name=span_name,
-                    start_time=self._ts(start_s + 0.001),
-                    end_time=self._ts(start_s + 0.002),
+                    start_time=self._ts(start_s + 0.001 * data_seq[0]),
+                    end_time=self._ts(start_s + 0.001 * data_seq[0] + 0.0005),
                     trace_id=self.trace_id,
                     parent_id=call_id,
                     attributes={

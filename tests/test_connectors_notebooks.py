@@ -1,0 +1,215 @@
+"""GitHub artifact source (S4), MLFlow shim (D13/D14), notebook tasks (D2)."""
+
+import io
+import json
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from composable_logs_spark.plans import summarize_spans
+from composable_logs_spark.sources.github import (
+    ARTIFACT_NAME,
+    github_repo_artifact_zips,
+    list_artifacts,
+)
+from composable_logs_spark.spanlog import SpanWriter, read_span_jsonl, read_spans_from_zip
+from composable_logs_spark.spanlog import fixtures as FX
+
+
+def _fake_github(pages, blobs):
+    """Build a fake fetch() serving paginated artifact lists + downloads."""
+
+    def fetch(url, token):
+        if "archive" in url:
+            art_id = int(url.split("/")[-2])
+            return blobs[art_id]
+        page = int(url.split("page=")[-1])
+        total = sum(len(p) for p in pages)
+        arts = pages[page - 1] if page <= len(pages) else []
+        return json.dumps({"total_count": total, "artifacts": arts}).encode()
+
+    return fetch
+
+
+def _art(art_id, name=ARTIFACT_NAME, expired=False):
+    return {
+        "id": art_id,
+        "name": name,
+        "expired": expired,
+        "archive_download_url": f"https://api.github.com/archive/{art_id}/zip",
+    }
+
+
+def test_github_pagination_and_filter(tmp_path):
+    pages = [[_art(1), _art(2, name="other")], [_art(3, expired=True), _art(4)]]
+    blobs = {1: b"zip-1", 4: b"zip-4"}
+    fetch = _fake_github(pages, blobs)
+
+    arts = list_artifacts("owner/repo", fetch=fetch)
+    assert len(arts) == 4
+
+    got = list(github_repo_artifact_zips("owner/repo", cache_dir=tmp_path, fetch=fetch))
+    assert got == [b"zip-1", b"zip-4"]  # name-filtered, expired skipped
+
+    # cache hit: downloads not refetched
+    calls = []
+    def counting_fetch(url, token):
+        calls.append(url)
+        return fetch(url, token)
+    got2 = list(
+        github_repo_artifact_zips("owner/repo", cache_dir=tmp_path, fetch=counting_fetch)
+    )
+    assert got2 == got
+    assert not any("archive" in u for u in calls)
+
+
+def test_github_pagination_mismatch_detected():
+    def fetch(url, token):
+        return json.dumps({"total_count": 5, "artifacts": []}).encode()
+
+    with pytest.raises(ValueError, match="pagination mismatch"):
+        list_artifacts("owner/repo", fetch=fetch)
+
+
+def test_zip_roundtrip_into_spark(spark, tmp_path):
+    # S3: zip blob -> spans DataFrame
+    spans = FX.compose3(0)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("opentelemetry-spans.json", json.dumps(spans))
+    df = read_spans_from_zip(spark, [buf.getvalue()])
+    assert df.count() == len(spans)
+    s = summarize_spans(df)
+    assert s.task_runs.count() == 3
+
+
+def test_mlflow_shim_roundtrip(spark, tmp_path):
+    requests = pytest.importorskip("requests")
+    from composable_logs_spark.orchestrator.mlflow_shim import MlflowShimServer
+
+    writer = SpanWriter(tmp_path)
+    trace_id, parent = "0x" + "a" * 32, "0x" + "b" * 16
+    # username = W3C traceparent (dash-separated; colons are basic-auth's
+    # user/password separator and would truncate the username)
+    auth = (f"00-{'a' * 32}-{'b' * 16}-01", "pwd")
+    with MlflowShimServer(writer) as srv:
+        r = requests.post(f"{srv.url}/api/2.0/mlflow/runs/create", json={}, auth=auth)
+        run_id = r.json()["run"]["info"]["run_id"]
+        # D14: params stringified
+        requests.post(
+            f"{srv.url}/api/2.0/mlflow/runs/log-parameter",
+            json={"run_id": run_id, "key": "n", "value": 123},
+            auth=auth,
+        )
+        requests.post(
+            f"{srv.url}/api/2.0/mlflow/runs/log-metric",
+            json={"run_id": run_id, "key": "acc", "value": 0.75},
+            auth=auth,
+        )
+        requests.post(
+            f"{srv.url}/api/2.0/mlflow/runs/log-batch",
+            json={
+                "run_id": run_id,
+                "params": [{"key": "lst", "value": [1, 2, 3]}],
+                "tags": [{"key": "who", "value": "me"}],
+            },
+            auth=auth,
+        )
+        requests.put(
+            f"{srv.url}/mlflow-artifacts/{run_id}/model.bin", data=b"\x00\x01", auth=auth
+        )
+        # nested run on the same traceparent -> 501
+        r2 = requests.post(f"{srv.url}/api/2.0/mlflow/runs/create", json={}, auth=auth)
+        assert r2.status_code == 501
+        requests.post(
+            f"{srv.url}/api/2.0/mlflow/runs/update",
+            json={"run_id": run_id, "status": "FINISHED"},
+            auth=auth,
+        )
+
+    spans = read_span_jsonl(spark, tmp_path)
+    named = spans.where(F.col("name") == "named-value").select(
+        F.col("attributes").getItem("name").alias("name"),
+        F.col("attributes").getItem("type").alias("type"),
+        F.col("attributes").getItem("content_encoded").alias("content"),
+        "parent_id",
+    )
+    rows = {r["name"]: r for r in named.collect()}
+    assert rows["param.n"]["content"] == "123"  # stringified, not int
+    assert rows["param.n"]["type"] == "utf-8"
+    assert rows["param.lst"]["content"] == "[1, 2, 3]"
+    assert rows["metric.acc"]["type"] == "float"
+    assert all(r["parent_id"] == parent for r in rows.values())
+    arts = spans.where(F.col("name") == "artefact")
+    assert arts.count() == 1
+
+
+def test_jupytext_roundtrip_and_execution():
+    from composable_logs_spark.functions import (
+        evaluate_notebook,
+        ipynb_to_html,
+        jupytext_to_ipynb,
+    )
+
+    src = """# %% [markdown]
+# # Title text
+
+# %%
+x = 1 + 1
+print("x is", x)
+
+# %%
+y = x * 10
+print(y)
+"""
+    nb = jupytext_to_ipynb(src)
+    kinds = [c["cell_type"] for c in nb["cells"]]
+    assert kinds == ["markdown", "code", "code"]
+
+    evaluated, err = evaluate_notebook(nb)
+    assert err is None
+    outs = [o for c in evaluated["cells"] if c["cell_type"] == "code" for o in c["outputs"]]
+    assert any("x is 2" in o.get("text", "") for o in outs)
+    assert any("20" in o.get("text", "") for o in outs)
+
+    html = ipynb_to_html(evaluated)
+    assert "Title text" in html and "x is 2" in html
+
+
+def test_notebook_failure_keeps_partial_outputs():
+    from composable_logs_spark.functions import evaluate_notebook, jupytext_to_ipynb
+
+    src = """# %%
+print("ran fine")
+
+# %%
+raise RuntimeError("notebook boom")
+
+# %%
+print("never runs")
+"""
+    nb, err = evaluate_notebook(jupytext_to_ipynb(src))
+    assert isinstance(err, RuntimeError)
+    cells = [c for c in nb["cells"] if c["cell_type"] == "code"]
+    assert "ran fine" in cells[0]["outputs"][0]["text"]
+    assert cells[1]["outputs"][0]["output_type"] == "error"
+    assert cells[2]["outputs"] == []
+
+
+def test_jupytext_task_logs_artifact_even_on_failure(spark, tmp_path):
+    from composable_logs_spark.functions import make_jupytext_task
+    from composable_logs_spark.orchestrator import Failure, run_dag
+
+    node = make_jupytext_task(
+        "# %%\nraise ValueError('nb fail')\n", task_id="nb-fail"
+    )
+    res = run_dag(node(), log_dir=tmp_path)
+    assert isinstance(res, Failure)
+
+    s = summarize_spans(read_span_jsonl(spark, tmp_path))
+    arts = {r["name"] for r in s.artifacts.collect()}
+    assert arts == {"notebook.ipynb", "notebook.html"}
+    tr = s.task_runs.collect()[0]
+    assert tr["task_type"] == "jupytext"
+    assert tr["is_success"] is False
