@@ -62,6 +62,7 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_q,
         multimodal_q,
         asof_q,
+        session_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -75,6 +76,7 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_q,
         multimodal_q,
         asof_q,
+        session_q,
     ):
         out.update(mod.QUERIES)
     return out

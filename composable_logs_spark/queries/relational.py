@@ -216,7 +216,15 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 # remaining ties broken by part key.
 def window_top3_parts_per_supplier(spark: SparkSession, sf: str) -> DataFrame:
     l = load(spark, sf, "lineitem")
-    rev = l.groupBy("l_suppkey", "l_partkey").agg(_revenue_cents().alias("revenue"))
+    # ONE shuffle, not two: hash-partitioning on l_suppkey alone satisfies
+    # both the (l_suppkey, l_partkey) aggregation (subset clustering) and
+    # the window partition — without this, the agg exchanges on both keys
+    # and the window re-exchanges on l_suppkey
+    rev = (
+        l.repartition("l_suppkey")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(_revenue_cents().alias("revenue"))
+    )
     w = W.partitionBy("l_suppkey").orderBy(F.col("revenue").desc(), F.col("l_partkey"))
     return (
         rev.withColumn("rank", F.row_number().over(w))
