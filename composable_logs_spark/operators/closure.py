@@ -67,23 +67,21 @@ def descendants(
             )
         )
 
+    # Build the whole bounded closure as ONE lazy plan — no per-depth
+    # driver action. Joins beyond the true depth see empty frontiers and
+    # cost nothing at runtime (AQE sees 0-row sides), while per-depth
+    # isEmpty() checks would launch a Spark job per level.
+    # (Trees: no cycles, so no visited-set needed.)
     closure = base
     frontier = base
     for d in range(2, max_depth + 1):
-        step = _extend(frontier, d)
-        # Empty-frontier early exit: cheap on a shrinking frontier.
-        # (Trees: no cycles, so no visited-set needed.)
-        if step.isEmpty():
-            frontier = step
-            break
-        closure = closure.unionByName(step)
-        frontier = step
+        frontier = _extend(frontier, d)
+        closure = closure.unionByName(frontier)
 
-    if validate and not frontier.isEmpty():
-        if not _extend(frontier, max_depth + 1).isEmpty():
-            raise ValueError(
-                f"span forest deeper than max_depth={max_depth}; raise the budget"
-            )
+    if validate and not _extend(frontier, max_depth + 1).isEmpty():
+        raise ValueError(
+            f"span forest deeper than max_depth={max_depth}; raise the budget"
+        )
     return closure
 
 

@@ -112,12 +112,21 @@ _SHINGLES_SQL = """
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding. k=12 hash functions, 4 bands × 3 rows.
-# minhash_s(doc) = min over shingles of md5(s || '|' || shingle) — string
-# min over hex is a valid uniform order; identical in both engines.
+#
+# One md5 per shingle, reduced to a 31-bit integer h; the K minhash
+# functions are universal hashes (a_s*h + b_s) mod M over that single
+# digest — the textbook construction, 12× fewer md5 evaluations than
+# hashing (seed|shingle) per function. Constants generated once with
+# random.Random(42); exact integer arithmetic reproduces in DuckDB.
 _K = 12
 _BANDS = 4
 _ROWS = 3  # _K = _BANDS * _ROWS
 _JACCARD_THRESHOLD = 0.5
+_M = 2147483647  # 2^31 - 1 (Mersenne prime)
+_A = [1373158607, 239081664, 53710185, 1592467582, 590620972, 525901257,
+      479341424, 299655413, 1581559893, 220106708, 1453201079, 1590571866]
+_B = [1915941032, 1171165722, 186699713, 1268073012, 906070220, 68252793,
+      63989047, 201209005, 469521477, 499635468, 1085242216, 1292825378]
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -127,19 +136,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # for every consumer
     docs = corpus.select("doc_id", _shingles(F.col("text")).alias("shingles")).cache()
 
-    # All K minhashes in ONE pass over the shingle array: fold with an
-    # element-wise min against the K hashes of each shingle. (K separate
-    # array_min(transform(...)) columns would re-scan the array K times.)
-    init = F.array(*[F.lit("￿") for _ in range(_K)])
+    # All K minhashes in ONE pass over the shingle array: hash each
+    # shingle once (md5 -> 31-bit int), then fold an element-wise min of
+    # the K universal hashes. (K separate array_min(transform(...))
+    # columns would re-scan — and re-hash — the array K times.)
+    def h31(sh):
+        return (
+            F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long") % _M
+        )
+
+    init = F.array(*[F.lit(1 << 62).cast("long") for _ in range(_K)])
+    # materialise the per-shingle digest FIRST (transform = one md5 per
+    # shingle), then fold pure-integer universal hashes over it
     sig = docs.select(
         "doc_id",
         "shingles",
         F.aggregate(
-            F.col("shingles"),
+            F.transform(F.col("shingles"), h31),
             init,
-            lambda acc, sh: F.zip_with(
+            lambda acc, h: F.zip_with(
                 acc,
-                F.array(*[F.md5(F.concat(F.lit(f"{s}|"), sh)) for s in range(_K)]),
+                F.array(*[(h * _A[s] + _B[s]) % _M for s in range(_K)]),
                 lambda a, b: F.least(a, b),
             ),
         ).alias("mh"),
@@ -150,7 +167,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
     band_cols = [
         F.md5(
-            F.concat_ws("|", *[F.col(f"mh{b * _ROWS + r}") for r in range(_ROWS)])
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{b * _ROWS + r}").cast("string") for r in range(_ROWS)],
+            )
         ).alias(f"band{b}")
         for b in range(_BANDS)
     ]
@@ -198,12 +218,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     mh_cols = ",\n         ".join(
-        f"list_min(list_transform(shingles, sh -> md5('{s}|' || sh))) AS mh{s}"
+        f"list_min(list_transform(hs, h -> (h * {_A[s]} + {_B[s]}) % {_M})) AS mh{s}"
         for s in range(_K)
     )
     band_cols = ",\n         ".join(
         "md5({}) AS band{}".format(
-            " || '|' || ".join(f"mh{b * _ROWS + r}" for r in range(_ROWS)), b
+            " || '|' || ".join(
+                f"CAST(mh{b * _ROWS + r} AS VARCHAR)" for r in range(_ROWS)
+            ),
+            b,
         )
         for b in range(_BANDS)
     )
@@ -215,10 +238,16 @@ WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
 docs AS (
   SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus
 ),
+hashed AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles,
+                        sh -> CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) % {_M}) AS hs
+  FROM docs
+),
 mh AS (
   SELECT doc_id, shingles,
          {mh_cols}
-  FROM docs
+  FROM hashed
 ),
 sig AS (
   SELECT *,
