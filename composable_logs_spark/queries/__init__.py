@@ -63,6 +63,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal_q,
         asof_q,
         session_q,
+        tpch_extra,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -77,6 +78,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal_q,
         asof_q,
         session_q,
+        tpch_extra,
     ):
         out.update(mod.QUERIES)
     return out
