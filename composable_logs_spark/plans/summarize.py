@@ -75,8 +75,12 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
     spans = _with_run_id(spans).cache()
 
     # --- closure: span -> owning execute-task span (computed ONCE) ------
+    # cached: the bounded closure is a deep join tree consumed by several
+    # branches (exceptions/attributes/values/artifacts) — without the
+    # cache every consumer re-executes all max_depth joins (this is the
+    # reference's _cached_graph memo, opentelemetry_helpers.py:407-419)
     edges = span_edges(spans)
-    closure = descendants(edges)  # (run_id, ancestor_span_id, span_id, depth)
+    closure = descendants(edges).cache()
 
     task_spans = spans.where(F.col("name") == S.SPAN_EXECUTE_TASK).select(
         "run_id",
@@ -100,6 +104,14 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
         )
         .select(F.col("c.run_id"), F.col("t.task_span_id"), F.col("c.span_id"))
     )
+    # inclusive variant (task span owns itself): lets the exception and
+    # attribute passes run as ONE join + ONE groupBy instead of separate
+    # subtree + own-span branches
+    owned_incl = owned.unionByName(
+        task_spans.select(
+            "run_id", "task_span_id", F.col("task_span_id").alias("span_id")
+        )
+    )
 
     # --- per-task exception counts (A5/A6) ------------------------------
     span_exc = (
@@ -111,21 +123,10 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
         .where(F.col("event.name") == "exception")
         .select("run_id", "span_id")
     )
-    sub_exc = (
-        owned.join(span_exc, ["run_id", "span_id"], "inner")
+    task_exc = (
+        owned_incl.join(span_exc, ["run_id", "span_id"], "inner")
         .groupBy(*task_keys)
-        .agg(F.count("*").alias("n_sub"))
-    )
-    # exceptions recorded on the execute-task span itself count too
-    own_exc = (
-        task_spans.select(*task_keys)
-        .join(
-            span_exc.withColumnRenamed("span_id", "task_span_id"),
-            task_keys,
-            "inner",
-        )
-        .groupBy(*task_keys)
-        .agg(F.count("*").alias("n_own"))
+        .agg(F.count("*").alias("n_exc"))
     )
 
     # --- per-task attribute union (A1/A3) --------------------------------
@@ -133,7 +134,7 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
     # with workflow.* attributes from the run's spans. Prefixes are
     # disjoint by validation (wrappers.py:255-260).
     sub_attrs = (
-        owned.alias("o")
+        owned_incl.alias("o")
         .join(
             spans.alias("s"),
             (F.col("o.span_id") == F.col("s.context.span_id"))
@@ -146,12 +147,8 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
             F.explode("s.attributes").alias("key", "value"),
         )
     )
-    own_attrs = task_spans.select(
-        *task_keys, F.explode("attributes").alias("key", "value")
-    )
     task_attr_union = (
-        sub_attrs.unionByName(own_attrs)
-        .where(F.col("key").startswith("task."))
+        sub_attrs.where(F.col("key").startswith("task."))
         .groupBy(*task_keys, "key")
         .agg(F.collect_set("value").alias("vals"))
     )
@@ -181,8 +178,7 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
 
     # --- task_runs --------------------------------------------------------
     task_runs = (
-        task_spans.join(sub_exc, task_keys, "left")
-        .join(own_exc, task_keys, "left")
+        task_spans.join(task_exc, task_keys, "left")
         .join(task_attrs, task_keys, "left")
         .join(wf_attrs, "run_id", "left")
         .select(
@@ -194,9 +190,7 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
             F.to_timestamp("start_time").alias("start_time"),
             F.to_timestamp("end_time").alias("end_time"),
             _duration_s(F.col("start_time"), F.col("end_time")).alias("duration_s"),
-            (
-                F.coalesce(F.col("n_sub"), F.lit(0)) + F.coalesce(F.col("n_own"), F.lit(0))
-            ).cast("int").alias("n_exceptions"),
+            F.coalesce(F.col("n_exc"), F.lit(0)).cast("int").alias("n_exceptions"),
             F.map_zip_with(
                 F.coalesce(F.col("workflow_attributes"), _empty_map()),
                 F.coalesce(F.col("task_attributes"), _empty_map()),
