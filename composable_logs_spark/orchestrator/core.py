@@ -370,11 +370,18 @@ def run_dag(
             parameters={**wf_params, **n.parameters}, _emit=emit_data_span
         )
 
+        job_group = f"task-{task_span_id}"
+
         def body():
             _context_local.ctx = ctx
             try:
                 args = [u._task_result.result for u in n.upstream]
                 if spark is not None:
+                    # D6: tag this task's Spark jobs so a timeout can
+                    # cancel them (interruptOnCancel kills executor tasks)
+                    spark.sparkContext.setJobGroup(
+                        job_group, f"task {n.task_id}", interruptOnCancel=True
+                    )
                     import inspect
 
                     sig = inspect.signature(n.fn)
@@ -407,6 +414,14 @@ def run_dag(
                     "Timeout error: execution did not finish within timeout limit"
                 )
                 fut.cancel()
+                if spark is not None:
+                    # kill the task's in-flight Spark jobs (the reference
+                    # kills its Ray actor here, wrappers.py:126-193); the
+                    # Python wrapper thread is abandoned
+                    try:
+                        spark.sparkContext.cancelJobGroup(job_group)
+                    except Exception:
+                        pass
             except BaseException as e:  # noqa: BLE001
                 error = e
             finally:

@@ -64,6 +64,7 @@ def all_queries() -> dict[str, QuerySpec]:
         asof_q,
         session_q,
         tpch_extra,
+        sketch_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -79,6 +80,7 @@ def all_queries() -> dict[str, QuerySpec]:
         asof_q,
         session_q,
         tpch_extra,
+        sketch_q,
     ):
         out.update(mod.QUERIES)
     return out
