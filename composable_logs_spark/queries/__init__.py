@@ -36,6 +36,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     driver built the session.
     """
     path = f"{sf_dir}/{table}.parquet"
+    # pin UTC regardless of how the caller built the session: events.ts
+    # becomes a session-TZ-sensitive TimestampType after the nanos
+    # conversion, and date_format output must match the TZ-naive oracle
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         df = spark.read.parquet(path)
     except Exception:
