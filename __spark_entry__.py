@@ -11,9 +11,16 @@ The actual query surface lives in ``composable_logs_spark.queries``
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# defensive: make the package importable regardless of the caller's cwd
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from composable_logs_spark.queries import all_queries
 

@@ -73,10 +73,24 @@ def descendants(
     # joins. A fully lazy 8-join plan was measured 3-10x slower end-to-end
     # on shallow forests — consumers pay plan depth on every reuse.
     # (Trees: no cycles, so no visited-set needed.)
+    #
+    # Lineage truncation past the typical budget: under AQE, every cached
+    # step's printed plan embeds its child's full adaptive plan, so the
+    # eager explain-string built per action grows ~2x per nesting level —
+    # a 20-deep chain of cached steps stalls the driver for MINUTES in
+    # generateTreeString alone. Past DEFAULT_MAX_DEPTH we switch the
+    # step from cache() to eager localCheckpoint(), which cuts the
+    # logical plan to a flat scan (constant-size per step, linear total).
+    # Costs: recompute-on-executor-loss is gone for those steps (fine —
+    # they're materialized once, consumed once).
     closure = base
     frontier = base
     for d in range(2, max_depth + 1):
-        step = _extend(frontier, d).cache()
+        step = _extend(frontier, d)
+        if d > DEFAULT_MAX_DEPTH:
+            step = step.localCheckpoint(eager=True)
+        else:
+            step = step.cache()
         if step.isEmpty():
             frontier = step
             break
@@ -88,6 +102,58 @@ def descendants(
             raise ValueError(
                 f"span forest deeper than max_depth={max_depth}; raise the budget"
             )
+    return closure
+
+
+def descendants_doubling(edges: DataFrame, max_depth: int = 1 << 16) -> DataFrame:
+    """Exponential-doubling closure: reachability in log2(depth) joins.
+
+    Each round joins the current closure with itself (paths of length
+    ≤ 2^k), so forests of depth 65k need only 16 self-joins — the right
+    variant when the forest is DEEP (lineage chains, comment threads),
+    where the per-level iterative walk would need one shuffle per level.
+    Returns (run_id, ancestor_span_id, span_id) with min path depth
+    omitted (reachability only).
+
+    For the shallow span forests of this engine the fixed-depth
+    ``descendants`` is faster; this exists for the deep-graph case and is
+    equivalence-tested against it.
+    """
+    # localCheckpoint, NOT cache: each round references the previous
+    # closure three times (union + both join sides), so a cached lineage
+    # grows 3^k logical nodes — and under AQE the eager explain-string
+    # per action doubles again per nesting level. Checkpointing flattens
+    # each round's plan to a scan, the standard Spark idiom for iterative
+    # fixpoints (same pattern as GraphX/connected-components loops).
+    closure = edges.select(
+        "run_id",
+        F.col("parent_span_id").alias("ancestor_span_id"),
+        "span_id",
+    ).localCheckpoint(eager=True)
+    n = closure.count()
+    reach = 1
+    while reach < max_depth:
+        step = (
+            closure.alias("l")
+            .join(
+                closure.alias("r"),
+                (F.col("l.span_id") == F.col("r.ancestor_span_id"))
+                & (F.col("l.run_id") == F.col("r.run_id")),
+                "inner",
+            )
+            .select(F.col("l.run_id"), F.col("l.ancestor_span_id"), F.col("r.span_id"))
+        )
+        new_closure = (
+            closure.unionByName(step)
+            .dropDuplicates(["run_id", "ancestor_span_id", "span_id"])
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: stop when no new pairs appear
+        new_n = new_closure.count()
+        if new_n == n:
+            break
+        closure, n = new_closure, new_n
+        reach *= 2
     return closure
 
 

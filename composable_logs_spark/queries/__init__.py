@@ -70,6 +70,7 @@ def all_queries() -> dict[str, QuerySpec]:
         session_q,
         tpch_extra,
         sketch_q,
+        srp_lsh_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -86,6 +87,7 @@ def all_queries() -> dict[str, QuerySpec]:
         session_q,
         tpch_extra,
         sketch_q,
+        srp_lsh_q,
     ):
         out.update(mod.QUERIES)
     return out
