@@ -71,6 +71,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpch_extra,
         sketch_q,
         srp_lsh_q,
+        pipeline_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -88,6 +89,7 @@ def all_queries() -> dict[str, QuerySpec]:
         tpch_extra,
         sketch_q,
         srp_lsh_q,
+        pipeline_q,
     ):
         out.update(mod.QUERIES)
     return out
