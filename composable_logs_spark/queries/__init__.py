@@ -41,18 +41,19 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # conversion, and date_format output must match the TZ-naive oracle
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        df = spark.read.parquet(path)
-    except Exception:
+    # TIMESTAMP(NANOS) parquet columns are unreadable without the legacy
+    # flag; setting it up-front is free (it only affects nanos columns)
+    # and avoids paying a deliberately-failed Spark job to probe for them.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    df = spark.read.parquet(path)
     from pyspark.sql import functions as F, types as T
 
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer division: epoch-nanos exceed double's 2^53 exact
+            # range, so `/ 1000` (double) could be off by 1 µs vs DuckDB
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
 
 

@@ -23,6 +23,38 @@ from . import QuerySpec, load
 
 _N_QUERIES = 10
 _TOP_K = 5
+_SALT_BUCKETS = 32
+
+
+def _topk_two_phase(scored: DataFrame, k: int, extra_cols: list[str]) -> DataFrame:
+    """Two-phase top-k per query: local top-k within salt buckets, then a
+    global merge over only ``buckets * k`` rows per query.
+
+    A single ``row_number() OVER (PARTITION BY query_id)`` would shuffle
+    *every* scored row into ``#queries`` reducer partitions — a
+    parallelism collapse at scale. Salting by a hash of the candidate id
+    spreads phase 1 over ``#queries * _SALT_BUCKETS`` reducers; phase 2
+    sees at most ``_SALT_BUCKETS * k`` rows per query. Any global top-k
+    member is necessarily a bucket-local top-k member, so results are
+    identical (ties broken deterministically by vec_id on both phases).
+    """
+    salted = scored.withColumn(
+        "_salt", F.pmod(F.hash(F.col("vec_id")), F.lit(_SALT_BUCKETS))
+    )
+    order = [F.col("cosine").desc(), F.col("vec_id")]
+    local_w = W.partitionBy("query_id", "_salt").orderBy(*order)
+    local = (
+        salted.withColumn("_lr", F.row_number().over(local_w))
+        .where(F.col("_lr") <= k)
+    )
+    global_w = W.partitionBy("query_id").orderBy(*order)
+    return (
+        local.withColumn("rank", F.row_number().over(global_w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), *extra_cols, "cosine", "rank"
+        )
+    )
 
 
 def _as_double(col):
@@ -56,12 +88,7 @@ def ann_cosine_top5(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _TOP_K)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
-    )
+    return _topk_two_phase(scored, _TOP_K, extra_cols=[])
 
 
 ANN_BRUTE_SQL = f"""
@@ -109,12 +136,7 @@ def ann_ivf_label_probe(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= _TOP_K)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "label", "cosine", "rank")
-    )
+    return _topk_two_phase(scored, _TOP_K, extra_cols=["label"])
 
 
 ANN_IVF_SQL = f"""

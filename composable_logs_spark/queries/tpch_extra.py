@@ -214,14 +214,17 @@ GROUP BY p_brand
 def q22_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
     c = load(spark, sf, "customer")
     o = load(spark, sf, "orders").where(F.col("o_orderdate") >= "2000-01-01")
-    # scalar subquery: global average of positive balances (exact cents)
-    avg_row = (
+    # scalar subquery: global average of positive balances (exact cents),
+    # kept lazy as a broadcast cross-join — no mid-plan .collect() job
+    avg_df = (
         c.where(F.col("c_acctbal") > 0)
-        .agg((F.sum(_cents(F.col("c_acctbal"))) / 100.0 / F.count("*")).alias("a"))
-        .collect()[0]
+        .agg((F.sum(_cents(F.col("c_acctbal"))) / 100.0 / F.count("*")).alias("_avg_bal"))
     )
-    threshold = avg_row["a"]
-    rich = c.where(F.col("c_acctbal") > threshold)
+    rich = (
+        c.crossJoin(F.broadcast(avg_df))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .drop("_avg_bal")
+    )
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return idle.groupBy("c_mktsegment").agg(
         F.count("*").alias("numcust"),
