@@ -123,7 +123,9 @@ def dedup_srp_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _srp_sql() -> str:
+def srp_band_sql_exprs() -> list[str]:
+    """DuckDB expressions computing the same per-band packed bit values
+    as ``_srp_band_values`` over a DOUBLE[] column named ``vec``."""
     band_exprs = []
     for k in range(_N_BANDS):
         terms = []
@@ -135,7 +137,11 @@ def _srp_sql() -> str:
                 f"j -> vec[j] * ([{coeffs}])[j])) > 0 THEN {1 << b} ELSE 0 END"
             )
         band_exprs.append("(" + " + ".join(terms) + f") AS band{k}")
-    band_cols = ",\n         ".join(band_exprs)
+    return band_exprs
+
+
+def _srp_sql() -> str:
+    band_cols = ",\n         ".join(srp_band_sql_exprs())
     band_union = "\n  UNION ALL\n  ".join(
         f"SELECT vec_id, {k} AS band_idx, band{k} AS band_val FROM sig"
         for k in range(_N_BANDS)
