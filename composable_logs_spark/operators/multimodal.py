@@ -93,12 +93,20 @@ def synthetic_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def _decode_stub(payload: bytes, kind: str):
-    """STUB for the codec step. Production: PIL.Image.open / librosa.load
-    / av.open. Raises so callers explicitly opt into the fake."""
+def _decode_stub(payload: bytes, kind: str, op: str = "decode", **kwargs):
+    """STUB default codec. Production: PIL.Image.open / librosa.load /
+    av.open. Raises so callers explicitly opt into the fake.
+
+    Codec contract (any callable with this signature can be injected):
+      codec(payload, kind, op="decode")                  -> {"pixels": bytes}
+      codec(payload, kind, op="resize", width=, height=) -> {"payload": bytes,
+                                                             "width": int, "height": int}
+      codec(payload, kind, op="frames", every_ms=)       -> {"frames":
+                                          [(frame_idx, frame_ms, frame_bytes), ...]}
+    """
     raise NotImplementedError(
         "media codecs are not available in this environment; "
-        "use deterministic_features=True or plug a real decoder"
+        "use deterministic_features=True or inject a codec callable"
     )
 
 
@@ -106,15 +114,18 @@ _FEATURE_DIM = 16
 
 
 def extract_features(
-    media: DataFrame, deterministic_features: bool = True
+    media: DataFrame, deterministic_features: bool = True, codec=None
 ) -> DataFrame:
     """Feature extraction over media payloads via Arrow-batched
     mapInPandas: one Python roundtrip per batch of rows.
 
     With ``deterministic_features`` the inner step is a real computation
     on raw bytes (16-bucket byte histogram, normalised) — codec-free and
-    deterministic; with it off, the codec stub raises NotImplementedError
-    (documenting exactly where a real decoder plugs in).
+    deterministic. With it off, the injected ``codec`` (see
+    ``_decode_stub`` for the contract; it IS the default) decodes each
+    payload and the histogram runs over the decoded pixels instead —
+    production injects a PIL/librosa wrapper without editing this
+    operator.
     """
     out_schema = T.StructType(
         [
@@ -124,6 +135,7 @@ def extract_features(
             T.StructField("features", T.ArrayType(T.DoubleType())),
         ]
     )
+    codec = codec or _decode_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -133,7 +145,7 @@ def extract_features(
             ):
                 data = bytes(payload)
                 if not deterministic_features:
-                    _decode_stub(data, kind)
+                    data = bytes(codec(data, kind, op="decode")["pixels"])
                 hist = [0] * _FEATURE_DIM
                 for b in data:
                     hist[b % _FEATURE_DIM] += 1
@@ -153,26 +165,36 @@ def extract_features(
     return media.select("media_id", "kind", "payload").mapInPandas(run, out_schema)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize operator — full Spark plumbing, codec step stubbed.
+def resize_images(media: DataFrame, width: int, height: int, codec=None) -> DataFrame:
+    """Image resize operator — full Spark plumbing; the pixel work comes
+    from the injected ``codec`` (default: stub that raises on first row).
 
-    Returns the same MEDIA_SCHEMA with meta.width/height updated; payload
-    transformation requires a codec (NotImplementedError inside the UDF
-    when a row is touched)."""
+    Returns the same MEDIA_SCHEMA with payload replaced by the codec's
+    re-encoded bytes and meta.width/height set to the target size."""
     out_schema = media.schema
+    codec = codec or _decode_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                _decode_stub(bytes(payload), kind)
+            payloads, metas = [], []
+            for payload, kind, meta in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
+                out = codec(bytes(payload), kind, op="resize", width=width, height=height)
+                payloads.append(out["payload"])
+                meta = dict(meta)
+                meta["width"] = out["width"]
+                meta["height"] = out["height"]
+                meta["n_bytes"] = len(out["payload"])
+                metas.append(meta)
+            pdf = pdf.assign(payload=payloads, meta=metas)
             yield pdf
 
     return media.mapInPandas(run, out_schema)
 
 
-def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling operator — one output row per sampled frame.
-    Plumbing (explode shape, schema) real; decode stubbed."""
+def sample_video_frames(media: DataFrame, every_ms: int = 1000, codec=None) -> DataFrame:
+    """Frame-sampling operator — one output row per sampled frame, frames
+    produced by the injected ``codec`` (default: stub that raises).
+    The explode shape, schema and Arrow batching are codec-independent."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -181,13 +203,26 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             T.StructField("frame_payload", T.BinaryType()),
         ]
     )
+    codec = codec or _decode_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                _decode_stub(bytes(payload), kind)
+            rows = []
+            for media_id, payload, kind in zip(
+                pdf["media_id"], pdf["payload"], pdf["kind"]
+            ):
+                out = codec(bytes(payload), kind, op="frames", every_ms=every_ms)
+                for frame_idx, frame_ms, frame_bytes in out["frames"]:
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": frame_idx,
+                            "frame_ms": frame_ms,
+                            "frame_payload": frame_bytes,
+                        }
+                    )
             yield pd.DataFrame(
-                [], columns=["media_id", "frame_idx", "frame_ms", "frame_payload"]
+                rows, columns=["media_id", "frame_idx", "frame_ms", "frame_payload"]
             )
 
     return media.mapInPandas(run, out_schema)

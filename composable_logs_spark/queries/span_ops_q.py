@@ -24,8 +24,9 @@ from ..spanlog.schema import SPAN_SCHEMA
 
 
 def _spans_df(spark: SparkSession, span_dicts) -> DataFrame:
-    lines = [json.dumps(s) for s in span_dicts]
-    return spark.read.schema(SPAN_SCHEMA).json(spark.sparkContext.parallelize(lines, 2))
+    from .span_q import _spans_df as _memoized
+
+    return _memoized(spark, span_dicts)
 
 
 def _run_id(i: int) -> str:

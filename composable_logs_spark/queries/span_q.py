@@ -22,9 +22,21 @@ from ..spanlog import fixtures as FX
 from ..spanlog.schema import SPAN_SCHEMA
 
 
+_FIXTURE_MEMO: dict = {}
+
+
 def _spans_df(spark: SparkSession, span_dicts) -> DataFrame:
+    # memoized per (session, fixture): repeated calls then return the SAME
+    # leaf DataFrame, so downstream plans canonicalize equal and the
+    # caches inside summarize_spans/descendants HIT instead of piling up
+    # one orphaned cache entry per call (each parallelize() is a fresh RDD)
     lines = [json.dumps(s) for s in span_dicts]
-    return spark.read.schema(SPAN_SCHEMA).json(spark.sparkContext.parallelize(lines, 2))
+    key = (id(spark), hash(tuple(lines)))
+    if key not in _FIXTURE_MEMO:
+        _FIXTURE_MEMO[key] = spark.read.schema(SPAN_SCHEMA).json(
+            spark.sparkContext.parallelize(lines, 2)
+        )
+    return _FIXTURE_MEMO[key]
 
 
 def _run_id(i: int) -> str:
