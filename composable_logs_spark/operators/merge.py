@@ -50,8 +50,16 @@ def scd2_apply(
 
     ``dim`` must carry the three SCD columns; ``changes`` carries the new
     attribute values + ``effective_from``.
+
+    Multiple change rows for one key within a batch are first compacted
+    to the LATEST row per key (by ``effective_col``): otherwise each
+    change would close out the same current row once per version and
+    append several "current" versions, corrupting the dimension.
+    Intra-batch intermediate versions are intentionally not chained into
+    history — feed batches at the granularity you want preserved.
     """
     keys = list(keys)
+    changes = merge_dedup_latest(changes, keys, effective_col)
     ch_keys = changes.select(*keys, F.col(effective_col).alias("_new_from")).distinct()
 
     closed = (

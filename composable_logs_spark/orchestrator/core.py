@@ -167,6 +167,7 @@ class Node:
     num_cpus: int
     timeout_s: Optional[float]
     upstream: list["Node"] = field(default_factory=list)
+    executor: str = "thread"  # "thread" (default) or "process" (hard-kill)
 
     # populated during run
     _result: Optional[Try] = None
@@ -178,6 +179,7 @@ def task(
     task_parameters: Optional[dict[str, Any]] = None,
     num_cpus: int = 1,
     timeout_s: Optional[float] = None,
+    executor: str = "thread",
 ):
     """Decorator wrapping a function into a DAG node factory (D1).
 
@@ -194,6 +196,8 @@ def task(
         params[k if k.startswith(("task.", "workflow.")) else f"task.{k}"] = v
     if timeout_s is not None and timeout_s <= 0:
         raise ValueError("timeout_s must be positive (or None for no timeout)")
+    if executor not in ("thread", "process"):
+        raise ValueError("executor must be 'thread' or 'process'")
 
     def deco(fn: Callable[..., Any]):
         def bind(*args: Node, **kwargs: Any) -> Node:
@@ -212,6 +216,7 @@ def task(
                 num_cpus=num_cpus,
                 timeout_s=timeout_s,
                 upstream=list(args),
+                executor=executor,
             )
 
         bind.task_id = task_id  # type: ignore[attr-defined]
@@ -259,6 +264,97 @@ def _collect_nodes(sinks: list[Node]) -> list[Node]:
     for s in sinks:
         visit(s)
     return order
+
+
+def _process_child_main(fn, args, parameters, conn) -> None:
+    """Entry point of a process-executor task body (fork child).
+
+    Streams logged values/artefacts back as ("data", ...) messages the
+    moment they are logged — so values logged before a failure OR before
+    a hard kill are retained (D10 semantics survive SIGKILL) — then one
+    terminal ("ok", value) / ("err", type, str, traceback) message.
+    """
+
+    def _emit(span_name: str, name: str, value: Any) -> None:
+        sd = SerializedData.encode(value)
+        conn.send(("data", span_name, name, sd.type, sd.encoding, sd.encoded_content))
+
+    _context_local.ctx = TaskContext(parameters=parameters, _emit=_emit)
+    try:
+        value = fn(*args)
+        try:
+            conn.send(("ok", value))
+        except Exception as e:  # unpicklable return value
+            conn.send(("err", type(e).__name__, str(e), traceback.format_exc()))
+    except BaseException as e:  # noqa: BLE001 — reported, not hidden
+        conn.send(
+            ("err", type(e).__name__, str(e), "".join(traceback.format_exception(e)))
+        )
+    finally:
+        conn.close()
+
+
+def _run_body_in_process(
+    fn, args, parameters, timeout_s: Optional[float], on_data
+) -> tuple[Optional[BaseException], Any]:
+    """D6 hard-kill path: run the body in a forked child; timeout =
+    SIGKILL of the child (the analogue of the reference's ray.kill on the
+    ExecActor, wrappers.py:126-193) — a CPU-spinning body demonstrably
+    stops consuming resources, unlike the abandoned-thread default.
+    """
+    import multiprocessing as mp
+    import time as _time
+
+    ctx_mp = mp.get_context("fork")  # fork: fn/args need not be picklable
+    parent_conn, child_conn = ctx_mp.Pipe(duplex=False)
+    proc = ctx_mp.Process(
+        target=_process_child_main, args=(fn, args, parameters, child_conn), daemon=True
+    )
+    proc.start()
+    child_conn.close()
+
+    deadline = None if timeout_s is None else _time.monotonic() + timeout_s
+    error: Optional[BaseException] = None
+    value: Any = None
+    terminal = False
+    while not terminal:
+        wait = 0.5 if deadline is None else max(0.0, deadline - _time.monotonic())
+        if deadline is not None and wait == 0.0:
+            error = Exception(
+                "Timeout error: execution did not finish within timeout limit"
+            )
+            proc.kill()
+            break
+        try:
+            if not parent_conn.poll(min(wait, 0.5) if deadline is not None else 0.5):
+                if not proc.is_alive() and not parent_conn.poll(0):
+                    error = Exception("task process died without reporting a result")
+                    break
+                continue
+            msg = parent_conn.recv()
+        except EOFError:
+            error = Exception("task process died without reporting a result")
+            break
+        if msg[0] == "data":
+            on_data(msg[1], msg[2], msg[3], msg[4], msg[5])
+        elif msg[0] == "ok":
+            value = msg[1]
+            terminal = True
+        else:  # ("err", type_name, str, traceback)
+            error = Exception(msg[2])
+            terminal = True
+    # drain data messages that raced the terminal state / the kill, so
+    # values logged before the failure are retained
+    try:
+        while parent_conn.poll(0):
+            msg = parent_conn.recv()
+            if msg[0] == "data":
+                on_data(msg[1], msg[2], msg[3], msg[4], msg[5])
+    except EOFError:
+        pass
+    proc.join(timeout=5)
+    parent_conn.close()
+    return error, value
 
 
 _run_counter = threading.Lock()
@@ -338,182 +434,214 @@ def run_dag(
             return Failure(group)
 
         slots.acquire(n.num_cpus)
-        # the execute-task span opens AFTER slot acquisition: queueing wait
-        # is not task runtime (matches the reference, where Ray schedules
-        # before the task span starts — test_task_queuing.py:19-87)
-        start = datetime.datetime.now(datetime.timezone.utc)
-        child_spans: list[dict] = []
-        guard_span_id = _new_span_id()
-        call_span_id = _new_span_id()
+        # everything between acquire and the finally-release is guarded:
+        # if span emission or result handling raises (e.g. disk full), the
+        # CPU slots must not leak or later tasks block forever in acquire
+        try:
+            # the execute-task span opens AFTER slot acquisition: queueing
+            # wait is not task runtime (matches the reference, where Ray
+            # schedules before the task span starts — test_task_queuing.py)
+            start = datetime.datetime.now(datetime.timezone.utc)
+            child_spans: list[dict] = []
+            guard_span_id = _new_span_id()
+            call_span_id = _new_span_id()
 
-        def emit_data_span(span_name: str, name: str, value: Any) -> None:
-            sd = SerializedData.encode(value)
-            now = datetime.datetime.now(datetime.timezone.utc)
-            child_spans.append(
-                span_row(
-                    span_id=_new_span_id(),
-                    name=span_name,
-                    start_time=now,
-                    end_time=now,
-                    trace_id=trace_id,
-                    parent_id=call_span_id,
-                    attributes={
-                        "name": name,
-                        "type": sd.type,
-                        "encoding": sd.encoding,
-                        "content_encoded": sd.encoded_content,
-                    },
-                )
-            )
-
-        ctx = TaskContext(
-            parameters={**wf_params, **n.parameters}, _emit=emit_data_span
-        )
-
-        job_group = f"task-{task_span_id}"
-
-        def body():
-            _context_local.ctx = ctx
-            try:
-                args = [u._task_result.result for u in n.upstream]
-                if spark is not None:
-                    # D6: tag this task's Spark jobs so a timeout can
-                    # cancel them (interruptOnCancel kills executor tasks)
-                    spark.sparkContext.setJobGroup(
-                        job_group, f"task {n.task_id}", interruptOnCancel=True
-                    )
-                    import inspect
-
-                    sig = inspect.signature(n.fn)
-                    first = next(iter(sig.parameters.values()), None)
-                    if first is not None and first.name == "spark":
-                        return n.fn(spark, *args)
-                return n.fn(*args)
-            finally:
-                _context_local.ctx = None
-
-        error: Optional[BaseException] = None
-        value: Any = None
-        call_start = datetime.datetime.now(datetime.timezone.utc)
-        if n.timeout_s is None:
-            try:
-                value = body()
-            except BaseException as e:  # noqa: BLE001 — reported, not hidden
-                error = e
-        else:
-            # D6: timeout guard. Python threads cannot be killed; the body
-            # thread is abandoned on timeout (the reference kills a Ray
-            # actor — same observable span/Failure semantics). Spark jobs
-            # started by the body are cancelled via the job group.
-            guard_pool = ThreadPoolExecutor(max_workers=1)
-            fut = guard_pool.submit(body)
-            try:
-                value = fut.result(timeout=n.timeout_s)
-            except TimeoutError:
-                error = Exception(
-                    "Timeout error: execution did not finish within timeout limit"
-                )
-                fut.cancel()
-                if spark is not None:
-                    # kill the task's in-flight Spark jobs (the reference
-                    # kills its Ray actor here, wrappers.py:126-193); the
-                    # Python wrapper thread is abandoned
-                    try:
-                        spark.sparkContext.cancelJobGroup(job_group)
-                    except Exception:
-                        pass
-            except BaseException as e:  # noqa: BLE001
-                error = e
-            finally:
-                # do NOT join the (possibly still running) body thread —
-                # the reference kills its Ray actor here; we abandon the
-                # thread and return the timeout Failure immediately
-                guard_pool.shutdown(wait=False)
-        call_end = datetime.datetime.now(datetime.timezone.utc)
-
-        status = ("ERROR", "Failure") if error is not None else ("OK", None)
-        events = []
-        if error is not None:
-            events = [
-                {
-                    "name": "exception",
-                    "timestamp": iso8601(call_end),
-                    "attributes": {
-                        "exception.type": type(error).__name__,
-                        "exception.message": str(error),
-                        "exception.stacktrace": "".join(
-                            traceback.format_exception(error)
-                        ),
-                        "exception.escaped": "false",
-                    },
-                }
-            ]
-
-        # nested guard/call spans (wrappers.py:161-170 structure)
-        emit(
-            span_row(
-                span_id=call_span_id,
-                name=SPAN_CALL_FUNCTION,
-                start_time=call_start,
-                end_time=call_end,
-                trace_id=trace_id,
-                parent_id=guard_span_id,
-                status_code=status[0],
-                status_description=status[1],
-                events=events,
-            )
-        )
-        emit(
-            span_row(
-                span_id=guard_span_id,
-                name=SPAN_TIMEOUT_GUARD,
-                start_time=call_start,
-                end_time=call_end,
-                trace_id=trace_id,
-                parent_id=task_span_id,
-                status_code=status[0],
-                status_description=status[1],
-            )
-        )
-        for sp in child_spans:  # logged values/artifacts (kept on failure)
-            emit(sp)
-        # legacy task-dependency spans (D7, wrappers.py:335-340)
-        for u in n.upstream:
-            if u._task_result is not None:
-                emit(
+            def append_data_span(
+                span_name: str, name: str, sd_type: str, sd_enc: str, sd_content
+            ) -> None:
+                now = datetime.datetime.now(datetime.timezone.utc)
+                child_spans.append(
                     span_row(
                         span_id=_new_span_id(),
-                        name=SPAN_TASK_DEPENDENCY,
-                        start_time=start,
-                        end_time=start,
+                        name=span_name,
+                        start_time=now,
+                        end_time=now,
                         trace_id=trace_id,
-                        parent_id=task_span_id,
+                        parent_id=call_span_id,
                         attributes={
-                            "from_task_span_id": u._task_result.span_id,
-                            "to_task_span_id": task_span_id,
+                            "name": name,
+                            "type": sd_type,
+                            "encoding": sd_enc,
+                            "content_encoded": sd_content,
                         },
                     )
                 )
-        end = datetime.datetime.now(datetime.timezone.utc)
-        emit(
-            span_row(
-                span_id=task_span_id,
-                name=SPAN_EXECUTE_TASK,
-                start_time=start,
-                end_time=end,
-                trace_id=trace_id,
-                parent_id=top_span_id,
-                status_code=status[0],
-                status_description=status[1],
-                attributes=attrs,
-                links=links,
-            )
-        )
 
-        # release only after the span's end timestamp is recorded — else a
-        # queued task can start inside this span's [start, end] window and
-        # the log would show more than max_cpus concurrent tasks
-        slots.release(n.num_cpus)
+            def emit_data_span(span_name: str, name: str, value: Any) -> None:
+                sd = SerializedData.encode(value)
+                append_data_span(span_name, name, sd.type, sd.encoding, sd.encoded_content)
+
+            ctx = TaskContext(
+                parameters={**wf_params, **n.parameters}, _emit=emit_data_span
+            )
+
+            job_group = f"task-{task_span_id}"
+
+            def body():
+                _context_local.ctx = ctx
+                try:
+                    args = [u._task_result.result for u in n.upstream]
+                    if spark is not None:
+                        # D6: tag this task's Spark jobs so a timeout can
+                        # cancel them (interruptOnCancel kills executor tasks)
+                        spark.sparkContext.setJobGroup(
+                            job_group, f"task {n.task_id}", interruptOnCancel=True
+                        )
+                        import inspect
+
+                        sig = inspect.signature(n.fn)
+                        first = next(iter(sig.parameters.values()), None)
+                        if first is not None and first.name == "spark":
+                            return n.fn(spark, *args)
+                    return n.fn(*args)
+                finally:
+                    _context_local.ctx = None
+
+            error: Optional[BaseException] = None
+            value: Any = None
+            call_start = datetime.datetime.now(datetime.timezone.utc)
+            if n.executor == "process":
+                # D6 hard-kill option: body runs in a forked child; timeout
+                # = SIGKILL (reference parity: ray.kill on the ExecActor).
+                # The shared SparkSession cannot cross the fork, so this
+                # path is for pure-Python bodies (the ones that can spin).
+                import inspect
+
+                first = next(iter(inspect.signature(n.fn).parameters.values()), None)
+                if first is not None and first.name == "spark":
+                    error = ValueError(
+                        "executor='process' tasks cannot take the shared "
+                        "SparkSession; use the default thread executor"
+                    )
+                else:
+                    error, value = _run_body_in_process(
+                        n.fn,
+                        [u._task_result.result for u in n.upstream],
+                        {**wf_params, **n.parameters},
+                        n.timeout_s,
+                        append_data_span,
+                    )
+            elif n.timeout_s is None:
+                try:
+                    value = body()
+                except BaseException as e:  # noqa: BLE001 — reported, not hidden
+                    error = e
+            else:
+                # D6: timeout guard. Python threads cannot be killed; the
+                # body thread is abandoned on timeout (use
+                # executor='process' for a hard kill). Spark jobs started
+                # by the body are cancelled via the job group.
+                guard_pool = ThreadPoolExecutor(max_workers=1)
+                fut = guard_pool.submit(body)
+                try:
+                    value = fut.result(timeout=n.timeout_s)
+                except TimeoutError:
+                    error = Exception(
+                        "Timeout error: execution did not finish within timeout limit"
+                    )
+                    fut.cancel()
+                    if spark is not None:
+                        # kill the task's in-flight Spark jobs (the reference
+                        # kills its Ray actor here, wrappers.py:126-193); the
+                        # Python wrapper thread is abandoned
+                        try:
+                            spark.sparkContext.cancelJobGroup(job_group)
+                        except Exception:
+                            pass
+                except BaseException as e:  # noqa: BLE001
+                    error = e
+                finally:
+                    # do NOT join the (possibly still running) body thread —
+                    # the reference kills its Ray actor here; we abandon the
+                    # thread and return the timeout Failure immediately
+                    guard_pool.shutdown(wait=False)
+            call_end = datetime.datetime.now(datetime.timezone.utc)
+
+            status = ("ERROR", "Failure") if error is not None else ("OK", None)
+            events = []
+            if error is not None:
+                events = [
+                    {
+                        "name": "exception",
+                        "timestamp": iso8601(call_end),
+                        "attributes": {
+                            "exception.type": type(error).__name__,
+                            "exception.message": str(error),
+                            "exception.stacktrace": "".join(
+                                traceback.format_exception(error)
+                            ),
+                            "exception.escaped": "false",
+                        },
+                    }
+                ]
+
+            # nested guard/call spans (wrappers.py:161-170 structure)
+            emit(
+                span_row(
+                    span_id=call_span_id,
+                    name=SPAN_CALL_FUNCTION,
+                    start_time=call_start,
+                    end_time=call_end,
+                    trace_id=trace_id,
+                    parent_id=guard_span_id,
+                    status_code=status[0],
+                    status_description=status[1],
+                    events=events,
+                )
+            )
+            emit(
+                span_row(
+                    span_id=guard_span_id,
+                    name=SPAN_TIMEOUT_GUARD,
+                    start_time=call_start,
+                    end_time=call_end,
+                    trace_id=trace_id,
+                    parent_id=task_span_id,
+                    status_code=status[0],
+                    status_description=status[1],
+                )
+            )
+            # snapshot: after a timeout the abandoned body thread may still
+            # be appending while we iterate
+            for sp in list(child_spans):  # logged values/artifacts (kept on failure)
+                emit(sp)
+            # legacy task-dependency spans (D7, wrappers.py:335-340)
+            for u in n.upstream:
+                if u._task_result is not None:
+                    emit(
+                        span_row(
+                            span_id=_new_span_id(),
+                            name=SPAN_TASK_DEPENDENCY,
+                            start_time=start,
+                            end_time=start,
+                            trace_id=trace_id,
+                            parent_id=task_span_id,
+                            attributes={
+                                "from_task_span_id": u._task_result.span_id,
+                                "to_task_span_id": task_span_id,
+                            },
+                        )
+                    )
+            end = datetime.datetime.now(datetime.timezone.utc)
+            emit(
+                span_row(
+                    span_id=task_span_id,
+                    name=SPAN_EXECUTE_TASK,
+                    start_time=start,
+                    end_time=end,
+                    trace_id=trace_id,
+                    parent_id=top_span_id,
+                    status_code=status[0],
+                    status_description=status[1],
+                    attributes=attrs,
+                    links=links,
+                )
+            )
+        finally:
+            # release only after the span's end timestamp is recorded — else
+            # a queued task can start inside this span's [start, end] window
+            # and the log would show more than max_cpus concurrent tasks
+            slots.release(n.num_cpus)
 
         n._task_result = TaskResult(result=value, span_id=task_span_id)
         if error is not None:

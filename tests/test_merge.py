@@ -59,3 +59,28 @@ def test_scd2_apply(spark):
     )
     # history preserved: two versions of id=1
     assert out.where(F.col("id") == 1).count() == 2
+
+
+def test_scd2_two_changes_same_key_in_one_batch(spark):
+    # ADVICE r1: two intra-batch changes for one key must not duplicate
+    # the closed-out row or leave two is_current versions
+    dim = spark.createDataFrame(
+        [("k1", "v0", "2020-01-01 00:00:00", None, True)],
+        "id string, val string, effective_from string, effective_to string, is_current boolean",
+    ).select(
+        "id", "val",
+        F.to_timestamp("effective_from").alias("effective_from"),
+        F.to_timestamp("effective_to").alias("effective_to"),
+        "is_current",
+    )
+    changes = spark.createDataFrame(
+        [("k1", "v1", "2021-01-01 00:00:00"), ("k1", "v2", "2022-01-01 00:00:00")],
+        "id string, val string, effective_from string",
+    ).select("id", "val", F.to_timestamp("effective_from").alias("effective_from"))
+
+    out = scd2_apply(dim, changes, ["id"]).collect()
+    current = [r for r in out if r["is_current"]]
+    closed = [r for r in out if not r["is_current"]]
+    assert len(out) == 2
+    assert [(r["val"]) for r in current] == ["v2"]  # latest change wins
+    assert len(closed) == 1 and closed[0]["val"] == "v0"

@@ -216,3 +216,64 @@ def test_kwargs_composition_rejected(tmp_path):
 
     with pytest.raises(ValueError):
         b(x=a())
+
+
+def test_process_executor_hard_kills_stuck_task(spark, tmp_path):
+    # reference test_stuck_task.py:15-52 with the Ray-actor-kill semantics
+    # (wrappers.py:126-193): a CPU-spinning body must STOP consuming
+    # resources on timeout, not just be abandoned
+    import multiprocessing
+
+    @task(task_id="spin", timeout_s=1.0, executor="process")
+    def spin():
+        get_task_context().log_value("before_spin", 42)
+        while True:  # pure-Python CPU burn: uninterruptible by threads
+            pass
+
+    t0 = time.time()
+    res = run_dag(spin(), log_dir=tmp_path)
+    elapsed = time.time() - t0
+    assert isinstance(res, Failure)
+    assert "Timeout error" in str(res.error.exceptions[0])
+    assert elapsed < 10
+    # the child was SIGKILLed and joined: nothing left burning CPU
+    assert multiprocessing.active_children() == []
+
+    s = _summarize(spark, tmp_path)
+    r = s.task_runs.collect()[0]
+    assert r["is_success"] is False
+    # value logged before the kill was streamed out and retained (D10)
+    lv = s.logged_values.collect()
+    assert [(v["name"], v["value_long"]) for v in lv] == [("before_spin", 42)]
+
+
+def test_process_executor_success_and_failure(spark, tmp_path):
+    @task(task_id="ok", executor="process")
+    def ok():
+        get_task_context().log_value("n", 7)
+        return 123
+
+    @task(task_id="boom", executor="process")
+    def boom(x):
+        raise ValueError(f"bad {x}")
+
+    res = run_dag(boom(ok()), log_dir=tmp_path)
+    assert isinstance(res, Failure)
+    assert "bad 123" in str(res.error.exceptions[0])
+
+    s = _summarize(spark, tmp_path)
+    rows = {r["task_id"]: r for r in s.task_runs.collect()}
+    assert rows["ok"]["is_success"] is True
+    assert rows["boom"]["is_success"] is False
+    lv = s.logged_values.collect()
+    assert [(v["name"], v["value_long"]) for v in lv] == [("n", 7)]
+
+
+def test_process_executor_rejects_spark_bodies(spark, tmp_path):
+    @task(task_id="wants_spark", executor="process")
+    def wants_spark(spark):
+        return 1
+
+    res = run_dag(wants_spark(), log_dir=tmp_path, spark=spark)
+    assert isinstance(res, Failure)
+    assert "cannot take the shared" in str(res.error.exceptions[0])
