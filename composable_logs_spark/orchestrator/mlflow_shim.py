@@ -14,9 +14,11 @@ server. Semantics preserved:
   exactly what the summarisation pipeline already reads
 
 Implemented with flask (import-gated); werkzeug's threaded dev server is
-plenty for a per-workflow sidecar. Artifact upload uses a direct HTTP PUT
-endpoint instead of the reference's FTP actor — same span-log result
-(artefact spans), no FTP dependency.
+plenty for a per-workflow sidecar. Artifact upload: a direct HTTP PUT
+endpoint here, AND the reference-parity FTP artifact repository in
+``ftp_artifacts.FtpArtifactServer`` (mlflow_server/server.py:259-326) so
+stock ``mlflow.log_artifact`` clients with an ``ftp://`` artifact URI
+work unmodified.
 """
 
 from __future__ import annotations
