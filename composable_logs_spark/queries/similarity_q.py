@@ -161,7 +161,148 @@ SELECT query_id, neighbor_id, label, cosine, rank FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF with a REAL k-means assignment (round-2: `label` was a stand-in for
+# the centroid id). Unrolled Lloyd iterations as pure DataFrame ops — the
+# same shape MLlib's KMeans uses: centroids broadcast (K rows), each
+# assignment is a crossJoin + argmin (one pass over the corpus, no
+# shuffle of the big side beyond the groupBy), each recompute is an
+# explode + hash-agg (map-side combine; shuffle carries K*dim rows).
+#
+# Cross-engine exactness: centroid coordinates and distances are rounded
+# to 6dp on BOTH engines before comparisons, and argmin ties break on the
+# cell id (struct-min in Spark ≙ ORDER BY dist, cell in SQL), so
+# double-summation-order differences cannot flip an assignment.
+_KM_K = 8
+_KM_ITERS = 2
+
+
+def _km_assign(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    d2 = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("dist_r", F.round(d2, 6))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist_r", "cell")).alias("_m"),
+            F.first("vec").alias("vec"),  # vec constant per vec_id
+        )
+        .select("vec_id", "vec", F.col("_m.cell").alias("cell"))
+    )
+
+
+def _km_recompute(assigned: DataFrame) -> DataFrame:
+    per_dim = (
+        assigned.select("cell", F.posexplode("vec").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("m"))
+    )
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("cvec")
+    )
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = load(spark, sf, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    cents = corpus.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("vec").alias("cvec")
+    )
+    for _ in range(_KM_ITERS):
+        cents = _km_recompute(_km_assign(corpus, cents))
+    final = _km_assign(corpus, cents).withColumn("norm", _norm(F.col("vec")))
+    queries = final.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell").alias("qcell"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        final.join(
+            F.broadcast(queries),
+            (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 4
+            ),
+        )
+    )
+    return _topk_two_phase(scored, _TOP_K, extra_cols=["cell"])
+
+
+def _km_sql() -> str:
+    def assign(cent_cte: str, src: str) -> str:
+        return f"""(
+  SELECT vec_id, vec, cell FROM (
+    SELECT c.vec_id, c.vec, ct.cell,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round(list_sum(list_transform(range(1, 65),
+                        j -> (c.vec[j] - ct.cvec[j]) * (c.vec[j] - ct.cvec[j]))), 6),
+                      ct.cell) AS rn
+    FROM {src} c CROSS JOIN {cent_cte} ct
+  ) WHERE rn = 1
+)"""
+
+    def recompute(assign_cte: str) -> str:
+        return f"""(
+  SELECT cell, list(m ORDER BY dim) AS cvec FROM (
+    SELECT cell, dim, round(avg(val), 6) AS m
+    FROM (SELECT cell, unnest(vec) AS val, generate_subscripts(vec, 1) AS dim
+          FROM {assign_cte})
+    GROUP BY cell, dim
+  ) GROUP BY cell
+)"""
+
+    ctes = [
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
+        f"cent0 AS (SELECT CAST(vec_id AS INT) AS cell, vec AS cvec FROM corpus WHERE vec_id < {_KM_K})",
+    ]
+    prev_cent = "cent0"
+    for i in range(1, _KM_ITERS + 1):
+        ctes.append(f"assign{i} AS {assign(prev_cent, 'corpus')}")
+        ctes.append(f"cent{i} AS {recompute(f'assign{i}')}")
+        prev_cent = f"cent{i}"
+    ctes.append(f"finala AS {assign(prev_cent, 'corpus')}")
+    ctes.append(
+        """finaln AS (
+  SELECT vec_id, vec, cell,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+  FROM finala
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+q AS (SELECT vec_id AS query_id, cell AS qcell, vec AS qvec, nrm AS qnrm
+      FROM finaln WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, f.vec_id AS neighbor_id, f.cell,
+         round(list_sum(list_transform(range(1, 65), j -> f.vec[j] * q.qvec[j]))
+               / (f.nrm * q.qnrm), 4) AS cosine
+  FROM finaln f JOIN q ON f.cell = q.qcell AND f.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cell, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= {_TOP_K}
+"""
+    )
+
+
 QUERIES = {
     "ann_cosine_top5": QuerySpec(ann_cosine_top5, ANN_BRUTE_SQL),
     "ann_ivf_label_probe": QuerySpec(ann_ivf_label_probe, ANN_IVF_SQL),
+    "ann_ivf_kmeans": QuerySpec(ann_ivf_kmeans, _km_sql()),
 }
