@@ -293,68 +293,76 @@ WHERE round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
 
 
 # ---------------------------------------------------------------------------
-# SimHash: 32-bit signature from per-token md5 bits, weighted majority.
-# Candidates via 4x 8-bit band buckets (a pair within Hamming<=3 must agree
-# on at least one full byte), exact Hamming verify (<= 3).
-# (Production would widen to 64/128 bits — same plan shape, more columns.)
-_SIMHASH_BITS = 32
-_HAMMING_MAX = 3
+# SimHash: 64-bit signature from per-shingle md5 bits, weighted majority
+# (round 2: widened from the 32-bit demo width to the production width).
+# The signature is carried as TWO 32-bit halves (lo = bits 0-31, hi =
+# bits 32-63): a single 64-bit value would need 1<<63, which overflows
+# signed BIGINT identically awkwardly in both engines.
+# Candidates via 8x 8-bit band buckets (a pair within Hamming<=6 flips at
+# most 6 of the 8 bands, so >=2 full bytes still agree — pigeonhole);
+# exact Hamming verify (<= 6, the 64-bit analogue of 3/32).
+_SIMHASH_BITS = 64
+_HAMMING_MAX = 6
 
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     corpus = _near_dup_corpus(spark, sf)
     # hash 3-gram shingles, not single tokens: token-set simhash collapses
-    # on a shared-vocabulary corpus (every doc within hamming<=3 of every
+    # on a shared-vocabulary corpus (every doc within hamming<=6 of every
     # other) while shingles keep word order and separate documents
     d = corpus.select(
         "doc_id", F.transform(_shingles(F.col("text")), F.md5).alias("hashes")
     )
 
-    # bit i of shingle-hash = low bit of hex char i+1 (hexval via conv).
-    # Explode the hash array and accumulate the 32 per-bit ±1 sums with a
+    # bit i of shingle-hash = bit (i mod 2) of hex char (i div 2 + 1).
+    # Explode the hash array and accumulate the 64 per-bit ±1 sums with a
     # codegen'd hash aggregate (map-side partial combine -> the shuffle
-    # carries one 32-column row per doc) — faster than per-element array
+    # carries one 64-column row per doc) — faster than per-element array
     # folds, and the shape that scales: the wide payload is reduced before
     # it moves.
     exploded = d.select("doc_id", F.explode("hashes").alias("h"))
-    bit_cols = [
-        (
-            F.when(
-                F.conv(F.substring(F.col("h"), i + 1, 1), 16, 10).cast("int") % 2 == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"b{i}")
-        for i in range(_SIMHASH_BITS)
-    ]
+
+    def bit_col(i: int):
+        nib = F.conv(F.substring(F.col("h"), i // 2 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(nib, i % 2).bitwiseAND(F.lit(1))
+        return F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)).alias(f"b{i}")
+
     sums = (
-        exploded.select("doc_id", *bit_cols)
+        exploded.select("doc_id", *[bit_col(i) for i in range(_SIMHASH_BITS)])
         .groupBy("doc_id")
         .agg(*[F.sum(f"b{i}").alias(f"s{i}") for i in range(_SIMHASH_BITS)])
     )
-    simhash_col = None
-    for i in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        simhash_col = term if simhash_col is None else simhash_col + term
-    sig = sums.select("doc_id", simhash_col.cast("long").alias("simhash"))
+
+    def half_col(lo_bit: int):
+        col = None
+        for j in range(32):
+            term = F.when(F.col(f"s{lo_bit + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            col = term if col is None else col + term
+        return col.cast("long")
+
+    sig = sums.select(
+        "doc_id", half_col(0).alias("sim_lo"), half_col(32).alias("sim_hi")
+    )
 
     buckets = sig.select(
         "doc_id",
-        "simhash",
+        "sim_lo",
+        "sim_hi",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("probe"),
-                        F.shiftright(F.col("simhash"), 8 * b)
+                        F.shiftright(F.col("sim_lo" if b < 4 else "sim_hi"), 8 * (b % 4))
                         .bitwiseAND(F.lit(255))
                         .cast("int")
                         .alias("bucket"),
                     )
-                    for b in range(4)
+                    for b in range(8)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.probe", "bk.bucket")
+    ).select("doc_id", "sim_lo", "sim_hi", "bk.probe", "bk.bucket")
 
     cand = (
         buckets.alias("a")
@@ -363,26 +371,38 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.col("a.sim_lo").alias("lo_a"),
+            F.col("a.sim_hi").alias("hi_a"),
+            F.col("b.sim_lo").alias("lo_b"),
+            F.col("b.sim_hi").alias("hi_b"),
         )
         .distinct()
     )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("int")
     return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
-        )
+        cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= _HAMMING_MAX)
         .select("doc_a", "doc_b", "hamming")
     )
 
 
 def _simhash_sql() -> str:
-    bit_exprs = " + ".join(
-        f"CASE WHEN list_sum(list_transform(hashes, h -> "
-        f"CASE WHEN (instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) % 2 = 1 "
-        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << i} ELSE 0 END"
-        for i in range(_SIMHASH_BITS)
+    def half_expr(lo_bit: int) -> str:
+        return " + ".join(
+            f"CASE WHEN list_sum(list_transform(hashes, h -> "
+            f"CASE WHEN ((instr('0123456789abcdef', substring(h, {(lo_bit + j) // 2 + 1}, 1)) - 1)"
+            f" // {2 ** ((lo_bit + j) % 2)}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END"
+            for j in range(32)
+        )
+
+    bucket_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, sim_lo, sim_hi, {b} AS probe, "
+        f"({'sim_lo' if b < 4 else 'sim_hi'} // {256 ** (b % 4)}) % 256 AS bucket FROM sig"
+        for b in range(8)
     )
     return f"""
 WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
@@ -392,25 +412,25 @@ d AS (
   FROM corpus
 ),
 sig AS (
-  SELECT doc_id, CAST({bit_exprs} AS BIGINT) AS simhash FROM d
+  SELECT doc_id,
+         CAST({half_expr(0)} AS BIGINT) AS sim_lo,
+         CAST({half_expr(32)} AS BIGINT) AS sim_hi
+  FROM d
 ),
 buckets AS (
-  SELECT doc_id, simhash, 0 AS probe, (simhash // 1) % 256 AS bucket FROM sig
-  UNION ALL
-  SELECT doc_id, simhash, 1 AS probe, (simhash // 256) % 256 AS bucket FROM sig
-  UNION ALL
-  SELECT doc_id, simhash, 2 AS probe, (simhash // 65536) % 256 AS bucket FROM sig
-  UNION ALL
-  SELECT doc_id, simhash, 3 AS probe, (simhash // 16777216) % 256 AS bucket FROM sig
+  {bucket_union}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  a.simhash AS sig_a, b.simhash AS sig_b
+                  a.sim_lo AS lo_a, a.sim_hi AS hi_a,
+                  b.sim_lo AS lo_b, b.sim_hi AS hi_b
   FROM buckets a JOIN buckets b ON a.probe = b.probe AND a.bucket = b.bucket
   WHERE a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {_HAMMING_MAX}
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= {_HAMMING_MAX}
 """
 
 
