@@ -154,8 +154,112 @@ HAVING count(*) > 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (the GPT-3/Pile-style op): flag training
+# documents that share any 8-gram with a held-out benchmark set, so they
+# can be dropped before training. The benchmark here is the documents
+# with doc_id < _BENCH_DOCS (a stand-in for e.g. an eval set's prompts).
+#
+# Scale shape: the benchmark n-gram set is SMALL (benchmarks are KBs-MBs,
+# the corpus is TBs) — hash benchmark 8-grams to longs, build it once,
+# and BROADCAST it into an equi-join against the corpus's exploded
+# 8-gram hashes; per-doc hit counts come from a hash aggregate. The
+# corpus side streams through one scan + explode; no corpus self-join,
+# no shuffle of corpus text.
+_NGRAM_N = 8
+_BENCH_DOCS = 20
+
+
+def _ngram_hashes(text_col):
+    """Hashed word 8-grams (distinct 31-bit md5 prefixes, longs)."""
+    toks = F.split(F.trim(text_col), r"\s+")
+    n = F.greatest(F.size(toks) - (_NGRAM_N - 1), F.lit(1))
+    slices = [F.slice(toks, i + 1, n) for i in range(_NGRAM_N)]
+    empty = F.lit("")
+    joined = slices[0]
+    for s in slices[1:]:
+        joined = F.zip_with(
+            joined, s, lambda a, b: F.concat(F.coalesce(a, empty), F.lit(" "), F.coalesce(b, empty))
+        )
+    return F.array_distinct(
+        F.transform(
+            joined,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long") % 2147483647,
+        )
+    )
+
+
+def decontaminate_against_benchmark(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") < _BENCH_DOCS)
+    # evaluation corpus: the real corpus plus PLANTED contamination — each
+    # benchmark text with its first 3 words dropped (ids offset +100000),
+    # the partial-overlap case the op exists to catch
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    planted = bench.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(toks, 4, F.greatest(F.size(toks) - 3, F.lit(1))), " ").alias(
+            "text"
+        ),
+    )
+    corpus = d.where(F.col("doc_id") >= _BENCH_DOCS).unionByName(planted)
+    bench_grams = (
+        bench.select(F.explode(_ngram_hashes(F.col("text"))).alias("g")).distinct()
+    )
+    corpus_grams = corpus.select(
+        "doc_id", F.explode(_ngram_hashes(F.col("text"))).alias("g")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+    )
+
+
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+_GRAM_CONCAT_SQL = " || ' ' || ".join(
+    f"coalesce({_TOKS_SQL}[i+{k}], '')" for k in range(_NGRAM_N)
+)
+
+_NGRAM_SQL_EXPR = f"""
+  list_distinct(list_transform(
+    list_transform(
+      range(1, greatest(len({_TOKS_SQL}) - {_NGRAM_N - 1}, 1) + 1),
+      i -> {_GRAM_CONCAT_SQL}
+    ),
+    g -> CAST('0x' || substring(md5(g), 1, 15) AS BIGINT) % 2147483647
+  ))
+"""
+
+DECONTAM_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+corpus_docs AS (
+  SELECT doc_id, text FROM d WHERE doc_id >= {_BENCH_DOCS}
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 4,
+                         3 + greatest(len(string_split_regex(trim(text), '\\s+')) - 3, 1)),
+                         ' ')
+  FROM d WHERE doc_id < {_BENCH_DOCS}
+),
+bench AS (
+  SELECT DISTINCT unnest({_NGRAM_SQL_EXPR}) AS g FROM d WHERE doc_id < {_BENCH_DOCS}
+),
+corpus AS (
+  SELECT doc_id, unnest({_NGRAM_SQL_EXPR}) AS g FROM corpus_docs
+)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM corpus c JOIN bench b ON c.g = b.g
+GROUP BY c.doc_id
+"""
+
+
 QUERIES = {
     "pii_scrub_customers": QuerySpec(pii_scrub_customers, PII_SQL),
     "sample_stratified_hash": QuerySpec(sample_stratified_hash, _sample_sql()),
     "dedup_chunks": QuerySpec(dedup_chunks, CHUNK_SQL),
+    "decontaminate_against_benchmark": QuerySpec(
+        decontaminate_against_benchmark, DECONTAM_SQL
+    ),
 }
