@@ -74,12 +74,11 @@ def descendants(
             )
         )
 
-    # Per-depth early exit: each isEmpty() costs one small job on a
-    # shrinking frontier, but keeps the FINAL plan as deep as the actual
-    # forest (2-3 joins for typical span trees) instead of max_depth
-    # joins. A fully lazy 8-join plan was measured 3-10x slower end-to-end
-    # on shallow forests — consumers pay plan depth on every reuse.
-    # (Trees: no cycles, so no visited-set needed.)
+    # Per-depth early exit keeps the FINAL plan roughly as deep as the
+    # actual forest (2-3 joins for typical span trees) instead of
+    # max_depth joins. A fully lazy 8-join plan was measured 3-10x slower
+    # end-to-end on shallow forests — consumers pay plan depth on every
+    # reuse. (Trees: no cycles, so no visited-set needed.)
     #
     # Lineage truncation past the typical budget: under AQE, every cached
     # step's printed plan embeds its child's full adaptive plan, so the
