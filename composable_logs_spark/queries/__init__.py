@@ -70,6 +70,7 @@ def all_queries() -> dict[str, QuerySpec]:
         asof_q,
         session_q,
         tpch_extra,
+        tpch_full,
         sketch_q,
         srp_lsh_q,
         pipeline_q,
@@ -88,6 +89,7 @@ def all_queries() -> dict[str, QuerySpec]:
         asof_q,
         session_q,
         tpch_extra,
+        tpch_full,
         sketch_q,
         srp_lsh_q,
         pipeline_q,
