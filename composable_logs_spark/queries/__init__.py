@@ -65,6 +65,7 @@ def all_queries() -> dict[str, QuerySpec]:
         span_q,
         span_ops_q,
         dedup_q,
+        cluster_q,
         streaming_q,
         multimodal_q,
         asof_q,
@@ -84,6 +85,7 @@ def all_queries() -> dict[str, QuerySpec]:
         span_q,
         span_ops_q,
         dedup_q,
+        cluster_q,
         streaming_q,
         multimodal_q,
         asof_q,
