@@ -189,9 +189,129 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Repetition signals (the public Gopher/MassiveText repetition-filter
+# recipe): duplicate-line fraction, most-frequent-2-gram character
+# fraction, duplicate-3-gram character fraction. Character fractions are
+# over the summed n-gram lengths (each occurrence counted once), so they
+# are bounded by 1 even for self-overlapping grams.
+#
+# Scale note: everything is computed WITHIN each row (array expressions
+# over the doc's own token array) — a narrow map with zero shuffle, unlike
+# the explode+groupBy formulation. Per-doc cost is O(tokens ×
+# distinct-grams), trivial for real document lengths, and it stays inside
+# whole-stage codegen.
+def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    empty = F.lit("")
+    n2 = F.greatest(F.size(toks) - 1, F.lit(1))
+    grams2 = F.zip_with(
+        F.slice(toks, 1, n2),
+        F.slice(toks, 2, n2),
+        lambda x, y: F.concat(F.coalesce(x, empty), F.lit(" "), F.coalesce(y, empty)),
+    )
+    n3 = F.greatest(F.size(toks) - 2, F.lit(1))
+    grams3 = F.zip_with(
+        F.zip_with(
+            F.slice(toks, 1, n3),
+            F.slice(toks, 2, n3),
+            lambda x, y: F.concat(F.coalesce(x, empty), F.lit(" "), F.coalesce(y, empty)),
+        ),
+        F.slice(toks, 3, n3),
+        lambda xy, z: F.concat(xy, F.lit(" "), F.coalesce(z, empty)),
+    )
+    lines = F.split(F.col("text"), "\n")
+
+    def _cnt(grams, u):
+        return F.size(F.filter(grams, lambda g: g == u))
+
+    base = d.select("doc_id", grams2.alias("g2"), grams3.alias("g3"), lines.alias("lines"))
+    counts2 = F.transform(F.col("g2_u"), lambda u: _cnt(F.col("g2"), u))
+    staged = base.withColumn("g2_u", F.array_distinct("g2")).withColumn(
+        "maxc", F.array_max(counts2)
+    )
+    gram_chars = lambda grams: F.aggregate(  # noqa: E731
+        F.transform(grams, lambda g: F.length(g).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    top_gram = F.array_min(
+        F.filter(F.col("g2_u"), lambda u: _cnt(F.col("g2"), u) == F.col("maxc"))
+    )
+    dup3_chars = F.aggregate(
+        F.transform(
+            F.filter(F.array_distinct("g3"), lambda u: _cnt(F.col("g3"), u) > 1),
+            lambda u: (_cnt(F.col("g3"), u) * F.length(u)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return staged.select(
+        "doc_id",
+        F.round(
+            (F.size("lines") - F.size(F.array_distinct("lines")))
+            / F.size("lines").cast("double"),
+            4,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.col("maxc") * F.length(top_gram) / gram_chars(F.col("g2")).cast("double"), 4
+        ).alias("top_bigram_char_frac"),
+        F.round(dup3_chars / gram_chars(F.col("g3")).cast("double"), 4).alias(
+            "dup_trigram_char_frac"
+        ),
+        (
+            (F.col("maxc") * F.length(top_gram) / gram_chars(F.col("g2")) <= 0.2)
+            & (dup3_chars / gram_chars(F.col("g3")) <= 0.3)
+        ).alias("passes_repetition"),
+    )
+
+
+REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id, text,
+         list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                        i -> toks[i] || ' ' || coalesce(toks[i+1], '')) AS g2,
+         list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                        i -> toks[i] || ' ' || coalesce(toks[i+1], '')
+                                    || ' ' || coalesce(toks[i+2], '')) AS g3,
+         string_split(text, chr(10)) AS lines
+  FROM t
+), m AS (
+  SELECT doc_id, g2, g3, lines,
+         list_max(list_transform(list_distinct(g2),
+                  u -> len(list_filter(g2, x -> x = u)))) AS maxc
+  FROM g
+), s AS (
+  SELECT doc_id, lines, maxc,
+         list_min(list_filter(list_distinct(g2),
+                  u -> len(list_filter(g2, x -> x = u)) = maxc)) AS top_gram,
+         list_sum(list_transform(g2, x -> CAST(length(x) AS BIGINT))) AS chars2,
+         list_sum(list_transform(g3, x -> CAST(length(x) AS BIGINT))) AS chars3,
+         coalesce(list_sum(list_transform(
+             list_filter(list_distinct(g3),
+                         u -> len(list_filter(g3, x -> x = u)) > 1),
+             u -> CAST(len(list_filter(g3, x -> x = u)) * length(u) AS BIGINT))), 0)
+           AS dup3_chars
+  FROM m
+)
+SELECT doc_id,
+       round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines), 4)
+         AS dup_line_frac,
+       round(maxc * length(top_gram) / CAST(chars2 AS DOUBLE), 4) AS top_bigram_char_frac,
+       round(dup3_chars / CAST(chars3 AS DOUBLE), 4)              AS dup_trigram_char_frac,
+       (maxc * length(top_gram) / CAST(chars2 AS DOUBLE) <= 0.2
+        AND dup3_chars / CAST(chars3 AS DOUBLE) <= 0.3)           AS passes_repetition
+FROM s
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_SQL),
     "text_quality_scores": QuerySpec(text_quality_scores, QUALITY_SQL),
     "text_lang_id": QuerySpec(text_lang_id, _lang_sql()),
     "text_fingerprint": QuerySpec(text_fingerprint, FINGERPRINT_SQL),
+    "text_repetition": QuerySpec(text_repetition, REPETITION_SQL),
 }
