@@ -43,25 +43,42 @@ def stream_task_runs(
     log_dir: str | Path,
     on_batch: Callable[[DataFrame, int], None],
     checkpoint_dir: Optional[str] = None,
+    dedup_within: Optional[str] = None,
 ):
     """Run the summarisation incrementally: every micro-batch of new span
     files is deduplicated by (trace_id, span_id) and handed to
     ``on_batch`` as a task_runs DataFrame (foreachBatch pattern).
+
+    ``dedup_within`` (e.g. ``"48 hours"``): bound the dedup state with an
+    event-time watermark on ``start_time`` + dropDuplicatesWithinWatermark.
+    Plain ``dropDuplicates`` keeps EVERY seen key in the state store
+    forever — unbounded growth on an always-on ingest; the watermarked
+    form evicts keys once the watermark passes them, so state is
+    O(spans per watermark window) regardless of stream lifetime. Spans
+    duplicated across log files (re-emitted on recorder overlap) land
+    within seconds of each other, so any window over the re-emission gap
+    gives identical results to the unbounded form.
 
     Returns the StreamingQuery; callers stop it (or use
     ``processAllAvailable`` in tests).
     """
     from ..plans.summarize import summarize_spans
 
-    # dedup by (trace_id, span_id) — in production add
-    # .withWatermark("start_time", ...) to bound the dedup state
-    stream = (
+    src = (
         read_span_stream(spark, log_dir)
         .withColumn("_tid", F.col("context.trace_id"))
         .withColumn("_sid", F.col("context.span_id"))
-        .dropDuplicates(["_tid", "_sid"])
-        .drop("_tid", "_sid")
     )
+    if dedup_within is not None:
+        src = (
+            src.withColumn("_ev", F.to_timestamp(F.col("start_time")))
+            .withWatermark("_ev", dedup_within)
+            .dropDuplicatesWithinWatermark(["_tid", "_sid"])
+            .drop("_ev")
+        )
+    else:
+        src = src.dropDuplicates(["_tid", "_sid"])
+    stream = src.drop("_tid", "_sid")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -127,6 +127,40 @@ def test_stream_matches_batch(spark, tmp_path):
     assert len(streamed) == 6
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Watermarked dedup drops re-emitted spans across micro-batches while
+    keeping state bounded (vs. dropDuplicates' forever-state)."""
+    log_dir = tmp_path / "log"
+    ckpt = tmp_path / "ckpt"
+    log_dir.mkdir()
+    SpanWriter(log_dir).write_many(FX.compose3(0))
+
+    seen = []
+    q = stream_task_runs(
+        spark,
+        log_dir,
+        lambda df, bid: seen.append(df.collect()),
+        str(ckpt),
+        dedup_within="48 hours",
+    )
+    try:
+        q.processAllAvailable()
+        # the same run re-emitted into a new file: every span is a
+        # duplicate within the watermark window -> no new task rows
+        SpanWriter(log_dir).write_many(FX.compose3(0))
+        q.processAllAvailable()
+        # a genuinely new run still flows through
+        SpanWriter(log_dir).write_many(FX.parallel_fail(1))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = [(r["run_id"], r["task_id"]) for batch in seen for r in batch]
+    assert len(streamed) == len(set(streamed)) == 6  # no dup rows emitted
+    batch_rows = summarize_spans(read_span_jsonl(spark, log_dir)).task_runs
+    assert set(streamed) == {(r["run_id"], r["task_id"]) for r in batch_rows.collect()}
+
+
 def test_media_features_roundtrip(spark, sf_dir):
     media = synthetic_media_from_documents(spark, sf_dir)
     feats = extract_features(media)
