@@ -73,6 +73,76 @@ FROM comp c JOIN sizes s USING (cluster_id)
 """
 
 
+def dedup_corpus_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus-dedup end-product: per cluster keep the highest-quality
+    document (quality = text length, ties broken by lowest doc_id), mark
+    the rest dropped.
+
+    Scale shape: the arg-max is ONE hash aggregation on cluster_id
+    (max over a (n_chars, -doc_id) struct — map-side combined), and the
+    join back is an equi-join against the post-agg keeper table, which is
+    |clusters| rows, not |docs|. No windows over the full corpus.
+    """
+    corpus = _near_dup_corpus(spark, sf).select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    assign = dedup_cluster_assign(spark, sf).select("doc_id", "cluster_id")
+    labeled = assign.join(corpus, "doc_id")
+    keepers = (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("best")
+        )
+        .select("cluster_id", (-F.col("best.neg_id")).alias("keeper_id"))
+    )
+    return labeled.join(keepers, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "keeper_id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        (F.col("doc_id") == F.col("keeper_id")).alias("kept"),
+    )
+
+
+KEEP_SQL = f"""
+WITH RECURSIVE corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_sql()}) mh_pairs
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, anc) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst AS id, r.anc FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (
+  SELECT id AS doc_id, min(anc) AS cluster_id FROM reach GROUP BY id
+),
+lab AS (
+  SELECT c.doc_id, c.cluster_id, CAST(length(co.text) AS INT) AS n_chars
+  FROM comp c JOIN corpus co USING (doc_id)
+),
+keep AS (
+  SELECT cluster_id, doc_id AS keeper_id
+  FROM (SELECT cluster_id, doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM lab) ranked
+  WHERE rn = 1
+)
+SELECT l.doc_id, l.cluster_id, k.keeper_id, l.n_chars,
+       l.doc_id = k.keeper_id AS kept
+FROM lab l JOIN keep k USING (cluster_id)
+"""
+
+
 QUERIES = {
     "dedup_cluster_assign": QuerySpec(dedup_cluster_assign, CLUSTER_SQL),
+    "dedup_corpus_keep": QuerySpec(dedup_corpus_keep, KEEP_SQL),
 }

@@ -56,6 +56,82 @@ FROM per_session GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Ordered funnel: view -> click -> purchase, each step strictly after the
+# user's previous step. ONE shuffle (groupBy user_id) collecting the
+# per-type timestamp lists, then the step chaining is per-row array math
+# (first click after first view, first purchase after that click) — no
+# self-joins of events, no windows over the full stream. Per-user state
+# is bounded by that user's event count.
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchases"),
+    )
+    staged = per_user.withColumn(
+        "first_click",
+        F.array_min(F.filter(F.col("clicks"), lambda t: t > F.col("first_view"))),
+    ).withColumn(
+        "first_purchase",
+        F.array_min(F.filter(F.col("purchases"), lambda t: t > F.col("first_click"))),
+    )
+    s = staged.agg(
+        F.count("first_view").alias("n_view"),
+        F.count("first_click").alias("n_click"),
+        F.count("first_purchase").alias("n_purchase"),
+    )
+    return s.select(
+        F.expr(
+            "stack(3,"
+            " 'view', n_view, CAST(1.0 AS DOUBLE),"
+            " 'click', n_click, round(n_click / CAST(n_view AS DOUBLE), 4),"
+            " 'purchase', n_purchase, round(n_purchase / CAST(n_click AS DOUBLE), 4)"
+            ") AS (step, users, conv_from_prev)"
+        )
+    )
+
+
+FUNNEL_SQL = """
+WITH u AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view')                  AS first_view,
+         list_sort(list(ts) FILTER (WHERE event_type = 'click'))     AS clicks,
+         list_sort(list(ts) FILTER (WHERE event_type = 'purchase'))  AS purchases
+  FROM events GROUP BY user_id
+), fc AS (
+  SELECT first_view, purchases,
+         list_min(list_filter(clicks, t -> t > first_view)) AS first_click
+  FROM u
+), fp AS (
+  SELECT first_view, first_click,
+         list_min(list_filter(purchases, t -> t > first_click)) AS first_purchase
+  FROM fc
+), s AS (
+  SELECT count(first_view) AS n_view,
+         count(first_click) AS n_click,
+         count(first_purchase) AS n_purchase
+  FROM fp
+)
+SELECT step, users, conv_from_prev FROM (
+  SELECT 'view' AS step, CAST(n_view AS BIGINT) AS users,
+         CAST(1.0 AS DOUBLE) AS conv_from_prev FROM s
+  UNION ALL
+  SELECT 'click', CAST(n_click AS BIGINT),
+         round(n_click / CAST(n_view AS DOUBLE), 4) FROM s
+  UNION ALL
+  SELECT 'purchase', CAST(n_purchase AS BIGINT),
+         round(n_purchase / CAST(n_click AS DOUBLE), 4) FROM s
+) x
+"""
+
+
 QUERIES = {
     "session_window_stats": QuerySpec(session_window_stats, SESSION_WINDOW_SQL),
+    "funnel_conversion": QuerySpec(funnel_conversion, FUNNEL_SQL),
 }

@@ -308,10 +308,80 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# C4-style line-level quality filters (the public C4/mC4 cleaning recipe):
+# keep lines that end in terminal punctuation, have >= 5 words, and don't
+# mention javascript; drop whole docs with < 3 kept lines or boilerplate
+# markers (lorem ipsum / curly brace). Like the other text ops this is a
+# pure narrow map — per-row array expressions, zero shuffle at any scale.
+def text_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    lines = F.split(F.col("text"), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= 5)
+        & (F.instr(F.lower(l), "javascript") == 0),
+    )
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    has_lorem = F.instr(F.lower(F.col("text")), "lorem ipsum") > 0
+    has_brace = F.instr(F.col("text"), "{") > 0
+    base = d.select(
+        "doc_id",
+        lines.alias("lines"),
+        kept.alias("kept"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+    )
+    return base.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.size("kept").alias("n_kept_lines"),
+        F.round(
+            chars(F.col("kept"))
+            / F.greatest(chars(F.col("lines")), F.lit(1).cast("long")).cast("double"),
+            4,
+        ).alias("kept_char_frac"),
+        (F.col("has_lorem") | F.col("has_brace")).alias("has_boilerplate"),
+        ((F.size("kept") >= 3) & ~F.col("has_lorem") & ~F.col("has_brace")).alias(
+            "keep_doc"
+        ),
+    )
+
+
+C4_SQL = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents
+), k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, l -> regexp_matches(trim(l), '[.!?"]$')
+                            AND len(string_split_regex(trim(l), '\\s+')) >= 5
+                            AND instr(lower(l), 'javascript') = 0)  AS kept,
+         instr(lower(text), 'lorem ipsum') > 0                     AS has_lorem,
+         instr(text, '{') > 0                                      AS has_brace
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(kept) AS INT)  AS n_kept_lines,
+       round(CAST(coalesce(list_sum(list_transform(kept,  x -> CAST(length(x) AS BIGINT))), 0) AS DOUBLE)
+             / greatest(coalesce(list_sum(list_transform(lines, x -> CAST(length(x) AS BIGINT))), 0), 1),
+             4)                AS kept_char_frac,
+       (has_lorem OR has_brace)                                    AS has_boilerplate,
+       (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace)        AS keep_doc
+FROM k
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_SQL),
     "text_quality_scores": QuerySpec(text_quality_scores, QUALITY_SQL),
     "text_lang_id": QuerySpec(text_lang_id, _lang_sql()),
     "text_fingerprint": QuerySpec(text_fingerprint, FINGERPRINT_SQL),
     "text_repetition": QuerySpec(text_repetition, REPETITION_SQL),
+    "text_c4_filters": QuerySpec(text_c4_filters, C4_SQL),
 }
