@@ -255,8 +255,59 @@ GROUP BY c.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Quality-weighted deterministic sampling: acceptance probability scales
+# with document quality (here: length capped at 1000 chars -> p in
+# [0, 1]), decided by the same md5-bucket trick as the stratified
+# sampler. All-integer comparison (bucket in [0, 10000) vs
+# least(n_chars, 1000) * 10), so the decision is exact, reproducible,
+# and identical in both engines — and, like every hash-based sampler
+# here, a zero-shuffle narrow map over the corpus.
+def sample_quality_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    threshold = F.least(F.col("n_chars"), F.lit(1000)) * 10
+    return (
+        d.select(
+            "source",
+            (bucket < threshold).alias("keep"),
+            threshold.alias("thr"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.round(F.sum(F.col("thr")) / (F.count("*") * 10000.0), 4).alias(
+                "expected_rate"
+            ),
+        )
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH b AS (
+  SELECT source,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10000
+           AS bucket,
+         least(n_chars, 1000) * 10 AS thr
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)                                        AS n_total,
+       CAST(sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT)   AS n_kept,
+       round(sum(thr) / (count(*) * 10000.0), 4)                       AS expected_rate
+FROM b
+GROUP BY source
+"""
+
+
 QUERIES = {
     "pii_scrub_customers": QuerySpec(pii_scrub_customers, PII_SQL),
+    "sample_quality_weighted": QuerySpec(sample_quality_weighted, WEIGHTED_SAMPLE_SQL),
     "sample_stratified_hash": QuerySpec(sample_stratified_hash, _sample_sql()),
     "dedup_chunks": QuerySpec(dedup_chunks, CHUNK_SQL),
     "decontaminate_against_benchmark": QuerySpec(

@@ -377,6 +377,37 @@ FROM k
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus vocabulary heavy hitters: global top-100 tokens by occurrence.
+# Scale shape: explode -> hash aggregation (map-side combine shrinks the
+# shuffle to distinct tokens per partition) -> orderBy+limit, which Spark
+# executes as TakeOrderedAndProject: per-partition top-k then a k-row
+# driver merge — the two-phase top-k, never a global sort. Tie-break on
+# token keeps the boundary rows deterministic across engines.
+_VOCAB_K = 100
+
+
+def text_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return (
+        d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(_VOCAB_K)
+    )
+
+
+VOCAB_SQL = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents) t
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT {_VOCAB_K}
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_SQL),
     "text_quality_scores": QuerySpec(text_quality_scores, QUALITY_SQL),
@@ -384,4 +415,5 @@ QUERIES = {
     "text_fingerprint": QuerySpec(text_fingerprint, FINGERPRINT_SQL),
     "text_repetition": QuerySpec(text_repetition, REPETITION_SQL),
     "text_c4_filters": QuerySpec(text_c4_filters, C4_SQL),
+    "text_vocab_topk": QuerySpec(text_vocab_topk, VOCAB_SQL),
 }

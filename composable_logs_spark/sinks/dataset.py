@@ -1,0 +1,66 @@
+"""Partitioned parquet dataset writer — the bulk-export path for
+pipeline outputs (deduped corpora, scored documents, span tables).
+
+The driver-side sinks (`directory`, `static_data`, `mermaid`) mirror the
+reference's per-run summary exports, which are small by construction
+(reference: ``static_builder/write.py`` builds one JSON tree per run).
+This writer is the complement for the 100 TB side of the house, where
+layout decides whether downstream reads prune or scan:
+
+- ``partition_by`` maps to hive-style directory partitioning, so readers
+  filtering on those columns get partition PRUNING (files never opened).
+- ``files_per_value`` fights the small-files problem: without a
+  pre-write repartition, EVERY upstream task writes one file into every
+  partition directory it sees rows for (tasks x values files — the
+  classic way a 1000-executor job makes a million tiny files). We
+  repartition on (partition columns + a salt in [0, files_per_value)),
+  so each partition value lands in exactly ``files_per_value`` tasks =
+  that many files, independent of upstream parallelism; the salt also
+  spreads one giant partition value across writers.
+- ``sort_by`` sorts within files, so min/max parquet column statistics
+  become selective and row-group skipping works for range predicates.
+- ``max_records_per_file`` caps file size without an extra shuffle.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__write_salt"
+
+
+def write_dataset(
+    df: DataFrame,
+    path: str | Path,
+    partition_by: Sequence[str] = (),
+    sort_by: Sequence[str] = (),
+    files_per_value: Optional[int] = None,
+    max_records_per_file: Optional[int] = None,
+    mode: str = "overwrite",
+) -> None:
+    out = df
+    salted = False
+    if partition_by and files_per_value:
+        out = out.withColumn(
+            _SALT,
+            F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(files_per_value)),
+        ).repartition(*partition_by, _SALT)
+        salted = True
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    if salted:
+        out = out.drop(_SALT)
+    writer = out.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(str(path))
+
+
+def read_dataset(spark, path: str | Path) -> DataFrame:
+    return spark.read.parquet(str(path))
