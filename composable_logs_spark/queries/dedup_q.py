@@ -69,7 +69,23 @@ def _near_dup_corpus(spark: SparkSession, sf: str) -> DataFrame:
             "text"
         ),
     )
-    return d.unionByName(variant)
+    out = d.unionByName(variant)
+    # Small-file parallelization: a compact parquet file arrives as 1-2
+    # input partitions (row-group granularity), which would run the
+    # expensive shingle+md5 stage on 2 of N cores. Decide from the file
+    # size on disk (free — no plan/RDD materialisation): at real scale
+    # the input is far past the threshold and the scan already yields
+    # >= cores splits, so this never fires and adds no shuffle; locally
+    # it spreads a trivially small shuffle across every core.
+    import os
+
+    try:
+        small = os.path.getsize(f"{sf}/documents.parquet") < (64 << 20)
+    except OSError:
+        small = False
+    if small:
+        out = out.repartition(spark.sparkContext.defaultParallelism)
+    return out
 
 
 _NEAR_DUP_CORPUS_SQL = f"""
