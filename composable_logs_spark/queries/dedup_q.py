@@ -154,14 +154,21 @@ _B = [1915941032, 1171165722, 186699713, 1268073012, 906070220, 68252793,
       63989047, 201209005, 469521477, 499635468, 1085242216, 1292825378]
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    corpus = _near_dup_corpus(spark, sf)
-    docs = corpus.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, hashes, band0..band{B-1}).
 
-    # All K minhashes in ONE pass over the shingle array: hash each
-    # shingle once (md5 -> 31-bit int), then fold an element-wise min of
-    # the K universal hashes. (K separate array_min(transform(...))
-    # columns would re-scan — and re-hash — the array K times.)
+    All K minhashes in ONE pass over the shingle array: hash each
+    shingle once (md5 -> 31-bit int), then fold an element-wise min of
+    the K universal hashes. (K separate array_min(transform(...))
+    columns would re-scan — and re-hash — the array K times.)
+
+    Reused by the batch query below and by
+    ``streaming.incremental_dedup`` (same signatures on both the static
+    index and each streamed micro-batch, so verdicts agree).
+    """
+
+    shingled = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+
     def h31(sh):
         return (
             F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long") % _M
@@ -173,7 +180,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # then compares 8-byte longs instead of shipping full shingle strings
     # through the verify join — same verdicts, ~4x smaller shuffle), then
     # fold pure-integer universal hashes over it
-    hashed = docs.select(
+    hashed = shingled.select(
         "doc_id", F.array_distinct(F.transform(F.col("shingles"), h31)).alias("hashes")
     )
     sig = hashed.select(
@@ -202,14 +209,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(_BANDS)
     ]
-    # cache HERE (hashes + band keys, no raw shingle strings): both the
-    # banding pass and the verify join read sig — without the cache
-    # Catalyst re-derives shingles+md5 from text for each consumer
-    sig = sig.select("doc_id", "hashes", *band_cols).cache()
+    return sig.select("doc_id", "hashes", *band_cols)
 
-    # candidates: docs sharing any band value (explode -> equi-join on
-    # (band_idx, band_hash) -> distinct pairs). Pure equi-join: no O(n^2).
-    bands_long = sig.select(
+
+def bands_long(sig: DataFrame) -> DataFrame:
+    """Explode a signature frame to (doc_id, band_idx, band_hash) rows —
+    the LSH bucket keys candidates equi-join on."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -220,30 +226,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("bnd"),
     ).select("doc_id", "bnd.band_idx", "bnd.band_hash")
+
+
+def jaccard_col(a: str, b: str):
+    """Exact Jaccard over the hashed shingle sets (31-bit md5 prefixes:
+    identical on both engines; within-doc collisions removed by
+    array_distinct on BOTH sides)."""
+    return F.round(
+        F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b)), 4
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _near_dup_corpus(spark, sf)
+    # cache HERE (hashes + band keys, no raw shingle strings): both the
+    # banding pass and the verify join read sig — without the cache
+    # Catalyst re-derives shingles+md5 from text for each consumer
+    sig = minhash_signatures(corpus.select("doc_id", "text")).cache()
+
+    # candidates: docs sharing any band value (explode -> equi-join on
+    # (band_idx, band_hash) -> distinct pairs). Pure equi-join: no O(n^2).
+    bl = bands_long(sig)
     cand = (
-        bands_long.alias("a")
-        .join(bands_long.alias("b"), ["band_idx", "band_hash"])
+        bl.alias("a")
+        .join(bl.alias("b"), ["band_idx", "band_hash"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
 
-    # verify candidates with exact Jaccard over the hashed shingle sets
-    # (31-bit md5 prefixes: identical on both engines, so the oracle
-    # computes the same statistic; within-doc collisions removed by the
-    # array_distinct above on BOTH sides)
     sh = sig.select("doc_id", "hashes")
     verified = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hashes", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hashes", "sh_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
-            ),
-        )
+        .withColumn("jaccard", jaccard_col("sh_a", "sh_b"))
         .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -1,0 +1,101 @@
+"""Incremental near-dup detection: stream NEW documents against a
+static signature index (north-star: the always-on ingest side of corpus
+dedup).
+
+At 100 TB you do not re-run pair-finding over the whole corpus every
+time a crawl lands; you keep the corpus' minhash signatures as a table
+and check each arriving batch against it:
+
+- the index is signatures only (doc_id, hashed shingle set, band keys) —
+  bytes per doc, not the text, so it stays cache-/broadcast-friendly
+  long after the raw corpus is petabytes;
+- each micro-batch computes signatures for the NEW docs only (work
+  proportional to the batch, not the corpus) with the exact same
+  ``queries.dedup_q.minhash_signatures`` code the batch query uses, so
+  stream and batch verdicts agree;
+- candidates come from the same banded equi-join (band_idx, band_hash),
+  then exact-Jaccard verification over the hashed shingle sets — the
+  stream never sees an O(batch x corpus) comparison.
+
+The foreachBatch pattern keeps the inner joins ordinary batch joins, so
+AQE/broadcast decisions apply per micro-batch (a small batch against a
+large index plans as a broadcast of the batch side).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.dedup_q import (
+    _JACCARD_THRESHOLD,
+    bands_long,
+    jaccard_col,
+    minhash_signatures,
+)
+
+_DOC_SCHEMA = "doc_id long, text string"
+
+
+def build_signature_index(docs: DataFrame) -> DataFrame:
+    """Signatures for the existing corpus. Callers persist/cache this —
+    it is read by every micro-batch."""
+    return minhash_signatures(docs.select("doc_id", "text"))
+
+
+def stream_against_index(
+    spark: SparkSession,
+    docs_dir: str,
+    index_sig: DataFrame,
+    on_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: Optional[str] = None,
+):
+    """Watch ``docs_dir`` for JSONL document files; per micro-batch emit
+    verified (doc_id, dup_of, jaccard) rows — new doc vs index doc.
+
+    Returns the StreamingQuery; callers stop it (or use
+    ``processAllAvailable`` in tests).
+    """
+    index_bands = bands_long(index_sig)
+    index_hashes = index_sig.select(
+        F.col("doc_id").alias("dup_of"), F.col("hashes").alias("sh_old")
+    )
+
+    stream = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .json(docs_dir)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sig = minhash_signatures(batch_df).cache()
+        cand = (
+            bands_long(sig)
+            .alias("new")
+            .join(index_bands.alias("old"), ["band_idx", "band_hash"])
+            .select(
+                F.col("new.doc_id").alias("doc_id"),
+                F.col("old.doc_id").alias("dup_of"),
+            )
+            .distinct()
+        )
+        verified = (
+            cand.join(sig.select("doc_id", F.col("hashes").alias("sh_new")), "doc_id")
+            .join(index_hashes, "dup_of")
+            .withColumn("jaccard", jaccard_col("sh_new", "sh_old"))
+            .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+            .select("doc_id", "dup_of", "jaccard")
+        )
+        try:
+            on_batch(verified, batch_id)
+        finally:
+            sig.unpersist()
+
+    writer = stream.writeStream.foreachBatch(handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
