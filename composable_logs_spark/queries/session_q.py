@@ -64,7 +64,12 @@ FROM per_session GROUP BY user_id
 # self-joins of events, no windows over the full stream. Per-user state
 # is bounded by that user's event count.
 def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "events")
+    return funnel_over(load(spark, sf, "events"))
+
+
+def funnel_over(e: DataFrame) -> DataFrame:
+    """Funnel core over any (user_id, event_type, ts) frame — split out so
+    tests can property-check it on generated event sets."""
     per_user = e.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
         F.sort_array(
@@ -88,10 +93,13 @@ def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     )
     return s.select(
         F.expr(
+            # nullif: a step with zero reached users yields NULL conversion
+            # downstream, not an ANSI DIVIDE_BY_ZERO (found by the
+            # hypothesis property test with a single-view event set)
             "stack(3,"
             " 'view', n_view, CAST(1.0 AS DOUBLE),"
-            " 'click', n_click, round(n_click / CAST(n_view AS DOUBLE), 4),"
-            " 'purchase', n_purchase, round(n_purchase / CAST(n_click AS DOUBLE), 4)"
+            " 'click', n_click, round(n_click / CAST(nullif(n_view, 0) AS DOUBLE), 4),"
+            " 'purchase', n_purchase, round(n_purchase / CAST(nullif(n_click, 0) AS DOUBLE), 4)"
             ") AS (step, users, conv_from_prev)"
         )
     )
@@ -123,10 +131,10 @@ SELECT step, users, conv_from_prev FROM (
          CAST(1.0 AS DOUBLE) AS conv_from_prev FROM s
   UNION ALL
   SELECT 'click', CAST(n_click AS BIGINT),
-         round(n_click / CAST(n_view AS DOUBLE), 4) FROM s
+         round(n_click / CAST(nullif(n_view, 0) AS DOUBLE), 4) FROM s
   UNION ALL
   SELECT 'purchase', CAST(n_purchase AS BIGINT),
-         round(n_purchase / CAST(n_click AS DOUBLE), 4) FROM s
+         round(n_purchase / CAST(nullif(n_click, 0) AS DOUBLE), 4) FROM s
 ) x
 """
 
