@@ -238,11 +238,16 @@ def jaccard_col(a: str, b: str):
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    corpus = _near_dup_corpus(spark, sf)
+    return minhash_pairs(_near_dup_corpus(spark, sf))
+
+
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """Verified near-dup pairs (doc_a < doc_b, jaccard >= threshold) over
+    any (doc_id, text) frame — the batch LSH pipeline."""
     # cache HERE (hashes + band keys, no raw shingle strings): both the
     # banding pass and the verify join read sig — without the cache
     # Catalyst re-derives shingles+md5 from text for each consumer
-    sig = minhash_signatures(corpus.select("doc_id", "text")).cache()
+    sig = minhash_signatures(docs.select("doc_id", "text")).cache()
 
     # candidates: docs sharing any band value (explode -> equi-join on
     # (band_idx, band_hash) -> distinct pairs). Pure equi-join: no O(n^2).

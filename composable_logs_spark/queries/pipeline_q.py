@@ -305,9 +305,111 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# The end-to-end clean-corpus pipeline, composed from the individual
+# operators: near-dup dedup (minhash-LSH pairs -> connected components ->
+# keep the longest doc per cluster) THEN quality filtering (C4 line
+# filters + Gopher repetition + stopword/diversity quality) on the
+# keepers. Order matters and mirrors production recipes: dedup first so
+# a high-quality doc is not dropped in favour of a filtered-out twin.
+#
+# Scale shape is the union of its parts (each documented at its
+# definition): LSH equi-joins + sparse-edge components + one arg-max
+# hash-agg + three narrow-map filters joined on doc_id. Nothing here
+# adds a new shuffle class.
+def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.components import connected_components
+    from .dedup_q import minhash_pairs
+    from .text_ops import text_c4_filters, text_quality_scores, text_repetition
+
+    d = load(spark, sf, "documents")
+    pairs = minhash_pairs(d.select("doc_id", "text")).select("doc_a", "doc_b")
+    comp = connected_components(
+        d.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+    labeled = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    keepers = (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("best")
+        )
+        .select((-F.col("best.neg_id")).alias("doc_id"))
+    )
+    # of the C4 rules, only the boilerplate markers discriminate on this
+    # corpus (single-line synthetic text: the line-level terminal-punct /
+    # min-words rules are vacuously false for every doc, real or junk);
+    # the full line-level keep_doc stays available via text_c4_filters
+    c4 = text_c4_filters(spark, sf).select("doc_id", "has_boilerplate")
+    rep = text_repetition(spark, sf).select("doc_id", "passes_repetition")
+    qual = text_quality_scores(spark, sf).select("doc_id", "passes_quality")
+    return (
+        d.join(keepers, "doc_id")
+        .join(c4, "doc_id")
+        .join(rep, "doc_id")
+        .join(qual, "doc_id")
+        .where(
+            ~F.col("has_boilerplate")
+            & F.col("passes_repetition")
+            & F.col("passes_quality")
+        )
+        .select("doc_id", "lang", "source", F.col("n_chars").cast("int").alias("n_chars"))
+    )
+
+
+def _clean_corpus_sql() -> str:
+    from .dedup_q import _minhash_sql
+    from .text_ops import C4_SQL, QUALITY_SQL, REPETITION_SQL
+
+    return f"""
+WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents),
+pairs AS (
+  SELECT doc_a, doc_b FROM ({_minhash_sql()}) mh_pairs
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, anc) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst AS id, r.anc FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (
+  SELECT id AS doc_id, min(anc) AS cluster_id FROM reach GROUP BY id
+),
+lab AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)
+),
+keep AS (
+  SELECT doc_id
+  FROM (SELECT doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM lab) ranked
+  WHERE rn = 1
+),
+c4 AS (SELECT doc_id, has_boilerplate FROM ({C4_SQL}) x),
+rep AS (SELECT doc_id, passes_repetition FROM ({REPETITION_SQL}) y),
+qual AS (SELECT doc_id, passes_quality FROM ({QUALITY_SQL}) z)
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS INT) AS n_chars
+FROM documents d
+JOIN keep USING (doc_id)
+JOIN c4   USING (doc_id)
+JOIN rep  USING (doc_id)
+JOIN qual USING (doc_id)
+WHERE NOT c4.has_boilerplate AND rep.passes_repetition AND qual.passes_quality
+"""
+
+
 QUERIES = {
     "pii_scrub_customers": QuerySpec(pii_scrub_customers, PII_SQL),
     "sample_quality_weighted": QuerySpec(sample_quality_weighted, WEIGHTED_SAMPLE_SQL),
+    "pipeline_clean_corpus": QuerySpec(pipeline_clean_corpus, _clean_corpus_sql()),
     "sample_stratified_hash": QuerySpec(sample_stratified_hash, _sample_sql()),
     "dedup_chunks": QuerySpec(dedup_chunks, CHUNK_SQL),
     "decontaminate_against_benchmark": QuerySpec(

@@ -227,18 +227,31 @@ def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
         return F.size(F.filter(grams, lambda g: g == u))
 
     base = d.select("doc_id", grams2.alias("g2"), grams3.alias("g3"), lines.alias("lines"))
-    counts2 = F.transform(F.col("g2_u"), lambda u: _cnt(F.col("g2"), u))
-    staged = base.withColumn("g2_u", F.array_distinct("g2")).withColumn(
-        "maxc", F.array_max(counts2)
+    # Top bigram as ONE self-contained fold producing (count, gram).
+    # Deliberately NOT expressed as maxc-column + argmax-filter-on-maxc:
+    # Catalyst's predicate pushdown inlines projected columns into
+    # lambdas when a consumer filters on a derived column, and a `maxc`
+    # reference inside a per-element lambda then re-evaluates the whole
+    # array_max per element — O(grams^3) per row (observed: 0.9s -> 90s
+    # at 500 docs when joined+filtered). A single fold keeps the work
+    # O(grams^2) per row no matter how many times collapse duplicates it.
+    best2 = F.aggregate(
+        F.array_distinct("g2"),
+        F.struct(F.lit(-1).cast("long").alias("c"), F.lit("").alias("g")),
+        lambda acc, u: F.when(
+            (_cnt(F.col("g2"), u).cast("long") > acc["c"])
+            | ((_cnt(F.col("g2"), u).cast("long") == acc["c"]) & (u < acc["g"])),
+            F.struct(_cnt(F.col("g2"), u).cast("long").alias("c"), u.alias("g")),
+        ).otherwise(acc),
     )
+    staged = base.withColumn("best", best2)
     gram_chars = lambda grams: F.aggregate(  # noqa: E731
         F.transform(grams, lambda g: F.length(g).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    top_gram = F.array_min(
-        F.filter(F.col("g2_u"), lambda u: _cnt(F.col("g2"), u) == F.col("maxc"))
-    )
+    maxc = F.col("best.c")
+    top_gram = F.col("best.g")
     dup3_chars = F.aggregate(
         F.transform(
             F.filter(F.array_distinct("g3"), lambda u: _cnt(F.col("g3"), u) > 1),
@@ -255,13 +268,13 @@ def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("dup_line_frac"),
         F.round(
-            F.col("maxc") * F.length(top_gram) / gram_chars(F.col("g2")).cast("double"), 4
+            maxc * F.length(top_gram) / gram_chars(F.col("g2")).cast("double"), 4
         ).alias("top_bigram_char_frac"),
         F.round(dup3_chars / gram_chars(F.col("g3")).cast("double"), 4).alias(
             "dup_trigram_char_frac"
         ),
         (
-            (F.col("maxc") * F.length(top_gram) / gram_chars(F.col("g2")) <= 0.2)
+            (maxc * F.length(top_gram) / gram_chars(F.col("g2")) <= 0.2)
             & (dup3_chars / gram_chars(F.col("g3")) <= 0.3)
         ).alias("passes_repetition"),
     )
