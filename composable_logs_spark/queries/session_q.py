@@ -139,7 +139,72 @@ SELECT step, users, conv_from_prev FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Rate-anomaly detection: hourly event counts per type, z-scored against
+# the trailing 24 hours. The variance comes from INTEGER sums
+# (n*sum(x^2) - sum(x)^2 over the frame) so both engines feed bit-equal
+# doubles into the one sqrt/division at the end — no float-summation-
+# order hazard. Scale shape: one hash agg to hourly grain (map-side
+# combined; output is |types x hours|, tiny vs raw events), then a
+# window over that compacted series — the window never sees raw events.
+def events_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00")
+    counts = e.groupBy(F.col("event_type"), hour.alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    w = W.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    cnt = F.count("n").over(w)
+    # nullif: cnt < 2 rows would hit an ANSI DIVIDE_BY_ZERO even though
+    # the surrounding when() rejects them (codegen evaluates both sides)
+    var = (cnt * s2 - s1 * s1) / F.nullif(cnt * (cnt - 1), F.lit(0))
+    z = F.when(
+        (cnt >= 2) & (var > 0),
+        F.round((F.col("n") - s1 / cnt) / F.sqrt(var), 4),
+    )
+    return counts.select(
+        "event_type",
+        "hour",
+        "n",
+        z.alias("z"),
+        (z > 3.0).alias("is_spike"),
+    )
+
+
+ANOMALY_SQL = """
+WITH c AS (
+  SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, hour, n,
+         sum(n)     OVER fr AS s1,
+         sum(n * n) OVER fr AS s2,
+         count(n)   OVER fr AS cnt
+  FROM c
+  WINDOW fr AS (PARTITION BY event_type ORDER BY hour
+                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n,
+       CASE WHEN cnt >= 2 AND (cnt * s2 - s1 * s1) / (cnt * (cnt - 1.0)) > 0
+            THEN round((n - CAST(s1 AS DOUBLE) / cnt)
+                       / sqrt((cnt * s2 - s1 * s1) / (cnt * (cnt - 1.0))), 4)
+            END AS z,
+       CASE WHEN cnt >= 2 AND (cnt * s2 - s1 * s1) / (cnt * (cnt - 1.0)) > 0
+            THEN round((n - CAST(s1 AS DOUBLE) / cnt)
+                       / sqrt((cnt * s2 - s1 * s1) / (cnt * (cnt - 1.0))), 4) > 3.0
+            END AS is_spike
+FROM w
+"""
+
+
 QUERIES = {
     "session_window_stats": QuerySpec(session_window_stats, SESSION_WINDOW_SQL),
     "funnel_conversion": QuerySpec(funnel_conversion, FUNNEL_SQL),
+    "events_rate_anomaly": QuerySpec(events_rate_anomaly, ANOMALY_SQL),
 }
