@@ -203,8 +203,82 @@ FROM w
 """
 
 
+# ---------------------------------------------------------------------------
+# Weekly retention cohorts: users grouped by first-seen week, retention =
+# distinct active users per (cohort, weeks-since-cohort) offset. Two hash
+# aggs (first-seen per user, then cohort cell counts) — the standard
+# "count distinct by cohort matrix" with no self-join of events.
+def retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    first_week = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    active = e.select("user_id", week.alias("week")).distinct()
+    return (
+        active.join(first_week, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+            ((F.unix_timestamp("week") - F.unix_timestamp("cohort_week")) / (7 * 86400))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH fw AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT strftime(fw.cohort_week, '%Y-%m-%d')                       AS cohort,
+       CAST(floor((epoch_us(a.week) - epoch_us(fw.cohort_week))
+                  / (7 * 86400 * 1000000.0)) AS BIGINT)           AS week_offset,
+       CAST(count(*) AS BIGINT)                                   AS n_users
+FROM active a JOIN fw USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix: per user, count consecutive event-type pairs
+# (ordered by ts with event_id as the deterministic tie-break), then
+# aggregate corpus-wide. One window (partitioned by user — bounded state)
+# + one hash agg; the classic Markov-chain / clickstream-path input.
+def event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+TRANSITIONS_SQL = """
+WITH t AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+FROM t WHERE dst IS NOT NULL
+GROUP BY src, dst
+"""
+
+
 QUERIES = {
     "session_window_stats": QuerySpec(session_window_stats, SESSION_WINDOW_SQL),
     "funnel_conversion": QuerySpec(funnel_conversion, FUNNEL_SQL),
     "events_rate_anomaly": QuerySpec(events_rate_anomaly, ANOMALY_SQL),
+    "retention_cohorts": QuerySpec(retention_cohorts, RETENTION_SQL),
+    "event_transitions": QuerySpec(event_transitions, TRANSITIONS_SQL),
 }
