@@ -301,8 +301,46 @@ SELECT query_id, neighbor_id, cell, cosine, rank FROM (
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids via posexplode + hash agg. Float sums are
+# summation-order-dependent, so both engines would disagree in the last
+# ulps under parallel aggregation; we sum SCALED INTEGERS (round(v*1e6)
+# as long — exact, associative, order-free) and divide once at the end.
+# Scale shape: the explode fans out rows x dims, but map-side combine
+# collapses to |labels x dims| before the only shuffle; the per-cell
+# state is one long.
+def embedding_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    cell = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("label", "dim", F.round(F.col("v") * 1e6).cast("long").alias("iv"))
+    return cell.groupBy("label", "dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("iv") / (F.count("*") * 1e6), 4).alias("centroid"),
+    )
+
+
+CENTROID_SQL = """
+WITH raw AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS dim1,
+         unnest(embedding) AS v
+  FROM embeddings
+), cell AS (
+  SELECT label, dim1 - 1 AS dim,
+         CAST(round(v * 1000000, 0) AS BIGINT) AS iv
+  FROM raw
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(iv) / (count(*) * 1000000.0), 4) AS centroid
+FROM cell GROUP BY label, dim
+"""
+
+
 QUERIES = {
     "ann_cosine_top5": QuerySpec(ann_cosine_top5, ANN_BRUTE_SQL),
     "ann_ivf_label_probe": QuerySpec(ann_ivf_label_probe, ANN_IVF_SQL),
     "ann_ivf_kmeans": QuerySpec(ann_ivf_kmeans, _km_sql()),
+    "embedding_centroids": QuerySpec(embedding_centroids, CENTROID_SQL),
 }

@@ -421,6 +421,58 @@ LIMIT {_VOCAB_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document. Document frequencies come from one
+# explode+distinct+hash-agg over the corpus (map-side combined); the
+# per-doc top-3 window partitions by doc_id, so group state is bounded
+# by a single document's vocabulary — no global sort, no skew surface.
+# N (corpus size) joins in as a broadcast 1-row frame, not a collect().
+def text_tfidf_top3(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "token", F.round("score", 4).alias("score"), "rank")
+    )
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) x
+  GROUP BY token
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, round(score, 4) AS score, CAST(rank AS INT) AS rank
+FROM (SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rank
+      FROM scored) r
+WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_SQL),
     "text_quality_scores": QuerySpec(text_quality_scores, QUALITY_SQL),
@@ -429,4 +481,5 @@ QUERIES = {
     "text_repetition": QuerySpec(text_repetition, REPETITION_SQL),
     "text_c4_filters": QuerySpec(text_c4_filters, C4_SQL),
     "text_vocab_topk": QuerySpec(text_vocab_topk, VOCAB_SQL),
+    "text_tfidf_top3": QuerySpec(text_tfidf_top3, TFIDF_SQL),
 }
