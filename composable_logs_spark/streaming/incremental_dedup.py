@@ -51,17 +51,25 @@ def stream_against_index(
     index_sig: DataFrame,
     on_batch: Callable[[DataFrame, int], None],
     checkpoint_dir: Optional[str] = None,
+    index_growth_dir: Optional[str] = None,
 ):
     """Watch ``docs_dir`` for JSONL document files; per micro-batch emit
     verified (doc_id, dup_of, jaccard) rows — new doc vs index doc.
 
+    With ``index_growth_dir`` the index GROWS: each batch's signatures
+    are appended there (signatures only — bytes per doc) after matching,
+    and later batches match against base index + everything streamed so
+    far. That makes this the full incremental corpus-dedup loop: arriving
+    near-dups of earlier arrivals are caught, not just near-dups of the
+    original corpus. Appending parquet per batch keeps the growth path
+    a cheap columnar append, no rewrite of the base index.
+
     Returns the StreamingQuery; callers stop it (or use
     ``processAllAvailable`` in tests).
     """
-    index_bands = bands_long(index_sig)
-    index_hashes = index_sig.select(
-        F.col("doc_id").alias("dup_of"), F.col("hashes").alias("sh_old")
-    )
+    import os
+
+    _SIG_SCHEMA = index_sig.schema
 
     stream = (
         spark.readStream.schema(_DOC_SCHEMA)
@@ -69,14 +77,23 @@ def stream_against_index(
         .json(docs_dir)
     )
 
+    def _current_index() -> DataFrame:
+        if index_growth_dir and os.path.isdir(index_growth_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(index_growth_dir)
+        ):
+            grown = spark.read.schema(_SIG_SCHEMA).parquet(index_growth_dir)
+            return index_sig.unionByName(grown)
+        return index_sig
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        idx = _current_index()
         sig = minhash_signatures(batch_df).cache()
         cand = (
             bands_long(sig)
             .alias("new")
-            .join(index_bands.alias("old"), ["band_idx", "band_hash"])
+            .join(bands_long(idx).alias("old"), ["band_idx", "band_hash"])
             .select(
                 F.col("new.doc_id").alias("doc_id"),
                 F.col("old.doc_id").alias("dup_of"),
@@ -85,13 +102,20 @@ def stream_against_index(
         )
         verified = (
             cand.join(sig.select("doc_id", F.col("hashes").alias("sh_new")), "doc_id")
-            .join(index_hashes, "dup_of")
+            .join(
+                idx.select(
+                    F.col("doc_id").alias("dup_of"), F.col("hashes").alias("sh_old")
+                ),
+                "dup_of",
+            )
             .withColumn("jaccard", jaccard_col("sh_new", "sh_old"))
             .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
             .select("doc_id", "dup_of", "jaccard")
         )
         try:
             on_batch(verified, batch_id)
+            if index_growth_dir:
+                sig.write.mode("append").parquet(index_growth_dir)
         finally:
             sig.unpersist()
 

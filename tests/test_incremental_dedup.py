@@ -58,3 +58,51 @@ def test_stream_matches_batch_pairs(spark, sf_dir, tmp_path):
     }
     assert streamed == expected
     assert len(streamed) > 0
+
+
+def test_growing_index_catches_stream_internal_dups(spark, tmp_path):
+    """With index_growth_dir, a doc arriving in batch 2 matches a
+    near-copy that arrived in batch 1 (not just the original corpus)."""
+    docs_dir = tmp_path / "incoming"
+    growth = tmp_path / "grown_index"
+    ckpt = tmp_path / "ckpt"
+    docs_dir.mkdir()
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    text_c = " ".join(words)
+    text_c2 = " ".join(words[:-2])  # near-copy: 2 trailing words dropped
+    base = spark.createDataFrame(
+        [(1, "one totally unrelated corpus document here"),
+         (2, "another different corpus document entirely now")],
+        "doc_id long, text string",
+    )
+    index_sig = build_signature_index(base).cache()
+    index_sig.count()
+
+    import json as _json
+
+    with open(docs_dir / "b1.jsonl", "w") as f:
+        f.write(_json.dumps({"doc_id": 100, "text": text_c}) + "\n")
+
+    got = []
+    q = stream_against_index(
+        spark,
+        str(docs_dir),
+        index_sig,
+        lambda df, bid: got.extend(df.collect()),
+        str(ckpt),
+        index_growth_dir=str(growth),
+    )
+    try:
+        q.processAllAvailable()
+        assert got == []  # batch 1: nothing matches the base index
+        with open(docs_dir / "b2.jsonl", "w") as f:
+            f.write(_json.dumps({"doc_id": 200, "text": text_c2}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pairs = {(r["doc_id"], r["dup_of"]) for r in got}
+    assert pairs == {(200, 100)}
+    assert all(r["jaccard"] >= 0.5 for r in got)
