@@ -64,3 +64,48 @@ def write_dataset(
 
 def read_dataset(spark, path: str | Path) -> DataFrame:
     return spark.read.parquet(str(path))
+
+
+def compact_dataset(
+    spark,
+    path: str | Path,
+    partition_by: Sequence[str] = (),
+    files_per_value: int = 1,
+    sort_by: Sequence[str] = (),
+) -> None:
+    """Small-files compaction (the OPTIMIZE step): rewrite a dataset's
+    many small files into ``files_per_value`` files per partition value.
+
+    Long-running ingest (e.g. the incremental-dedup index, or any
+    per-micro-batch append) accretes one file per batch; reads then pay
+    per-file open/footer costs that dwarf the data. Compaction is the
+    standard fix, run periodically out-of-band.
+
+    Spark cannot overwrite a path it is reading, so this writes to a
+    sibling temp dir and swaps via rename. The swap is not atomic for
+    concurrent readers — pause readers or use a transactional table
+    format (Delta/Iceberg) when that matters; this utility is the plain-
+    parquet fallback.
+    """
+    import shutil
+
+    src = Path(path)
+    tmp = src.with_name(src.name + ".compacting")
+    df = spark.read.parquet(str(src))
+    if partition_by:
+        write_dataset(
+            df,
+            tmp,
+            partition_by=partition_by,
+            sort_by=sort_by,
+            files_per_value=files_per_value,
+            mode="overwrite",
+        )
+    else:
+        # unpartitioned: bound total file count directly
+        out = df.coalesce(files_per_value)
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
+        out.write.mode("overwrite").parquet(str(tmp))
+    shutil.rmtree(src)
+    tmp.rename(src)

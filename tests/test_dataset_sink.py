@@ -33,6 +33,34 @@ def test_partitioned_write_layout_and_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(r["lang"] for r in back.select("lang").distinct().collect()) == langs
 
 
+def test_compaction_bounds_file_count(spark, sf_dir, tmp_path):
+    from composable_logs_spark.sinks.dataset import compact_dataset
+
+    docs = load(spark, sf_dir, "documents")
+    out = tmp_path / "corpus"
+    # simulate per-batch appends: many small files in each partition dir
+    for _ in range(3):
+        docs.repartition(4).write.mode("append").partitionBy("lang").parquet(str(out))
+    before = {
+        p.name: len(list(p.glob("*.parquet")))
+        for p in out.iterdir()
+        if p.name.startswith("lang=")
+    }
+    assert max(before.values()) > 1
+
+    n_rows = spark.read.parquet(str(out)).count()
+    compact_dataset(spark, out, partition_by=["lang"], files_per_value=1)
+
+    after = {
+        p.name: len(list(p.glob("*.parquet")))
+        for p in out.iterdir()
+        if p.name.startswith("lang=")
+    }
+    assert set(after) == set(before)
+    assert all(n == 1 for n in after.values()), after
+    assert spark.read.parquet(str(out)).count() == n_rows
+
+
 def test_partition_pruning_on_readback(spark, sf_dir, tmp_path):
     docs = load(spark, sf_dir, "documents")
     out = tmp_path / "corpus"
