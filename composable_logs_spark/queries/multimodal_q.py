@@ -60,7 +60,57 @@ FROM chars
 """
 
 
+def media_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling shape for video-ish payloads: treat the binary as
+    fixed 64-byte frames, sample every 4th full frame, fingerprint the
+    sampled bytes. Pure JVM-side binary slicing (substring on BINARY) —
+    the decode-free fast path; a real codec plugs into extract_features
+    for pixel-level work. Narrow map, zero shuffle."""
+    media = synthetic_media_from_documents(spark, sf)
+    staged = media.select(
+        "media_id",
+        F.expr("cast(meta.n_bytes div 64 as int)").alias("nf"),
+        "payload",
+    )
+    return staged.select(
+        "media_id",
+        F.col("nf").alias("n_frames"),
+        F.expr(
+            "case when nf > 0 then"
+            " cast(size(filter(sequence(0, nf - 1), i -> i % 4 = 0)) as int)"
+            " else 0 end"
+        ).alias("n_sampled"),
+        F.expr(
+            "case when nf > 0 then"
+            " md5(concat_ws('', transform(filter(sequence(0, nf - 1), i -> i % 4 = 0),"
+            " i -> cast(substring(payload, cast(i * 64 + 1 as int), 64) as string))))"
+            " end"
+        ).alias("sample_md5"),
+    )
+
+
+FRAME_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, text, CAST(length(text) // 64 AS INT) AS nf
+  FROM documents
+)
+SELECT media_id,
+       nf AS n_frames,
+       CASE WHEN nf > 0
+            THEN CAST(len(list_filter(range(0, nf), i -> i % 4 = 0)) AS INT)
+            ELSE 0 END AS n_sampled,
+       CASE WHEN nf > 0
+            THEN md5(array_to_string(
+                   list_transform(list_filter(range(0, nf), i -> i % 4 = 0),
+                                  i -> substring(text, CAST(i * 64 + 1 AS INT), 64)),
+                   ''))
+            END AS sample_md5
+FROM m
+"""
+
+
 QUERIES = {
     "media_checksums": QuerySpec(media_checksums_q, CHECKSUM_SQL),
     "media_byte_histogram": QuerySpec(media_byte_histogram, HISTOGRAM_SQL),
+    "media_frame_sample": QuerySpec(media_frame_sample, FRAME_SQL),
 }
