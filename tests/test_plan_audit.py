@@ -61,6 +61,26 @@ def test_filter_pushed_to_scan(spark, sf_dir):
     ), plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_token_stats",
+        "text_quality_scores",
+        "text_repetition",
+        "text_c4_filters",
+        "text_fingerprint",
+        "pii_scrub_customers",
+        "media_frame_sample",
+    ],
+)
+def test_narrow_maps_have_no_exchange(spark, sf_dir, name):
+    """The per-row text/media operators claim zero shuffle in SCALE.md —
+    hold them to it: no Exchange anywhere in the plan."""
+    df = all_queries()[name].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan
+
+
 def test_column_pruning_reaches_scan(spark, sf_dir):
     """q1 touches 7 lineitem columns; the wide string column l_comment
     must not appear in the scan's ReadSchema."""
