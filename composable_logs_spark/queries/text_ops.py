@@ -57,7 +57,12 @@ FROM documents
 # ---------------------------------------------------------------------------
 # Quality scoring: stopword ratio, lexical diversity, length band.
 def text_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
+    return quality_stats(load(spark, sf, "documents"))
+
+
+def quality_stats(d: DataFrame) -> DataFrame:
+    """Frame-based core over any (doc_id, text) frame — reused by the
+    streaming corpus pipeline on micro-batches."""
     toks = _tokens(F.col("text"))
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS)))
@@ -202,7 +207,11 @@ FROM documents
 # distinct-grams), trivial for real document lengths, and it stays inside
 # whole-stage codegen.
 def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
+    return repetition_stats(load(spark, sf, "documents"))
+
+
+def repetition_stats(d: DataFrame) -> DataFrame:
+    """Frame-based core (see quality_stats)."""
     toks = _tokens(F.col("text"))
     empty = F.lit("")
     n2 = F.greatest(F.size(toks) - 1, F.lit(1))
@@ -328,7 +337,11 @@ FROM s
 # markers (lorem ipsum / curly brace). Like the other text ops this is a
 # pure narrow map — per-row array expressions, zero shuffle at any scale.
 def text_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
+    return c4_stats(load(spark, sf, "documents"))
+
+
+def c4_stats(d: DataFrame) -> DataFrame:
+    """Frame-based core (see quality_stats)."""
     lines = F.split(F.col("text"), "\n")
     kept = F.filter(
         lines,
