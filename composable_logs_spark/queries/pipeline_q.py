@@ -341,20 +341,21 @@ def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     # of the C4 rules, only the boilerplate markers discriminate on this
     # corpus (single-line synthetic text: the line-level terminal-punct /
     # min-words rules are vacuously false for every doc, real or junk);
-    # the full line-level keep_doc stays available via text_c4_filters
-    c4 = text_c4_filters(spark, sf).select("doc_id", "has_boilerplate")
-    rep = text_repetition(spark, sf).select("doc_id", "passes_repetition")
-    qual = text_quality_scores(spark, sf).select("doc_id", "passes_quality")
+    # the full line-level keep_doc stays available via text_c4_filters.
+    #
+    # Each filter is applied INSIDE its own frame and only doc_id crosses
+    # the (semi-)join: carrying the boolean across the join and filtering
+    # above it would let predicate pushdown re-inline each filter's
+    # array expressions into the join stage — every predicate evaluated
+    # once per downstream reference instead of once per doc.
+    c4_keep = text_c4_filters(spark, sf).where(~F.col("has_boilerplate")).select("doc_id")
+    rep_keep = text_repetition(spark, sf).where("passes_repetition").select("doc_id")
+    qual_keep = text_quality_scores(spark, sf).where("passes_quality").select("doc_id")
     return (
         d.join(keepers, "doc_id")
-        .join(c4, "doc_id")
-        .join(rep, "doc_id")
-        .join(qual, "doc_id")
-        .where(
-            ~F.col("has_boilerplate")
-            & F.col("passes_repetition")
-            & F.col("passes_quality")
-        )
+        .join(c4_keep, "doc_id", "semi")
+        .join(rep_keep, "doc_id", "semi")
+        .join(qual_keep, "doc_id", "semi")
         .select("doc_id", "lang", "source", F.col("n_chars").cast("int").alias("n_chars"))
     )
 
