@@ -66,6 +66,36 @@ def read_dataset(spark, path: str | Path) -> DataFrame:
     return spark.read.parquet(str(path))
 
 
+def zorder_key(cols, bits: int = 16):
+    """Interleave the low ``bits`` of each (non-negative integer) column
+    into one long — the Z-order curve key.
+
+    Sorting a write by this key (``repartitionByRange(zkey)`` +
+    ``sort_by=[zkey]``) clusters rows that are close in EVERY dimension
+    into the same files/row groups, so parquet min/max stats prune reads
+    for predicates on any prefix-free combination of the dimensions —
+    the standard trick when a table is filtered by two+ columns and
+    hive-partitioning by either alone would leave the other unselective.
+    Callers bucketize raw values into [0, 2**bits) first.
+
+    Static expression (bits x n_cols bitwise ops), whole-stage codegen,
+    zero shuffle by itself.
+    """
+    from pyspark.sql import functions as FF
+
+    n = len(cols)
+    out = FF.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = (
+                FF.shiftright(FF.col(c) if isinstance(c, str) else c, i)
+                .cast("long")
+                .bitwiseAND(FF.lit(1).cast("long"))
+            )
+            out = out.bitwiseOR(FF.shiftleft(bit, i * n + j))
+    return out
+
+
 def compact_dataset(
     spark,
     path: str | Path,

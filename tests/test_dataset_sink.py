@@ -61,6 +61,24 @@ def test_compaction_bounds_file_count(spark, sf_dir, tmp_path):
     assert spark.read.parquet(str(out)).count() == n_rows
 
 
+def test_zorder_key_matches_reference(spark):
+    from composable_logs_spark.sinks.dataset import zorder_key
+
+    def py_z(a, b, bits=16):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rows = [(a, b) for a in (0, 1, 7, 255, 65535) for b in (0, 3, 128, 65535)]
+    df = spark.createDataFrame(rows, "a long, b long").withColumn(
+        "z", zorder_key(["a", "b"])
+    )
+    got = {(r["a"], r["b"]): r["z"] for r in df.collect()}
+    assert got == {(a, b): py_z(a, b) for a, b in rows}
+
+
 def test_partition_pruning_on_readback(spark, sf_dir, tmp_path):
     docs = load(spark, sf_dir, "documents")
     out = tmp_path / "corpus"
