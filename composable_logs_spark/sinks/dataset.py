@@ -41,7 +41,29 @@ def write_dataset(
     files_per_value: Optional[int] = None,
     max_records_per_file: Optional[int] = None,
     mode: str = "overwrite",
+    global_sort_by: Sequence[str] = (),
+    num_shards: Optional[int] = None,
 ) -> None:
+    """See module docstring. ``global_sort_by`` (with ``num_shards``)
+    produces a TOTALLY ordered export: ``repartitionByRange`` samples the
+    key distribution and cuts balanced, ORDERED ranges (shard k's keys all
+    precede shard k+1's), then each shard sorts internally — a full sort
+    at shuffle cost without funnelling rows through one task. The shape
+    for reproducible training shards and for merge-friendly sorted runs.
+    Mutually exclusive with ``partition_by``.
+    """
+    if global_sort_by:
+        if partition_by:
+            raise ValueError("global_sort_by is exclusive with partition_by")
+        out = df.repartitionByRange(
+            num_shards or df.sparkSession.sparkContext.defaultParallelism,
+            *global_sort_by,
+        ).sortWithinPartitions(*global_sort_by)
+        writer = out.write.mode(mode)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+        writer.parquet(str(path))
+        return
     out = df
     salted = False
     if partition_by and files_per_value:

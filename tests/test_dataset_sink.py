@@ -61,6 +61,31 @@ def test_compaction_bounds_file_count(spark, sf_dir, tmp_path):
     assert spark.read.parquet(str(out)).count() == n_rows
 
 
+def test_global_sorted_export(spark, sf_dir, tmp_path):
+    """repartitionByRange export: every file internally sorted AND file
+    ranges non-overlapping -> concatenating files in range order is a
+    total sort, with no single-task bottleneck."""
+    docs = load(spark, sf_dir, "documents")
+    out = tmp_path / "sorted"
+    write_dataset(docs, out, global_sort_by=["doc_id"], num_shards=4)
+
+    files = sorted(out.glob("part-*.parquet"))
+    assert len(files) > 1
+    per_file = []
+    for f in files:
+        ids = [r["doc_id"] for r in spark.read.parquet(str(f)).collect()]
+        assert ids == sorted(ids)  # sorted within file
+        if ids:
+            per_file.append((min(ids), max(ids)))
+    per_file.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(per_file, per_file[1:]):
+        assert hi1 < lo2  # ranges don't overlap -> global order
+    total = sum(
+        len(spark.read.parquet(str(f)).collect()) for f in files
+    )
+    assert total == docs.count()
+
+
 def test_zorder_key_matches_reference(spark):
     from composable_logs_spark.sinks.dataset import zorder_key
 
