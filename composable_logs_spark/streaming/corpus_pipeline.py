@@ -65,8 +65,9 @@ def stream_clean_corpus(
         if os.path.isdir(index_growth_dir) and any(
             f.endswith(".parquet") for f in os.listdir(index_growth_dir)
         ):
+            # at-least-once foreachBatch: dedupe retried appends on read
             grown = spark.read.schema(sig_schema).parquet(index_growth_dir)
-            return index_sig.unionByName(grown)
+            return index_sig.unionByName(grown).dropDuplicates(["doc_id"])
         return index_sig
 
     stream = (

@@ -81,8 +81,11 @@ def stream_against_index(
         if index_growth_dir and os.path.isdir(index_growth_dir) and any(
             f.endswith(".parquet") for f in os.listdir(index_growth_dir)
         ):
+            # dropDuplicates(doc_id): foreachBatch is at-least-once, so a
+            # retried batch may have appended its signatures twice;
+            # deduping on read keeps the match output idempotent
             grown = spark.read.schema(_SIG_SCHEMA).parquet(index_growth_dir)
-            return index_sig.unionByName(grown)
+            return index_sig.unionByName(grown).dropDuplicates(["doc_id"])
         return index_sig
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
