@@ -34,3 +34,38 @@ def test_components_long_chain_converges(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
     got = _rows(connected_components(nodes, edges))
     assert got == {(i, 0) for i in range(n)}
+
+
+def test_components_random_graphs_match_union_find(spark):
+    """Property check vs a plain union-find reference on random graphs."""
+    import random
+
+    def uf_components(n_nodes, edge_list):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        # canonical label = min node id in component
+        comp_min = {}
+        for v in range(n_nodes):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        return {(v, comp_min[find(v)]) for v in range(n_nodes)}
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = rng.randint(5, 30)
+        m = rng.randint(0, n * 2)
+        edge_list = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        edges = spark.createDataFrame(edge_list or [(0, 0)], ["src", "dst"])
+        got = _rows(connected_components(nodes, edges))
+        assert got == uf_components(n, edge_list), (n, edge_list)
