@@ -99,7 +99,87 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Tolerance-bounded as-of: same carry-forward composition, but a match
+# only counts if the reference row is within 10 minutes — the kdb-style
+# `tolerance` parameter. The lag is computed in exact integer
+# microseconds so the cutoff can't float-drift between engines.
+_TOL_US = 600 * 1_000_000
+
+
+def asof_join_with_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    unioned = clicks.select(
+        "user_id",
+        "ts",
+        "click_id",
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(0).alias("tag"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("click_id"),
+            "purchase_id",
+            F.lit(1).alias("tag"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = (
+        unioned.withColumn(
+            "matched_click_id", F.last("click_id", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "matched_click_ts",
+            F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True).over(w),
+        )
+        .where(F.col("tag") == 1)
+    )
+    lag_us = F.unix_micros("ts") - F.unix_micros("matched_click_ts")
+    valid = F.col("matched_click_id").isNotNull() & (lag_us <= _TOL_US)
+    return carried.select(
+        "purchase_id",
+        "user_id",
+        F.when(valid, F.col("matched_click_id")).alias("matched_click_id"),
+        F.when(valid, lag_us).alias("lag_us"),
+    )
+
+
+ASOF_TOL_SQL = f"""
+WITH clicks AS (
+  SELECT user_id, ts, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+p AS (
+  SELECT user_id, ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id,
+       CASE WHEN c.click_id IS NOT NULL
+             AND epoch_us(p.ts) - epoch_us(c.ts) <= {_TOL_US}
+            THEN c.click_id END AS matched_click_id,
+       CASE WHEN c.click_id IS NOT NULL
+             AND epoch_us(p.ts) - epoch_us(c.ts) <= {_TOL_US}
+            THEN epoch_us(p.ts) - epoch_us(c.ts) END AS lag_us
+FROM p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 QUERIES = {
     "asof_join_purchase_click": QuerySpec(asof_join_purchase_click, ASOF_SQL),
     "agg_percentiles_events": QuerySpec(agg_percentiles_events, PERCENTILE_SQL),
+    "asof_join_with_tolerance": QuerySpec(asof_join_with_tolerance, ASOF_TOL_SQL),
 }
