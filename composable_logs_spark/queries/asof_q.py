@@ -178,8 +178,112 @@ FROM p ASOF LEFT JOIN clicks c
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-weighted average of `value` per user: each observation holds until
+# the next one (step interpolation), weights are exact integer
+# microsecond durations, values are scaled to exact integer millis —
+# so the big sums are order-independent longs and only ONE double
+# division happens at the end. One window (lead) + one hash agg.
+def time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = e.select(
+        "user_id",
+        F.round(F.col("value") * 1000).cast("long").alias("v_milli"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    return stepped.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.round(
+            F.sum(F.col("v_milli") * F.col("dur_us"))
+            / (F.sum("dur_us") * 1000.0),
+            4,
+        ).alias("twa_value"),
+    )
+
+
+TWA_SQL = """
+WITH s AS (
+  SELECT user_id,
+         CAST(round(value * 1000, 0) AS BIGINT) AS v_milli,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dur_us
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       round(sum(v_milli * dur_us) / (sum(dur_us) * 1000.0), 4) AS twa_value
+FROM s WHERE dur_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill / resample: an hourly grid per user spanning their activity,
+# forward-filled with the last observed value (step interpolation) — the
+# timeseries-DB "resample + locf" op. The grid generates from one tiny
+# per-user agg (sequence+explode: |users x hours| rows, no join against
+# raw events to build it), and the fill is the same union-window carry
+# as the as-of join: one shuffle on user_id.
+def gapfill_hourly_locf(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    span = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("ts"),
+    )
+    unioned = e.select(
+        "user_id", "ts", F.col("value").alias("obs"), F.lit(0).alias("tag")
+    ).unionByName(
+        grid.select(
+            "user_id", "ts", F.lit(None).cast("double").alias("obs"), F.lit(1).alias("tag")
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        unioned.withColumn("filled", F.last("obs", ignorenulls=True).over(w))
+        .where(F.col("tag") == 1)
+        .select(
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour"),
+            F.round("filled", 4).alias("value_locf"),
+        )
+    )
+
+
+GAPFILL_SQL = """
+WITH span AS (
+  SELECT user_id,
+         date_trunc('hour', CAST(min(ts) AS TIMESTAMP)) AS h0,
+         date_trunc('hour', CAST(max(ts) AS TIMESTAMP)) AS h1
+  FROM events GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g
+  FROM span
+),
+obs AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+)
+SELECT grid.user_id,
+       strftime(grid.g, '%Y-%m-%d %H:00:00') AS hour,
+       round(o.value, 4) AS value_locf
+FROM grid ASOF LEFT JOIN obs o
+  ON grid.user_id = o.user_id AND grid.g >= o.ts
+"""
+
+
 QUERIES = {
     "asof_join_purchase_click": QuerySpec(asof_join_purchase_click, ASOF_SQL),
     "agg_percentiles_events": QuerySpec(agg_percentiles_events, PERCENTILE_SQL),
     "asof_join_with_tolerance": QuerySpec(asof_join_with_tolerance, ASOF_TOL_SQL),
+    "time_weighted_avg": QuerySpec(time_weighted_avg, TWA_SQL),
+    "gapfill_hourly_locf": QuerySpec(gapfill_hourly_locf, GAPFILL_SQL),
 }
