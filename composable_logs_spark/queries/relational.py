@@ -600,6 +600,68 @@ GROUP BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS with grouping_id — the general form rollup/cube
+# specialise; expressed through spark.sql over a temp view (the DataFrame
+# API deliberately exposes only rollup/cube) so the SQL surface is
+# exercised too. grouping_id disambiguates a NULL group key from a NULL
+# data value — matched exactly across engines.
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    e.withColumn("hour_of_day", F.hour("ts")).createOrReplaceTempView(
+        "_gs_events"
+    )
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, 'ALL')             AS event_type,
+               coalesce(CAST(hour_of_day AS STRING), 'ALL') AS hour_of_day,
+               CAST(grouping_id(event_type, hour_of_day) AS INT) AS gid,
+               count(*)                                AS n
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type, hour_of_day), (event_type), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT coalesce(event_type, 'ALL')                  AS event_type,
+       coalesce(CAST(hour_of_day AS VARCHAR), 'ALL') AS hour_of_day,
+       CAST(grouping_id(event_type, hour_of_day) AS INT) AS gid,
+       CAST(count(*) AS BIGINT)                     AS n
+FROM (SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day FROM events) t
+GROUP BY GROUPING SETS ((event_type, hour_of_day), (event_type), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distribution windows: ntile quartiles + percent_rank over customer
+# account balances within each market segment. percent_rank's
+# (rank-1)/(n-1) is exact given identical orderings; ties share ranks in
+# both engines.
+def window_ntile_customers(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = load(spark, sf, "customer")
+    bal_c = _cents(F.col("c_acctbal"))
+    w = W.partitionBy("c_mktsegment").orderBy(bal_c, "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+NTILE_SQL = """
+SELECT c_custkey, c_mktsegment,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY CAST(round(c_acctbal * 100, 0) AS BIGINT), c_custkey)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
@@ -619,4 +681,6 @@ QUERIES = {
     "sessionize_user_events": QuerySpec(sessionize_user_events, SESSION_SQL),
     "range_join_error_attribution": QuerySpec(range_join_error_attribution, RANGE_SQL),
     "agg_distinct_parts_per_nation": QuerySpec(agg_distinct_parts_per_nation, DISTINCT_SQL),
+    "agg_grouping_sets": QuerySpec(agg_grouping_sets, GROUPING_SETS_SQL),
+    "window_ntile_customers": QuerySpec(window_ntile_customers, NTILE_SQL),
 }
