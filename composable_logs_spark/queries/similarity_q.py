@@ -338,9 +338,62 @@ FROM cell GROUP BY label, dim
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-label PCA (top principal component) via grouped applyInPandas —
+# the custom-operator category (b): semantics built-in expressions
+# genuinely cannot express (eigen decomposition), so an Arrow-batched
+# grouped-map UDF with numpy is the right tool. Deterministic: rows
+# sorted by vec_id before the covariance, fixed-iteration power method
+# from a fixed init, sign normalised on the largest-magnitude entry.
+# Non-SQL-expressible -> registered without an oracle (rows-only check);
+# invariants (unit norm, determinism, variance) are pytest-gated.
+#
+# Scale shape: one shuffle on label; per-group state is the group's
+# vectors (groups = quantization cells, bounded by design at real scale).
+def embedding_pca_top1(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def pca(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        X = X - X.mean(axis=0)
+        cov = (X.T @ X) / len(X)
+        v = np.ones(cov.shape[0]) / np.sqrt(cov.shape[0])
+        for _ in range(50):
+            v = cov @ v
+            n = np.linalg.norm(v)
+            if n == 0.0:
+                break
+            v = v / n
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        ev = float(v @ cov @ v)
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "dim": np.arange(len(v), dtype=np.int32),
+                "component": v,
+                "explained_var": ev,
+            }
+        )
+
+    e = load(spark, sf, "embeddings")
+    out_schema = "label int, dim int, component double, explained_var double"
+    raw = e.groupBy("label").applyInPandas(pca, out_schema)
+    # round OUTSIDE the UDF (HALF_UP, not banker's)
+    return raw.select(
+        "label",
+        "dim",
+        F.round("component", 6).alias("component"),
+        F.round("explained_var", 6).alias("explained_var"),
+    )
+
+
 QUERIES = {
     "ann_cosine_top5": QuerySpec(ann_cosine_top5, ANN_BRUTE_SQL),
     "ann_ivf_label_probe": QuerySpec(ann_ivf_label_probe, ANN_IVF_SQL),
     "ann_ivf_kmeans": QuerySpec(ann_ivf_kmeans, _km_sql()),
     "embedding_centroids": QuerySpec(embedding_centroids, CENTROID_SQL),
+    "embedding_pca_top1": QuerySpec(embedding_pca_top1, None),
 }

@@ -1,0 +1,46 @@
+"""embedding_pca_top1 (grouped applyInPandas): invariants + determinism.
+No SQL oracle exists for an eigen decomposition, so the gate is
+property-based: unit norm, non-negative explained variance that matches
+the quadratic form recomputed from raw data, and bitwise determinism
+across runs."""
+
+import math
+
+import numpy as np
+
+from composable_logs_spark.queries import load
+from composable_logs_spark.queries.similarity_q import embedding_pca_top1
+
+
+def test_pca_invariants_and_determinism(spark, sf_dir):
+    out1 = embedding_pca_top1(spark, sf_dir).collect()
+    out2 = embedding_pca_top1(spark, sf_dir).collect()
+    key = lambda r: (r["label"], r["dim"])  # noqa: E731
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+
+    by_label = {}
+    for r in out1:
+        by_label.setdefault(r["label"], {})[r["dim"]] = (
+            r["component"], r["explained_var"]
+        )
+    raw = load(spark, sf_dir, "embeddings").collect()
+    vecs_by_label = {}
+    for r in raw:
+        vecs_by_label.setdefault(r["label"], []).append(
+            (r["vec_id"], list(r["embedding"]))
+        )
+
+    for label, comps in by_label.items():
+        v = np.array([comps[d][0] for d in sorted(comps)])
+        ev = comps[0][1]
+        assert math.isclose(float(np.linalg.norm(v)), 1.0, abs_tol=2e-5)
+        assert ev > 0
+        # explained variance equals the quadratic form on the raw data
+        X = np.stack([e for _, e in sorted(vecs_by_label[label])]).astype(np.float64)
+        X = X - X.mean(axis=0)
+        cov = (X.T @ X) / len(X)
+        assert math.isclose(float(v @ cov @ v), ev, rel_tol=1e-3)
+        # dominant direction: quadratic form >= that of any coordinate axis
+        for i in range(0, X.shape[1], 16):
+            axis = np.zeros(X.shape[1]); axis[i] = 1.0
+            assert float(v @ cov @ v) >= float(axis @ cov @ axis) - 1e-6
