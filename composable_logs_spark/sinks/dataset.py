@@ -67,9 +67,14 @@ def write_dataset(
     out = df
     salted = False
     if partition_by and files_per_value:
+        # salt from the JSON rendering of the whole row: deterministic,
+        # and valid for ANY schema (hash() itself rejects MAP columns)
         out = out.withColumn(
             _SALT,
-            F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(files_per_value)),
+            F.pmod(
+                F.hash(F.to_json(F.struct(*[F.col(c) for c in df.columns]))),
+                F.lit(files_per_value),
+            ),
         ).repartition(*partition_by, _SALT)
         salted = True
     if sort_by:
