@@ -1,6 +1,8 @@
 """Partitioned dataset writer: hive layout, bounded files-per-value,
 round-trip fidelity."""
 
+from pyspark.sql import functions as F
+
 from composable_logs_spark.queries import load
 from composable_logs_spark.sinks.dataset import read_dataset, write_dataset
 
@@ -102,6 +104,46 @@ def test_zorder_key_matches_reference(spark):
     )
     got = {(r["a"], r["b"]): r["z"] for r in df.collect()}
     assert got == {(a, b): py_z(a, b) for a, b in rows}
+
+
+def test_zorder_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
+    """Writing sorted by the z-key must tighten per-file min/max ranges
+    on BOTH dimensions vs an unsorted write — the statistic parquet
+    readers use to skip row groups."""
+    import pyarrow.parquet as pq
+
+    from composable_logs_spark.queries import load
+    from composable_logs_spark.sinks.dataset import zorder_key
+
+    e = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 1024).alias("u"),
+        (F.hour("ts") * 60 + F.minute("ts")).alias("m"),
+    )
+    plain, zed = tmp_path / "plain", tmp_path / "zed"
+    e.repartition(8).write.parquet(str(plain))
+    (
+        e.repartitionByRange(8, zorder_key(["u", "m"]))
+        .sortWithinPartitions(zorder_key(["u", "m"]))
+        .write.parquet(str(zed))
+    )
+
+    def avg_area(path):
+        areas = []
+        for f in path.glob("part-*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                su = md.row_group(rg).column(names["u"]).statistics
+                sm = md.row_group(rg).column(names["m"]).statistics
+                if su and sm and su.has_min_max and sm.has_min_max:
+                    areas.append((su.max - su.min + 1) * (sm.max - sm.min + 1))
+        return sum(areas) / len(areas)
+
+    # the (u x m) bounding box per row group shrinks: that area is what a
+    # two-predicate scan prunes on. 2x is a conservative floor (observed
+    # ~8x here; the per-axis split depends on the axes' cardinalities —
+    # the curve spends its bits on whichever dimension has more range)
+    assert avg_area(zed) * 2 < avg_area(plain)
 
 
 def test_partition_pruning_on_readback(spark, sf_dir, tmp_path):
