@@ -407,8 +407,66 @@ WHERE NOT c4.has_boilerplate AND rep.passes_repetition AND qual.passes_quality
 """
 
 
+# ---------------------------------------------------------------------------
+# Declarative data-quality gate (deequ/dbt-test family): N rules compile
+# into ONE aggregation pass (see operators/constraints.py). The result
+# is data, so quality gates compose with the pipeline.
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def dq_check_customers(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.constraints import (
+        accepted_values,
+        check,
+        in_range,
+        matches,
+        not_null,
+        unique,
+    )
+
+    c = load(spark, sf, "customer")
+    return check(
+        c,
+        [
+            unique("c_custkey"),
+            not_null("c_name"),
+            accepted_values("c_mktsegment", _SEGMENTS),
+            in_range("c_acctbal", -1000.0, 10000.0),
+            matches("c_name", "^Customer#[0-9]{9}$"),
+        ],
+    )
+
+
+def _dq_sql() -> str:
+    segs = ", ".join(f"'{s}'" for s in _SEGMENTS)
+    return f"""
+WITH a AS (
+  SELECT count(*) AS n,
+         count(*) - count(DISTINCT c_custkey) AS v0,
+         sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS v1,
+         sum(CASE WHEN c_mktsegment NOT IN ({segs}) OR c_mktsegment IS NULL
+                  THEN 1 ELSE 0 END) AS v2,
+         sum(CASE WHEN c_acctbal NOT BETWEEN -1000.0 AND 10000.0
+                    OR c_acctbal IS NULL THEN 1 ELSE 0 END) AS v3,
+         sum(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]{{9}}$')
+                    OR c_name IS NULL THEN 1 ELSE 0 END) AS v4
+  FROM customer
+)
+SELECT rule, CAST(violations AS BIGINT) AS violations,
+       CAST(n AS BIGINT) AS n_rows, violations = 0 AS passed
+FROM (
+  SELECT 'unique(c_custkey)' AS rule, v0 AS violations, n FROM a
+  UNION ALL SELECT 'not_null(c_name)', v1, n FROM a
+  UNION ALL SELECT 'accepted_values(c_mktsegment)', v2, n FROM a
+  UNION ALL SELECT 'range(c_acctbal)', v3, n FROM a
+  UNION ALL SELECT 'matches(c_name)', v4, n FROM a
+) u
+"""
+
+
 QUERIES = {
     "pii_scrub_customers": QuerySpec(pii_scrub_customers, PII_SQL),
+    "dq_check_customers": QuerySpec(dq_check_customers, _dq_sql()),
     "sample_quality_weighted": QuerySpec(sample_quality_weighted, WEIGHTED_SAMPLE_SQL),
     "pipeline_clean_corpus": QuerySpec(pipeline_clean_corpus, _clean_corpus_sql()),
     "sample_stratified_hash": QuerySpec(sample_stratified_hash, _sample_sql()),

@@ -1,0 +1,64 @@
+"""Data-quality checker: planted violations are counted exactly, and the
+whole rule set runs as one aggregation pass."""
+
+from composable_logs_spark.operators.constraints import (
+    accepted_values,
+    check,
+    in_range,
+    matches,
+    not_null,
+    unique,
+)
+
+
+def test_planted_violations_counted(spark):
+    rows = [
+        (1, "alice", "gold", 10.0),
+        (1, "bob", "silver", 20.0),       # dup id
+        (2, None, "gold", -5.0),          # null name, range violation
+        (3, "carol", "copper", 10000.0),  # bad segment, range violation
+        (4, "Dave99", "silver", 0.0),     # name pattern violation
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, seg string, bal double")
+    out = {
+        r["rule"]: (r["violations"], r["n_rows"], r["passed"])
+        for r in check(
+            df,
+            [
+                unique("id"),
+                not_null("name"),
+                accepted_values("seg", ["gold", "silver"]),
+                in_range("bal", 0.0, 100.0),
+                matches("name", "^[a-z]+$"),
+            ],
+        ).collect()
+    }
+    assert out == {
+        "unique(id)": (1, 5, False),
+        "not_null(name)": (1, 5, False),
+        "accepted_values(seg)": (1, 5, False),
+        "range(bal)": (2, 5, False),
+        # Dave99 fails the pattern; the null name also counts as a miss
+        "matches(name)": (2, 5, False),
+    }
+
+
+def test_clean_data_passes(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    out = check(df, [unique("id"), not_null("name")]).collect()
+    assert all(r["passed"] for r in out)
+    assert all(r["violations"] == 0 for r in out)
+
+
+def test_single_pass_plan(spark):
+    """All rules must compile into one aggregate over one scan — no
+    per-rule jobs, no joins."""
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    plan = (
+        check(df, [not_null("name"), in_range("id", 0, 10)])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("LocalTableScan") + plan.count("Scan ") <= 2
