@@ -58,6 +58,33 @@ def unique(*columns: str) -> Rule:
     return Rule(f"unique({','.join(columns)})", unique_on=tuple(columns))
 
 
+def annotate_violations(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """Row-level variant: adds ``violated_rules array<string>`` (empty =
+    clean row). A pure narrow map — the quarantine-routing building
+    block: ``annotated.where(size(violated_rules) > 0)`` goes to the
+    quarantine sink, the rest flows on. ``unique`` rules are aggregate
+    properties and are rejected here."""
+    names = []
+    flags = []
+    for r in rules:
+        if r.unique_on:
+            raise ValueError(f"{r.name}: unique rules are not row-level")
+        names.append(r.name)
+        flags.append(F.when(r.violation, F.lit(r.name)))
+    return df.withColumn(
+        "violated_rules",
+        F.filter(F.array(*flags), lambda x: x.isNotNull()),
+    )
+
+
+def quarantine_split(df: DataFrame, rules: Sequence[Rule]):
+    """(clean_df, quarantined_df) — quarantined rows carry their reasons."""
+    annotated = annotate_violations(df, rules)
+    clean = annotated.where(F.size("violated_rules") == 0).drop("violated_rules")
+    bad = annotated.where(F.size("violated_rules") > 0)
+    return clean, bad
+
+
 def check(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     """One aggregation pass -> (rule, violations, n_rows, passed)."""
     aggs = [F.count(F.lit(1)).alias("_n")]

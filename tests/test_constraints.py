@@ -50,6 +50,27 @@ def test_clean_data_passes(spark):
     assert all(r["violations"] == 0 for r in out)
 
 
+def test_quarantine_split(spark):
+    from composable_logs_spark.operators.constraints import quarantine_split
+
+    rows = [(1, "alice"), (2, None), (3, "Bad99")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    clean, bad = quarantine_split(
+        df, [not_null("name"), matches("name", "^[a-z]+$")]
+    )
+    assert [r["id"] for r in clean.collect()] == [1]
+    got = {r["id"]: sorted(r["violated_rules"]) for r in bad.collect()}
+    assert got == {
+        2: ["matches(name)", "not_null(name)"],
+        3: ["matches(name)"],
+    }
+    # unique() is aggregate-only in the row-level API
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quarantine_split(df, [unique("id")])
+
+
 def test_single_pass_plan(spark):
     """All rules must compile into one aggregate over one scan — no
     per-rule jobs, no joins."""
