@@ -201,8 +201,52 @@ SELECT run_id, kind, detail FROM (VALUES
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-run task health: per task_id across every run in the log —
+# run count, duration stats, failure rate. The fleet-dashboard query a
+# spanlog deployment runs continuously; one hash agg over task_runs.
+def spanlog_task_trends(spark: SparkSession, sf: str) -> DataFrame:
+    spans = (
+        FX.compose3(0)
+        + FX.parallel_fail(1)
+        + FX.diamond5(2)
+        + FX.diamond5(3, fail_at="t2")
+    )
+    s = summarize_spans(_spans_df(spark, spans))
+    return s.task_runs.groupBy("task_id").agg(
+        F.count("*").alias("n_runs"),
+        F.round(F.avg("duration_s"), 4).alias("mean_duration_s"),
+        F.round(F.max("duration_s"), 4).alias("max_duration_s"),
+        F.round(
+            F.sum((~F.col("is_success")).cast("long")) / F.count("*"), 4
+        ).alias("failure_rate"),
+    )
+
+
+TASK_TRENDS_SQL = """
+SELECT task_id, CAST(n_runs AS BIGINT) AS n_runs,
+       CAST(mean_duration_s AS DOUBLE) AS mean_duration_s,
+       CAST(max_duration_s AS DOUBLE) AS max_duration_s,
+       CAST(failure_rate AS DOUBLE) AS failure_rate
+FROM (VALUES
+  ('input_1', 1, 1.0,  1.0,  0.0),
+  ('input_2', 1, 1.5,  1.5,  0.0),
+  ('process', 1, 1.25, 1.25, 0.0),
+  ('f',       1, 1.0,  1.0,  0.0),
+  ('g',       1, 0.5,  0.5,  1.0),
+  ('h',       1, 2.0,  2.0,  0.0),
+  ('t0',      2, 1.0,  1.0,  0.0),
+  ('t1',      2, 1.2,  1.2,  0.0),
+  ('t2',      2, 1.0,  1.0,  0.5),
+  ('t3',      1, 1.0,  1.0,  0.0),
+  ('t4',      1, 1.5,  1.5,  0.0)
+) AS t(task_id, n_runs, mean_duration_s, max_duration_s, failure_rate)
+"""
+
+
 QUERIES = {
     "spanlog_task_runs": QuerySpec(spanlog_task_runs, TASK_RUNS_SQL),
+    "spanlog_task_trends": QuerySpec(spanlog_task_trends, TASK_TRENDS_SQL),
     "spanlog_deps": QuerySpec(spanlog_deps, DEPS_SQL),
     "spanlog_logged_values": QuerySpec(spanlog_logged_values, LOGGED_VALUES_SQL),
     "spanlog_workflow_runs": QuerySpec(spanlog_workflow_runs, WORKFLOW_RUNS_SQL),
