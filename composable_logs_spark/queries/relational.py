@@ -662,6 +662,49 @@ WINDOW w AS (PARTITION BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# RANGE-frame window: per customer, rolling 7-day spend — the frame is a
+# VALUE range over event time, not a row count, so simultaneous orders
+# are always in/out of the frame together (deterministic under ties,
+# unlike a ROWS frame). Ordering key is integer epoch seconds; the sum
+# is integer cents.
+def window_rolling_week_spend(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf, "orders")
+    epoch = F.unix_timestamp(F.col("o_orderdate")).alias("epoch")
+    base = o.select(
+        "o_custkey", "o_orderkey", "o_orderdate", epoch, _cents(F.col("o_totalprice")).alias("cents")
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("epoch")
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.round(F.sum("cents").over(w) / 100.0, 2).alias("week_spend"),
+    )
+
+
+ROLLING_SQL = """
+WITH b AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS ep,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       round(sum(cents) OVER (PARTITION BY o_custkey ORDER BY ep
+                              RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+             / 100.0, 2) AS week_spend
+FROM b
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL),
@@ -683,4 +726,5 @@ QUERIES = {
     "agg_distinct_parts_per_nation": QuerySpec(agg_distinct_parts_per_nation, DISTINCT_SQL),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, GROUPING_SETS_SQL),
     "window_ntile_customers": QuerySpec(window_ntile_customers, NTILE_SQL),
+    "window_rolling_week_spend": QuerySpec(window_rolling_week_spend, ROLLING_SQL),
 }
