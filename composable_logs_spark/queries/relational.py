@@ -429,7 +429,10 @@ def set_ops_segments(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_custkey").alias("custkey")
     )
     inter = big_spenders.intersect(building).withColumn("set_op", F.lit("intersect"))
-    minus = big_spenders.exceptAll(building).withColumn("set_op", F.lit("except"))
+    # subtract = EXCEPT DISTINCT, matching the oracle's EXCEPT exactly
+    # (both inputs are key-distinct here, but keep the semantics aligned
+    # rather than relying on that)
+    minus = big_spenders.subtract(building).withColumn("set_op", F.lit("except"))
     return inter.unionByName(minus)
 
 
