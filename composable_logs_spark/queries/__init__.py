@@ -75,6 +75,8 @@ def all_queries() -> dict[str, QuerySpec]:
         sketch_q,
         srp_lsh_q,
         pipeline_q,
+        graph_q,
+        stats_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -95,6 +97,8 @@ def all_queries() -> dict[str, QuerySpec]:
         sketch_q,
         srp_lsh_q,
         pipeline_q,
+        graph_q,
+        stats_q,
     ):
         out.update(mod.QUERIES)
     return out
