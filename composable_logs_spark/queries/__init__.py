@@ -77,6 +77,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_q,
         graph_q,
         stats_q,
+        bloom_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -99,6 +100,7 @@ def all_queries() -> dict[str, QuerySpec]:
         pipeline_q,
         graph_q,
         stats_q,
+        bloom_q,
     ):
         out.update(mod.QUERIES)
     return out
