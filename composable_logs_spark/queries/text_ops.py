@@ -486,8 +486,66 @@ WHERE rank <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal: gibberish and boilerplate both show up
+# as entropy outliers (too low = repeated filler, near-max = random
+# noise). Shannon entropy over the per-doc character distribution, pure
+# per-row array math — zero shuffle, whole-stage codegen.
+#
+# Chars come from regexp_extract_all(text, '.') on BOTH engines (split on
+# the empty string differs between them: Java regex split may keep a
+# trailing empty match). The histogram is transform-over-distinct with an
+# inner filter — O(n·d) per doc with d = alphabet size, no explode. ln()
+# can differ by 1 ulp between JDK and libm, so entropy is rounded to 4dp;
+# with ~1e-15 accumulated noise the flip probability at a 0.00005
+# boundary is negligible.
+def text_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    chars = F.expr("regexp_extract_all(text, '.', 0)")
+    return (
+        d.select("doc_id", chars.alias("chars"))
+        .select(
+            "doc_id",
+            F.size("chars").alias("n_chars_total"),
+            F.size(F.array_distinct("chars")).alias("n_distinct_chars"),
+            F.transform(
+                F.array_distinct("chars"),
+                lambda c: F.size(F.filter(F.col("chars"), lambda x: x == c)),
+            ).alias("cnts"),
+        )
+        .select(
+            "doc_id",
+            "n_chars_total",
+            "n_distinct_chars",
+            F.round(
+                -F.aggregate(
+                    F.col("cnts"),
+                    F.lit(0.0),
+                    lambda acc, c: acc
+                    + (c.cast("double") / F.col("n_chars_total"))
+                    * F.log(c.cast("double") / F.col("n_chars_total")),
+                ),
+                4,
+            ).alias("entropy_nats"),
+        )
+    )
+
+
+ENTROPY_SQL = """
+SELECT doc_id,
+       CAST(len(chars) AS INT) AS n_chars_total,
+       CAST(len(list_distinct(chars)) AS INT) AS n_distinct_chars,
+       round(-list_sum(list_transform(list_distinct(chars),
+              c -> (CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / len(chars))
+                   * ln(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / len(chars))
+            )), 4) AS entropy_nats
+FROM (SELECT doc_id, regexp_extract_all(text, '.') AS chars FROM documents)
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_SQL),
+    "text_char_entropy": QuerySpec(text_char_entropy, ENTROPY_SQL),
     "text_quality_scores": QuerySpec(text_quality_scores, QUALITY_SQL),
     "text_lang_id": QuerySpec(text_lang_id, _lang_sql()),
     "text_fingerprint": QuerySpec(text_fingerprint, FINGERPRINT_SQL),
