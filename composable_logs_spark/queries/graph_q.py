@@ -37,9 +37,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import QuerySpec, load
+from ..operators.pagerank import SCALE as _SCALE, pagerank
 
 _OFFSET = 1_000_000  # supplier node ids live above customer ids
-_SCALE = 1_000_000_000_000  # rank unit = 1e-12 of total mass
 _ITERS = 3
 
 
@@ -74,44 +74,7 @@ def _graph(spark: SparkSession, sf: str):
 
 def pagerank_purchase_graph(spark: SparkSession, sf: str) -> DataFrame:
     nodes, edges = _graph(spark, sf)
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # deg table is |nodes|-sized (small relative to edges); joined once,
-    # outside the loop, so each iteration re-reads a cached edge+deg set
-    edged = edges.join(deg, "src")
-    n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
-    # lazy scalar: broadcast 1-row crossJoin, no mid-plan collect
-    ranks = (
-        nodes.crossJoin(F.broadcast(n_nodes))
-        .select(
-            "node_id",
-            "kind",
-            F.expr(f"{_SCALE} div n_nodes").alias("rank"),
-            F.expr(f"(15 * ({_SCALE} div n_nodes)) div 100").alias("base"),
-        )
-    )
-    for _ in range(_ITERS):
-        sums = (
-            edged.join(
-                ranks.select(F.col("node_id").alias("src"), "rank"), "src"
-            )
-            .select("dst", F.expr("rank div deg").alias("contrib"))
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("insum"))
-        )
-        ranks = (
-            ranks.select("node_id", "kind", "base")
-            .join(sums, ranks["node_id"] == sums["dst"], "left")
-            .select(
-                "node_id",
-                "kind",
-                "base",
-                (
-                    F.col("base")
-                    + F.expr("(85 * coalesce(insum, CAST(0 AS LONG))) div 100")
-                ).alias("rank"),
-            )
-        )
-    return ranks.select("node_id", "kind", F.col("rank").alias("rank_e12"))
+    return pagerank(nodes, edges, _ITERS)
 
 
 def _pagerank_sql() -> str:
