@@ -107,6 +107,14 @@ FROM events GROUP BY event_type
 _TOL_US = 600 * 1_000_000
 
 
+def _us(col):
+    """Epoch microseconds, NTZ-safe: PySpark 4.x reads the testdata's
+    ``timestamp[us]`` parquet columns as TIMESTAMP_NTZ, which
+    ``unix_micros`` rejects — guard with ``to_timestamp`` exactly as
+    plans/summarize.py does."""
+    return F.unix_micros(F.to_timestamp(col))
+
+
 def asof_join_with_tolerance(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events")
     clicks = (
@@ -147,7 +155,7 @@ def asof_join_with_tolerance(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(F.col("tag") == 1)
     )
-    lag_us = F.unix_micros("ts") - F.unix_micros("matched_click_ts")
+    lag_us = _us("ts") - _us("matched_click_ts")
     valid = F.col("matched_click_id").isNotNull() & (lag_us <= _TOL_US)
     return carried.select(
         "purchase_id",
@@ -190,7 +198,7 @@ def time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
     stepped = e.select(
         "user_id",
         F.round(F.col("value") * 1000).cast("long").alias("v_milli"),
-        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us"),
+        (_us(F.lead("ts").over(w)) - _us("ts")).alias("dur_us"),
     ).where(F.col("dur_us").isNotNull())
     return stepped.groupBy("user_id").agg(
         F.count("*").alias("n_intervals"),

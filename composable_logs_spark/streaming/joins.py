@@ -54,8 +54,11 @@ def interval_join_streams(
             F.col("p.user_id").alias("user_id"),
             F.col("c.ts").alias("click_ts"),
             F.col("p.ts").alias("purchase_ts"),
-            (F.unix_micros(F.col("p.ts")) - F.unix_micros(F.col("c.ts"))).alias(
-                "lag_us"
-            ),
+            (
+                # to_timestamp guard: parquet-sourced batch inputs arrive as
+                # TIMESTAMP_NTZ under PySpark 4.x, which unix_micros rejects.
+                F.unix_micros(F.to_timestamp(F.col("p.ts")))
+                - F.unix_micros(F.to_timestamp(F.col("c.ts")))
+            ).alias("lag_us"),
         )
     )
