@@ -266,18 +266,33 @@ def _collect_nodes(sinks: list[Node]) -> list[Node]:
     return order
 
 
-def _process_child_main(fn, args, parameters, conn) -> None:
+def _process_child_main(fn, args, parameters, conn, data_path) -> None:
     """Entry point of a process-executor task body (fork child).
 
-    Streams logged values/artefacts back as ("data", ...) messages the
-    moment they are logged — so values logged before a failure OR before
-    a hard kill are retained (D10 semantics survive SIGKILL) — then one
+    Each logged value/artefact is written DURABLY (append + flush +
+    fsync) to ``data_path`` before ``log_value`` returns, so a later
+    SIGKILL cannot lose it — the reference retains values logged before
+    a failure (test_task_opentelemetry_logging.py:245-283), and pipe
+    streaming raced the kill under load. The pipe carries only the one
     terminal ("ok", value) / ("err", type, str, traceback) message.
     """
+    import json as _json
+    import os as _os
 
     def _emit(span_name: str, name: str, value: Any) -> None:
         sd = SerializedData.encode(value)
-        conn.send(("data", span_name, name, sd.type, sd.encoding, sd.encoded_content))
+        rec = {
+            "t": iso8601(datetime.datetime.now(datetime.timezone.utc)),
+            "span_name": span_name,
+            "name": name,
+            "type": sd.type,
+            "encoding": sd.encoding,
+            "content_encoded": sd.encoded_content,
+        }
+        with open(data_path, "a", encoding="utf-8") as f:
+            f.write(_json.dumps(rec, separators=(",", ":")) + "\n")
+            f.flush()
+            _os.fsync(f.fileno())
 
     _context_local.ctx = TaskContext(parameters=parameters, _emit=_emit)
     try:
@@ -301,14 +316,26 @@ def _run_body_in_process(
     SIGKILL of the child (the analogue of the reference's ray.kill on the
     ExecActor, wrappers.py:126-193) — a CPU-spinning body demonstrably
     stops consuming resources, unlike the abandoned-thread default.
+
+    Logged values arrive via the child's durable side file (see
+    ``_process_child_main``), read back AFTER the child exits — there is
+    no streaming to race the kill; anything the child fsync'd before the
+    SIGKILL is retained.
     """
+    import json as _json
     import multiprocessing as mp
+    import os as _os
+    import tempfile
     import time as _time
 
     ctx_mp = mp.get_context("fork")  # fork: fn/args need not be picklable
     parent_conn, child_conn = ctx_mp.Pipe(duplex=False)
+    fd, data_path = tempfile.mkstemp(prefix="task-data-", suffix=".jsonl")
+    _os.close(fd)
     proc = ctx_mp.Process(
-        target=_process_child_main, args=(fn, args, parameters, child_conn), daemon=True
+        target=_process_child_main,
+        args=(fn, args, parameters, child_conn, data_path),
+        daemon=True,
     )
     proc.start()
     child_conn.close()
@@ -335,25 +362,36 @@ def _run_body_in_process(
         except EOFError:
             error = Exception("task process died without reporting a result")
             break
-        if msg[0] == "data":
-            on_data(msg[1], msg[2], msg[3], msg[4], msg[5])
-        elif msg[0] == "ok":
+        if msg[0] == "ok":
             value = msg[1]
             terminal = True
         else:  # ("err", type_name, str, traceback)
             error = Exception(msg[2])
             terminal = True
-    # drain data messages that raced the terminal state / the kill, so
-    # values logged before the failure are retained
-    try:
-        while parent_conn.poll(0):
-            msg = parent_conn.recv()
-            if msg[0] == "data":
-                on_data(msg[1], msg[2], msg[3], msg[4], msg[5])
-    except EOFError:
-        pass
     proc.join(timeout=5)
     parent_conn.close()
+    # replay the durable value log in order; a SIGKILL mid-write can
+    # leave one partial trailing line — skip unparseable lines
+    try:
+        with open(data_path, encoding="utf-8") as f:
+            for line in f:
+                try:
+                    rec = _json.loads(line)
+                except ValueError:
+                    continue
+                on_data(
+                    rec["span_name"],
+                    rec["name"],
+                    rec["type"],
+                    rec["encoding"],
+                    rec["content_encoded"],
+                    datetime.datetime.fromisoformat(rec["t"]),
+                )
+    finally:
+        try:
+            _os.unlink(data_path)
+        except OSError:
+            pass
     return error, value
 
 
@@ -447,9 +485,16 @@ def run_dag(
             call_span_id = _new_span_id()
 
             def append_data_span(
-                span_name: str, name: str, sd_type: str, sd_enc: str, sd_content
+                span_name: str,
+                name: str,
+                sd_type: str,
+                sd_enc: str,
+                sd_content,
+                at: Optional[datetime.datetime] = None,
             ) -> None:
-                now = datetime.datetime.now(datetime.timezone.utc)
+                # `at`: log-time timestamp from the process executor's
+                # durable side file (keeps last-value-wins ordering exact)
+                now = at or datetime.datetime.now(datetime.timezone.utc)
                 child_spans.append(
                     span_row(
                         span_id=_new_span_id(),
