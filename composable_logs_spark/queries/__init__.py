@@ -58,49 +58,54 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def all_queries() -> dict[str, QuerySpec]:
+    # Registry order is a VERIFICATION SURFACE: the driver's correctness
+    # gate checks the first 50 entries. Rounds 1-3 verified the modules
+    # now at the back (relational/text/similarity/span*/dedup head), so
+    # the previously-unchecked modules lead — keep new modules near the
+    # front until a driver round has hash-checked them.
     from . import (
+        tpch_full,
+        asof_q,
+        session_q,
+        pipeline_q,
+        graph_q,
+        stats_q,
+        bloom_q,
+        multimodal_q,
+        streaming_q,
+        sketch_q,
+        srp_lsh_q,
+        tpch_extra,
+        cluster_q,
+        dedup_q,
         relational,
         text_ops,
         similarity_q,
         span_q,
         span_ops_q,
-        dedup_q,
-        cluster_q,
-        streaming_q,
-        multimodal_q,
-        asof_q,
-        session_q,
-        tpch_extra,
-        tpch_full,
-        sketch_q,
-        srp_lsh_q,
-        pipeline_q,
-        graph_q,
-        stats_q,
-        bloom_q,
     )
 
     out: dict[str, QuerySpec] = {}
     for mod in (
+        tpch_full,
+        asof_q,
+        session_q,
+        pipeline_q,
+        graph_q,
+        stats_q,
+        bloom_q,
+        multimodal_q,
+        streaming_q,
+        sketch_q,
+        srp_lsh_q,
+        tpch_extra,
+        cluster_q,
+        dedup_q,
         relational,
         text_ops,
         similarity_q,
         span_q,
         span_ops_q,
-        dedup_q,
-        cluster_q,
-        streaming_q,
-        multimodal_q,
-        asof_q,
-        session_q,
-        tpch_extra,
-        tpch_full,
-        sketch_q,
-        srp_lsh_q,
-        pipeline_q,
-        graph_q,
-        stats_q,
-        bloom_q,
     ):
         out.update(mod.QUERIES)
     return out

@@ -39,8 +39,19 @@ from pyspark.sql import functions as F
 from . import QuerySpec, load
 from ..operators.pagerank import SCALE as _SCALE, pagerank
 
-_OFFSET = 1_000_000  # supplier node ids live above customer ids
+# Disjoint node-id encoding: customers on even ids (2k), suppliers on
+# odd (2k+1). Collision-free for ANY scale factor — a fixed additive
+# offset would collide once c_custkey grows past it (at TPC-H SF≥7,
+# 150k×SF customers > 1e6).
 _ITERS = 3
+
+
+def _cust_node(col):
+    return (col.cast("long") * 2).alias("node_id")
+
+
+def _supp_node(col):
+    return (col.cast("long") * 2 + 1).alias("node_id")
 
 
 def _graph(spark: SparkSession, sf: str):
@@ -49,11 +60,11 @@ def _graph(spark: SparkSession, sf: str):
     o = load(spark, sf, "orders")
     li = load(spark, sf, "lineitem")
     nodes = c.select(
-        F.col("c_custkey").cast("long").alias("node_id"),
+        _cust_node(F.col("c_custkey")),
         F.lit("customer").alias("kind"),
     ).unionAll(
         s.select(
-            (F.col("s_suppkey") + F.lit(_OFFSET)).cast("long").alias("node_id"),
+            _supp_node(F.col("s_suppkey")),
             F.lit("supplier").alias("kind"),
         )
     )
@@ -61,8 +72,8 @@ def _graph(spark: SparkSession, sf: str):
         o.select("o_orderkey", "o_custkey")
         .join(li.select("l_orderkey", "l_suppkey"), F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.col("o_custkey").cast("long").alias("cust"),
-            (F.col("l_suppkey") + F.lit(_OFFSET)).cast("long").alias("supp"),
+            _cust_node(F.col("o_custkey")).alias("cust"),
+            _supp_node(F.col("l_suppkey")).alias("supp"),
         )
         .distinct()
     )
@@ -79,14 +90,14 @@ def pagerank_purchase_graph(spark: SparkSession, sf: str) -> DataFrame:
 
 def _pagerank_sql() -> str:
     ctes = [
-        f"""nodes AS (
-  SELECT CAST(c_custkey AS BIGINT) AS node_id, 'customer' AS kind FROM customer
+        """nodes AS (
+  SELECT CAST(c_custkey * 2 AS BIGINT) AS node_id, 'customer' AS kind FROM customer
   UNION ALL
-  SELECT CAST(s_suppkey + {_OFFSET} AS BIGINT), 'supplier' FROM supplier
+  SELECT CAST(s_suppkey * 2 + 1 AS BIGINT), 'supplier' FROM supplier
 )""",
-        f"""pairs AS (
-  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
-                  CAST(l_suppkey + {_OFFSET} AS BIGINT) AS supp
+        """pairs AS (
+  SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS cust,
+                  CAST(l_suppkey * 2 + 1 AS BIGINT) AS supp
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 )""",
         """edges AS (

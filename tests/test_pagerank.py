@@ -57,3 +57,45 @@ def test_pagerank_preserves_extra_columns_and_mass_bound(spark):
     assert len(set(ranks)) == 1  # symmetric graph -> identical ranks
     # total mass stays <= 1.0 (truncation only loses mass, never creates)
     assert sum(ranks) <= SCALE
+
+
+def test_purchase_graph_node_ids_disjoint_at_any_sf(spark, tmp_path):
+    """The even/odd node-id encoding (2*custkey vs 2*suppkey+1) cannot
+    collide at any scale factor — unlike a fixed additive offset, which
+    a TPC-H SF>=7 custkey range (150k x SF > 1e6) would overrun. Build a
+    synthetic SF>=7-sized key range and assert node-id sets are disjoint
+    and the graph keeps every node."""
+    from composable_logs_spark.queries.graph_q import _graph
+
+    n_cust, n_supp = 2000, 500
+    lo = 1_000_000  # keys straddle the old 1e6 offset boundary
+    cust_keys = list(range(lo - n_cust // 2, lo + n_cust // 2))
+    supp_keys = list(range(lo - n_supp // 2, lo + n_supp // 2))
+    sf_dir = tmp_path / "sfbig"
+    sf_dir.mkdir()
+    spark.createDataFrame([(k,) for k in cust_keys], "c_custkey long").write.parquet(
+        str(sf_dir / "customer.parquet")
+    )
+    spark.createDataFrame([(k,) for k in supp_keys], "s_suppkey long").write.parquet(
+        str(sf_dir / "supplier.parquet")
+    )
+    spark.createDataFrame(
+        [(i, cust_keys[i % n_cust]) for i in range(3000)], "o_orderkey long, o_custkey long"
+    ).write.parquet(str(sf_dir / "orders.parquet"))
+    spark.createDataFrame(
+        [(i, supp_keys[i % n_supp]) for i in range(3000)], "l_orderkey long, l_suppkey long"
+    ).write.parquet(str(sf_dir / "lineitem.parquet"))
+
+    nodes, edges = _graph(spark, str(sf_dir))
+    kinds = {r.kind: r.n for r in nodes.groupBy("kind").agg(F.count("*").alias("n")).collect()}
+    assert kinds == {"customer": n_cust, "supplier": n_supp}
+    # no id is claimed by both kinds
+    assert (
+        nodes.groupBy("node_id").agg(F.count_distinct("kind").alias("k")).where("k > 1").count()
+        == 0
+    )
+    # every edge endpoint resolves to exactly one node
+    endpoints = edges.select(F.col("src").alias("node_id")).union(
+        edges.select(F.col("dst").alias("node_id"))
+    ).distinct()
+    assert endpoints.join(nodes, "node_id", "left_anti").count() == 0
