@@ -345,11 +345,15 @@ FROM cell GROUP BY label, dim
 # grouped-map UDF with numpy is the right tool. Deterministic: rows
 # sorted by vec_id before the covariance, fixed-iteration power method
 # from a fixed init, sign normalised on the largest-magnitude entry.
-# Non-SQL-expressible -> registered without an oracle (rows-only check);
-# invariants (unit norm, determinism, variance) are pytest-gated.
+# The oracle replicates the IDENTICAL fixed-iteration recurrence in
+# DuckDB SQL (chained CTEs of matrix-vector products over the per-label
+# covariance), so both engines compute the same iterate — convergence
+# contraction keeps float-order noise far below the 4dp rounding.
+# Invariants (unit norm, determinism, variance) are also pytest-gated.
 #
 # Scale shape: one shuffle on label; per-group state is the group's
 # vectors (groups = quantization cells, bounded by design at real scale).
+_PCA_ITERS = 50
 def embedding_pca_top1(spark: SparkSession, sf: str) -> DataFrame:
     import numpy as np
     import pandas as pd
@@ -360,7 +364,7 @@ def embedding_pca_top1(spark: SparkSession, sf: str) -> DataFrame:
         X = X - X.mean(axis=0)
         cov = (X.T @ X) / len(X)
         v = np.ones(cov.shape[0]) / np.sqrt(cov.shape[0])
-        for _ in range(50):
+        for _ in range(_PCA_ITERS):
             v = cov @ v
             n = np.linalg.norm(v)
             if n == 0.0:
@@ -381,12 +385,84 @@ def embedding_pca_top1(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "embeddings")
     out_schema = "label int, dim int, component double, explained_var double"
     raw = e.groupBy("label").applyInPandas(pca, out_schema)
-    # round OUTSIDE the UDF (HALF_UP, not banker's)
+    # round OUTSIDE the UDF (HALF_UP, not banker's); 4dp leaves ~8
+    # orders of magnitude of headroom over cross-engine float noise
     return raw.select(
         "label",
         "dim",
-        F.round("component", 6).alias("component"),
-        F.round("explained_var", 6).alias("explained_var"),
+        F.round("component", 4).alias("component"),
+        F.round("explained_var", 4).alias("explained_var"),
+    )
+
+
+def _pca_sql() -> str:
+    """DuckDB replica of the UDF's power method: same centering, same
+    all-ones/sqrt(d) init, same per-iteration normalisation, same
+    largest-|v|-entry-positive sign flip (ties -> lowest dim, matching
+    numpy argmax)."""
+    ctes = [
+        """base AS MATERIALIZED (
+  SELECT label, vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)""",
+        "mu AS MATERIALIZED (SELECT label, dim, avg(x) AS m FROM base GROUP BY label, dim)",
+        """cen AS MATERIALIZED (
+  SELECT b.label, b.vec_id, b.dim, b.x - mu.m AS cx
+  FROM base b JOIN mu ON mu.label = b.label AND mu.dim = b.dim
+)""",
+        "nl AS MATERIALIZED (SELECT label, count(DISTINCT vec_id) AS n FROM base GROUP BY label)",
+        """cov AS MATERIALIZED (
+  SELECT a.label, a.dim AS i, b.dim AS j, sum(a.cx * b.cx) / max(nl.n) AS c
+  FROM cen a
+  JOIN cen b ON a.label = b.label AND a.vec_id = b.vec_id
+  JOIN nl ON nl.label = a.label
+  GROUP BY a.label, a.dim, b.dim
+)""",
+        """d AS MATERIALIZED (SELECT label, count(*) AS nd FROM mu GROUP BY label)""",
+        """v0 AS MATERIALIZED (
+  SELECT mu.label, mu.dim, 1.0 / sqrt(d.nd) AS v
+  FROM mu JOIN d ON d.label = mu.label
+)""",
+    ]
+    prev = "v0"
+    for k in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"""v{k} AS MATERIALIZED (
+  SELECT label, dim, w / sqrt(sum(w * w) OVER (PARTITION BY label)) AS v
+  FROM (SELECT c.label, c.i AS dim, sum(c.c * v.v) AS w
+        FROM cov c JOIN {prev} v ON v.label = c.label AND v.dim = c.j
+        GROUP BY c.label, c.i)
+)"""
+        )
+        prev = f"v{k}"
+    ctes.append(
+        f"""sgn AS MATERIALIZED (
+  SELECT label, CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS s
+  FROM (SELECT label, v,
+               row_number() OVER (PARTITION BY label ORDER BY abs(v) DESC, dim ASC) AS rn
+        FROM {prev})
+  WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        f"""ev AS MATERIALIZED (
+  SELECT c.label, sum(vi.v * c.c * vj.v) AS ev
+  FROM cov c
+  JOIN {prev} vi ON vi.label = c.label AND vi.dim = c.i
+  JOIN {prev} vj ON vj.label = c.label AND vj.dim = c.j
+  GROUP BY c.label
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v.label, CAST(v.dim AS INT) AS dim,
+       round(v.v * sgn.s, 4) AS component,
+       round(ev.ev, 4) AS explained_var
+FROM {prev} v JOIN sgn USING (label) JOIN ev USING (label)"""
     )
 
 
@@ -395,5 +471,5 @@ QUERIES = {
     "ann_ivf_label_probe": QuerySpec(ann_ivf_label_probe, ANN_IVF_SQL),
     "ann_ivf_kmeans": QuerySpec(ann_ivf_kmeans, _km_sql()),
     "embedding_centroids": QuerySpec(embedding_centroids, CENTROID_SQL),
-    "embedding_pca_top1": QuerySpec(embedding_pca_top1, None),
+    "embedding_pca_top1": QuerySpec(embedding_pca_top1, _pca_sql()),
 }

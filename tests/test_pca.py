@@ -1,8 +1,8 @@
 """embedding_pca_top1 (grouped applyInPandas): invariants + determinism.
-No SQL oracle exists for an eigen decomposition, so the gate is
-property-based: unit norm, non-negative explained variance that matches
-the quadratic form recomputed from raw data, and bitwise determinism
-across runs."""
+The gate hash-checks it against a DuckDB replica of the same power
+iteration; this test adds the property-based angle: unit norm,
+non-negative explained variance that matches the quadratic form
+recomputed from raw data, and bitwise determinism across runs."""
 
 import math
 
@@ -33,7 +33,9 @@ def test_pca_invariants_and_determinism(spark, sf_dir):
     for label, comps in by_label.items():
         v = np.array([comps[d][0] for d in sorted(comps)])
         ev = comps[0][1]
-        assert math.isclose(float(np.linalg.norm(v)), 1.0, abs_tol=2e-5)
+        # components are rounded to 4dp for the cross-engine oracle, so
+        # the norm can drift by up to ~sqrt(64)*5e-5
+        assert math.isclose(float(np.linalg.norm(v)), 1.0, abs_tol=5e-4)
         assert ev > 0
         # explained variance equals the quadratic form on the raw data
         X = np.stack([e for _, e in sorted(vecs_by_label[label])]).astype(np.float64)
