@@ -51,31 +51,37 @@ def scd2_apply(
     ``dim`` must carry the three SCD columns; ``changes`` carries the new
     attribute values + ``effective_from``.
 
-    Multiple change rows for one key within a batch are first compacted
-    to the LATEST row per key (by ``effective_col``): otherwise each
-    change would close out the same current row once per version and
-    append several "current" versions, corrupting the dimension.
-    Intra-batch intermediate versions are intentionally not chained into
-    history — feed batches at the granularity you want preserved.
+    Multiple change rows for one key within a batch CHAIN into history:
+    each version is closed by the next version's ``effective_from``
+    (``lead()`` within the key, ordered by ``effective_col``) and only
+    the last becomes current; the pre-existing current row closes at the
+    FIRST change's ``effective_from``. Two changes sharing one
+    ``effective_from`` produce a zero-duration closed version (which of
+    the tied rows it is follows the window's tie order).
     """
     keys = list(keys)
-    changes = merge_dedup_latest(changes, keys, effective_col)
-    ch_keys = changes.select(*keys, F.col(effective_col).alias("_new_from")).distinct()
+    w = W.partitionBy(*keys).orderBy(F.col(effective_col).asc())
+    versioned = changes.withColumn("_next_from", F.lead(effective_col).over(w))
+    first_change = changes.groupBy(*keys).agg(
+        F.min(effective_col).alias("_new_from")
+    )
 
     closed = (
-        dim.join(ch_keys, keys, "inner")
+        dim.join(first_change, keys, "inner")
         .where(F.col(current_col))
         .withColumn(end_col, F.col("_new_from"))
         .withColumn(current_col, F.lit(False))
         .drop("_new_from")
     )
     untouched = dim.join(
-        ch_keys.select(*keys), keys, "left_anti"
+        first_change.select(*keys), keys, "left_anti"
     ).unionByName(
         # historical (already closed) rows of changed keys pass through
-        dim.join(ch_keys.select(*keys), keys, "left_semi").where(~F.col(current_col))
+        dim.join(first_change.select(*keys), keys, "left_semi").where(
+            ~F.col(current_col)
+        )
     )
-    new_rows = changes.withColumn(end_col, F.lit(None).cast("timestamp")).withColumn(
-        current_col, F.lit(True)
-    )
+    new_rows = versioned.withColumn(
+        end_col, F.col("_next_from").cast("timestamp")
+    ).withColumn(current_col, F.col("_next_from").isNull()).drop("_next_from")
     return untouched.unionByName(closed).unionByName(new_rows)

@@ -61,9 +61,10 @@ def test_scd2_apply(spark):
     assert out.where(F.col("id") == 1).count() == 2
 
 
-def test_scd2_two_changes_same_key_in_one_batch(spark):
-    # ADVICE r1: two intra-batch changes for one key must not duplicate
-    # the closed-out row or leave two is_current versions
+def test_scd2_two_changes_same_key_in_one_batch_chain_into_history(spark):
+    # two intra-batch changes for one key CHAIN: the pre-existing current
+    # row closes at the first change, the first change closes at the
+    # second (lead() within the key), only the last is current
     dim = spark.createDataFrame(
         [("k1", "v0", "2020-01-01 00:00:00", None, True)],
         "id string, val string, effective_from string, effective_to string, is_current boolean",
@@ -79,8 +80,13 @@ def test_scd2_two_changes_same_key_in_one_batch(spark):
     ).select("id", "val", F.to_timestamp("effective_from").alias("effective_from"))
 
     out = scd2_apply(dim, changes, ["id"]).collect()
-    current = [r for r in out if r["is_current"]]
-    closed = [r for r in out if not r["is_current"]]
-    assert len(out) == 2
-    assert [(r["val"]) for r in current] == ["v2"]  # latest change wins
-    assert len(closed) == 1 and closed[0]["val"] == "v0"
+    t21 = datetime.datetime(2021, 1, 1)
+    t22 = datetime.datetime(2022, 1, 1)
+    rows = sorted((r["val"], r["effective_to"], r["is_current"]) for r in out)
+    assert rows == [
+        ("v0", t21, False),   # old current closed at first change
+        ("v1", t22, False),   # intermediate version chained, not dropped
+        ("v2", None, True),   # last change is the one current row
+    ]
+    # exactly one current row per key
+    assert sum(r["is_current"] for r in out) == 1
