@@ -58,11 +58,13 @@ FROM per_session GROUP BY user_id
 
 # ---------------------------------------------------------------------------
 # Ordered funnel: view -> click -> purchase, each step strictly after the
-# user's previous step. ONE shuffle (groupBy user_id) collecting the
-# per-type timestamp lists, then the step chaining is per-row array math
-# (first click after first view, first purchase after that click) — no
-# self-joins of events, no windows over the full stream. Per-user state
-# is bounded by that user's event count.
+# user's previous step. ONE shuffle (partitionBy user_id), then three
+# chained whole-partition window minima: first_view = min view ts,
+# first_click = min click ts strictly after it, first_purchase = min
+# purchase ts strictly after that. No per-user timestamp ARRAYS anywhere
+# — a power-law whale user (tens of millions of events) would OOM a
+# collect_list buffer, while WindowExec's partition buffer spills to
+# disk and each min is one scalar of running state.
 def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     return funnel_over(load(spark, sf, "events"))
 
@@ -70,21 +72,41 @@ def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
 def funnel_over(e: DataFrame) -> DataFrame:
     """Funnel core over any (user_id, event_type, ts) frame — split out so
     tests can property-check it on generated event sets."""
-    per_user = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
-        ).alias("clicks"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
-        ).alias("purchases"),
+    from pyspark.sql import Window as W
+
+    wp = W.partitionBy("user_id")
+    staged_rows = (
+        e.withColumn(
+            "first_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wp),
+        )
+        .withColumn(
+            "first_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).over(wp),
+        )
+        .withColumn(
+            "first_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).over(wp),
+        )
     )
-    staged = per_user.withColumn(
-        "first_click",
-        F.array_min(F.filter(F.col("clicks"), lambda t: t > F.col("first_view"))),
-    ).withColumn(
-        "first_purchase",
-        F.array_min(F.filter(F.col("purchases"), lambda t: t > F.col("first_click"))),
+    # the three firsts are constant per user; collapse without reshuffling
+    # (the groupBy key matches the window partitioning)
+    staged = staged_rows.groupBy("user_id").agg(
+        F.min("first_view").alias("first_view"),
+        F.min("first_click").alias("first_click"),
+        F.min("first_purchase").alias("first_purchase"),
     )
     s = staged.agg(
         F.count("first_view").alias("n_view"),
