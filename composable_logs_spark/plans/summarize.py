@@ -157,9 +157,12 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
         F.lit("attribute-conflict").alias("kind"),
         F.col("key").alias("detail"),
     )
+    # conflict winner: array_min, not getItem(0) — collect_set's order is
+    # nondeterministic; conflicts are reported separately above, but the
+    # surviving value must be stable run-to-run
     task_attrs = task_attr_union.groupBy(*task_keys).agg(
         F.map_from_entries(
-            F.collect_list(F.struct(F.col("key"), F.col("vals").getItem(0).alias("value")))
+            F.collect_list(F.struct(F.col("key"), F.array_min("vals").alias("value")))
         ).alias("task_attributes")
     )
 
@@ -172,7 +175,7 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
     )
     wf_attrs = wf_attr_union.groupBy("run_id").agg(
         F.map_from_entries(
-            F.collect_list(F.struct(F.col("key"), F.col("vals").getItem(0).alias("value")))
+            F.collect_list(F.struct(F.col("key"), F.array_min("vals").alias("value")))
         ).alias("workflow_attributes")
     )
 

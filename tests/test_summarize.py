@@ -141,3 +141,30 @@ def test_multi_run_grouping(spark):
     assert len(fails) == 1 and fails.pop()[1] == "g"
     wf = {r["run_id"]: r["is_success"] for r in s.workflow_runs.collect()}
     assert sorted(wf.values()) == [False, True, True]
+
+
+def test_attr_conflict_reported_and_winner_deterministic(spark):
+    # inject a conflicting task.* value on a subtree child: the conflict
+    # must be REPORTED, and the surviving value must be the array_min
+    # (stable run-to-run), not collect_set's arbitrary first element
+    spans = FX.compose3()
+    task_span = next(
+        s for s in spans if s.get("attributes", {}).get("task.id") == "input_1"
+    )
+    child = next(
+        s for s in spans if s.get("parent_id") == task_span["context"]["span_id"]
+    )
+    child.setdefault("attributes", {})["task.x"] = "0"  # task span says "1"
+
+    outs = []
+    for _ in range(2):
+        s = _summary(spark, spans)
+        errs = [
+            (r["kind"], r["detail"]) for r in s.validation_errors.collect()
+        ]
+        assert ("attribute-conflict", "task.x") in errs
+        row = next(
+            r for r in s.task_runs.collect() if r["task_id"] == "input_1"
+        )
+        outs.append(row["attributes"]["task.x"])
+    assert outs == ["0", "0"]  # min("0", "1") — deterministic winner
