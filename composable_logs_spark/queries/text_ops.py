@@ -494,40 +494,63 @@ WHERE rank <= 3
 #
 # Chars come from regexp_extract_all(text, '.') on BOTH engines (split on
 # the empty string differs between them: Java regex split may keep a
-# trailing empty match). The histogram is transform-over-distinct with an
-# inner filter — O(n·d) per doc with d = alphabet size, no explode. ln()
-# can differ by 1 ulp between JDK and libm, so entropy is rounded to 4dp;
-# with ~1e-15 accumulated noise the flip probability at a 0.00005
-# boundary is negligible.
+# trailing empty match). The histogram is ONE aggregate pass over the
+# SORTED char array: a (prev, run_length, sum) struct accumulator closes
+# each run with its entropy term — O(n log n) sort + O(n) pass instead of
+# the former O(n·d) filter-per-distinct-char. ln() can differ by 1 ulp
+# between JDK and libm and the two engines sum terms in different char
+# orders, so entropy is rounded to 4dp; with ~1e-15 accumulated noise the
+# flip probability at a 0.00005 boundary is negligible. Empty docs yield
+# 0.0 on both engines (coalesce guards DuckDB's NULL list_sum).
 def text_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     chars = F.expr("regexp_extract_all(text, '.', 0)")
-    return (
-        d.select("doc_id", chars.alias("chars"))
-        .select(
-            "doc_id",
-            F.size("chars").alias("n_chars_total"),
-            F.size(F.array_distinct("chars")).alias("n_distinct_chars"),
-            F.transform(
-                F.array_distinct("chars"),
-                lambda c: F.size(F.filter(F.col("chars"), lambda x: x == c)),
-            ).alias("cnts"),
+    base = d.select(
+        "doc_id",
+        F.size(chars).alias("n_chars_total"),
+        F.size(F.array_distinct(chars)).alias("n_distinct_chars"),
+        F.array_sort(chars).alias("schars"),
+    )
+
+    n = F.col("n_chars_total").cast("double")
+
+    def term(run):
+        p = run.cast("double") / n
+        return p * F.log(p)
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0.0).alias("s"),
+    )
+
+    def step(acc, c):
+        return F.when(
+            acc["prev"].isNull() | (acc["prev"] == c),
+            F.struct(
+                c.alias("prev"),
+                (acc["run"] + F.lit(1).cast("long")).alias("run"),
+                acc["s"].alias("s"),
+            ),
+        ).otherwise(
+            F.struct(
+                c.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                (acc["s"] + term(acc["run"])).alias("s"),
+            )
         )
-        .select(
-            "doc_id",
-            "n_chars_total",
-            "n_distinct_chars",
-            F.round(
-                -F.aggregate(
-                    F.col("cnts"),
-                    F.lit(0.0),
-                    lambda acc, c: acc
-                    + (c.cast("double") / F.col("n_chars_total"))
-                    * F.log(c.cast("double") / F.col("n_chars_total")),
-                ),
-                4,
-            ).alias("entropy_nats"),
-        )
+
+    def fin(acc):
+        return F.when(acc["run"] > 0, acc["s"] + term(acc["run"])).otherwise(F.lit(0.0))
+
+    return base.select(
+        "doc_id",
+        "n_chars_total",
+        "n_distinct_chars",
+        # + 0.0 canonicalises the empty-doc -0.0
+        F.round(-F.aggregate(F.col("schars"), init, step, fin) + F.lit(0.0), 4).alias(
+            "entropy_nats"
+        ),
     )
 
 
@@ -535,10 +558,10 @@ ENTROPY_SQL = """
 SELECT doc_id,
        CAST(len(chars) AS INT) AS n_chars_total,
        CAST(len(list_distinct(chars)) AS INT) AS n_distinct_chars,
-       round(-list_sum(list_transform(list_distinct(chars),
+       coalesce(round(-list_sum(list_transform(list_distinct(chars),
               c -> (CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / len(chars))
                    * ln(CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE) / len(chars))
-            )), 4) AS entropy_nats
+            )), 4), 0.0) AS entropy_nats
 FROM (SELECT doc_id, regexp_extract_all(text, '.') AS chars FROM documents)
 """
 
