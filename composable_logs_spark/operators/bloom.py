@@ -72,31 +72,36 @@ def bloom_prefilter(
     exploded.  A key's k positions can land in k different words, so
     each position is its own lookup.
     """
+    import uuid
+
+    # unique per-call prefix: a caller column literally named _p0/_w0/...
+    # must not be silently shadowed
+    t = f"_bloom_{uuid.uuid4().hex[:8]}"
     out = df
     checks = []
     for i in range(k):
         pos = F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(n_bits))
         out = (
-            out.withColumn(f"_p{i}", pos)
-            .withColumn(f"_w{i}", (F.col(f"_p{i}") / 64).cast("long"))
+            out.withColumn(f"{t}_p{i}", pos)
+            .withColumn(f"{t}_w{i}", (F.col(f"{t}_p{i}") / 64).cast("long"))
             .withColumn(
-                f"_m{i}",
-                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 64 AS INT))"),
+                f"{t}_m{i}",
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({t}_p{i} % 64 AS INT))"),
             )
             .join(
                 F.broadcast(
                     bloom.select(
-                        F.col("word_idx").alias(f"_bw{i}"),
-                        F.col("bits").alias(f"_bb{i}"),
+                        F.col("word_idx").alias(f"{t}_bw{i}"),
+                        F.col("bits").alias(f"{t}_bb{i}"),
                     )
                 ),
-                F.col(f"_w{i}") == F.col(f"_bw{i}"),
+                F.col(f"{t}_w{i}") == F.col(f"{t}_bw{i}"),
                 "left",
             )
         )
         checks.append(
-            F.col(f"_bb{i}").isNotNull()
-            & (F.col(f"_bb{i}").bitwiseAND(F.col(f"_m{i}")) == F.col(f"_m{i}"))
+            F.col(f"{t}_bb{i}").isNotNull()
+            & (F.col(f"{t}_bb{i}").bitwiseAND(F.col(f"{t}_m{i}")) == F.col(f"{t}_m{i}"))
         )
     cond = checks[0]
     for c in checks[1:]:

@@ -9,11 +9,12 @@ Design for 100 TB media processing on Spark:
 - Ingest: ``spark.read.format("binaryFile")`` (path, modificationTime,
   length, content) or any table with a binary column.
 - Processing: Arrow-batched ``mapInPandas`` — bytes cross the JVM→Python
-  boundary once per batch, not per row. Each operator below keeps the
-  Spark-side plumbing (schema, partitioning, batch shape) real; the
-  codec-dependent inner step (JPEG decode, audio resample, video frame
-  extraction) is STUBBED as noted, since no media libraries ship in this
-  environment — swap ``_decode_stub`` for PIL/librosa/pyav in production.
+  boundary once per batch, not per row. The default codec is the REAL
+  dependency-free ``codecs.stdlib_codec`` (PNM images, WAV PCM audio,
+  concatenated-PNM video streams — actual byte-level decode/resize/
+  frame-sampling); formats needing external libraries (JPEG/MP4/...)
+  raise NotImplementedError until production injects a PIL/librosa/pyav
+  wrapper through the same ``codec=`` seam.
 
 reference parity note: the reference has no media pipeline; this extends
 the artefact model (SURVEY §2.10) where binary artifacts already flow
@@ -94,10 +95,11 @@ def synthetic_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def _decode_stub(payload: bytes, kind: str, op: str = "decode", **kwargs):
-    """STUB default codec. Production: PIL.Image.open / librosa.load /
-    av.open. Raises so callers explicitly opt into the fake.
+    """Raising codec, for callers that want plumbing-only runs to fail
+    fast rather than touch payload bytes.
 
-    Codec contract (any callable with this signature can be injected):
+    Codec contract (any callable with this signature can be injected;
+    ``codecs.stdlib_codec`` is the real default):
       codec(payload, kind, op="decode")                  -> {"pixels": bytes}
       codec(payload, kind, op="resize", width=, height=) -> {"payload": bytes,
                                                              "width": int, "height": int}
@@ -105,9 +107,15 @@ def _decode_stub(payload: bytes, kind: str, op: str = "decode", **kwargs):
                                           [(frame_idx, frame_ms, frame_bytes), ...]}
     """
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use deterministic_features=True or inject a codec callable"
+        "explicit no-codec mode; inject a codec callable "
+        "(default operators use codecs.stdlib_codec)"
     )
+
+
+def _default_codec():
+    from .codecs import stdlib_codec
+
+    return stdlib_codec
 
 
 _FEATURE_DIM = 16
@@ -121,8 +129,8 @@ def extract_features(
 
     With ``deterministic_features`` the inner step is a real computation
     on raw bytes (16-bucket byte histogram, normalised) — codec-free and
-    deterministic. With it off, the injected ``codec`` (see
-    ``_decode_stub`` for the contract; it IS the default) decodes each
+    deterministic. With it off, the injected ``codec`` (contract on ``_decode_stub``;
+    default ``codecs.stdlib_codec``) decodes each
     payload and the histogram runs over the decoded pixels instead —
     production injects a PIL/librosa wrapper without editing this
     operator.
@@ -135,7 +143,7 @@ def extract_features(
             T.StructField("features", T.ArrayType(T.DoubleType())),
         ]
     )
-    codec = codec or _decode_stub
+    codec = codec or _default_codec()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -167,12 +175,12 @@ def extract_features(
 
 def resize_images(media: DataFrame, width: int, height: int, codec=None) -> DataFrame:
     """Image resize operator — full Spark plumbing; the pixel work comes
-    from the injected ``codec`` (default: stub that raises on first row).
+    from the injected ``codec`` (default: real ``codecs.stdlib_codec``).
 
     Returns the same MEDIA_SCHEMA with payload replaced by the codec's
     re-encoded bytes and meta.width/height set to the target size."""
     out_schema = media.schema
-    codec = codec or _decode_stub
+    codec = codec or _default_codec()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -180,7 +188,10 @@ def resize_images(media: DataFrame, width: int, height: int, codec=None) -> Data
             for payload, kind, meta in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
                 out = codec(bytes(payload), kind, op="resize", width=width, height=height)
                 payloads.append(out["payload"])
-                meta = dict(meta)
+                meta = dict(meta) if meta is not None else {
+                    "mime": None, "width": None, "height": None,
+                    "duration_ms": None, "n_bytes": None,
+                }
                 meta["width"] = out["width"]
                 meta["height"] = out["height"]
                 meta["n_bytes"] = len(out["payload"])
@@ -193,7 +204,7 @@ def resize_images(media: DataFrame, width: int, height: int, codec=None) -> Data
 
 def sample_video_frames(media: DataFrame, every_ms: int = 1000, codec=None) -> DataFrame:
     """Frame-sampling operator — one output row per sampled frame, frames
-    produced by the injected ``codec`` (default: stub that raises).
+    produced by the injected ``codec`` (default: real ``codecs.stdlib_codec``).
     The explode shape, schema and Arrow batching are codec-independent."""
     out_schema = T.StructType(
         [
@@ -203,7 +214,7 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000, codec=None) -> D
             T.StructField("frame_payload", T.BinaryType()),
         ]
     )
-    codec = codec or _decode_stub
+    codec = codec or _default_codec()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -60,3 +60,15 @@ def test_schema_preserved(spark):
     out = bloom_prefilter(probe, "key", filt, N_BITS, K)
     assert out.columns == ["key", "payload"]
     assert out.count() == 10
+
+
+def test_prefilter_survives_adversarial_column_names(spark):
+    # caller columns named like the old hardcoded temporaries must not be
+    # shadowed by the operator's internals
+    build = spark.createDataFrame([(1,), (2,)], "k long")
+    probe = spark.createDataFrame(
+        [(1, 10, 11), (3, 30, 31)], "k long, _p0 long, _bb0 long"
+    )
+    bl = bloom_build(build, "k")
+    out = bloom_prefilter(probe, "k", bl).collect()
+    assert [(r["k"], r["_p0"], r["_bb0"]) for r in out] == [(1, 10, 11)]

@@ -1,7 +1,9 @@
 """Injectable media codec (VERDICT r1 #7): the three codec-dependent
 operators must accept a codec callable, route every payload through it,
 and keep the Spark-side plumbing (schema, batching, explode shape) intact.
-The default stub must still raise so nobody silently ships fake pixels."""
+The default (real) codec must still raise on undecodable payloads so
+nobody silently ships fake pixels; real-format coverage is in
+test_codecs.py."""
 
 import pytest
 
@@ -80,7 +82,9 @@ def test_sample_video_frames_with_codec(spark, media):
         assert {f["frame_ms"] for f in frames} == {0, 500, 1000}
 
 
-def test_default_codec_still_raises(spark, media):
+def test_default_codec_raises_on_undecodable_payload(spark, media):
+    # media here is utf-8 text bytes, not PNM/WAV — the real default
+    # codec must refuse rather than fabricate pixels
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PythonException
 
