@@ -2,9 +2,15 @@
 
 Reference: write_spans_to_output_directory_structure
 (cli_pynb_log_parser.py:38-81): one directory per task run named
-``{type}-task--{task_id}--{span_id}--{OK|FAILED}`` containing
-``run-time-metadata.json`` plus the decoded artifact files; a top-level
-``run-time-metadata.json`` describes the workflow run.
+``{type}-task--{task_id}--{span_id}--{OK|FAILED}`` (task_id's ``/`` and
+``.`` replaced by ``-``, :59-70) containing ``run-time-metadata.json``
+plus the decoded artifact files under ``artifacts/`` (:76-81); a
+top-level ``run-time-metadata.json`` describes the workflow run (:50-52).
+
+Single-run inputs reproduce that layout EXACTLY at ``out_dir``; with
+multiple runs in one span table (an extension — the reference CLI is
+one-run-per-invocation) each run gets the reference layout inside its
+own ``{run_id}/`` subdirectory.
 
 The summary DataFrames are distributed; the artifact blobs are written
 from collected per-run partitions — a per-run reporting tree is small by
@@ -26,8 +32,9 @@ from ..plans.summarize import SpanSummary
 
 def _safe_name(s: str) -> str:
     """Path-safety (reference F6, cli_pynb_log_parser.py:25-28 + dir-name
-    building :59-70): no separators/dots in components."""
-    return re.sub(r"[/.]", "_", s)
+    building :59-70): ``/`` and ``.`` become ``-``, as the reference's
+    ``task_dir`` builder does."""
+    return re.sub(r"[/.]", "-", s)
 
 
 def _safe_artifact_name(s: str) -> str:
@@ -58,8 +65,14 @@ def write_spans_to_directory(summary: SpanSummary, out_dir: str | Path) -> list[
     artifacts = [r.asDict() for r in summary.artifacts.collect()]
     values = [r.asDict() for r in summary.logged_values.collect()]
 
+    # single run -> reference-identical layout directly at out_dir
+    def run_base(run_id: str) -> Path:
+        if len(workflows) == 1:
+            return base
+        return safe_path(base, _safe_name(run_id))
+
     for run_id, wf in workflows.items():
-        run_dir = safe_path(base, _safe_name(run_id))
+        run_dir = run_base(run_id)
         run_dir.mkdir(parents=True, exist_ok=True)
         meta = {
             "run_id": run_id,
@@ -73,11 +86,16 @@ def write_spans_to_directory(summary: SpanSummary, out_dir: str | Path) -> list[
 
     for t in tasks:
         status = "OK" if t["is_success"] else "FAILED"
-        dir_name = (
-            f"{t['task_type'] or 'python'}-task--{_safe_name(t['task_id'] or 'unknown')}"
-            f"--{t['span_id']}--{status}"
+        dir_name = "--".join(
+            [
+                f"{t['task_type'] or 'python'}-task",
+                _safe_name(t["task_id"] or "unknown"),
+                t["span_id"],
+                status,
+            ]
         )
-        task_dir = safe_path(base, _safe_name(t["run_id"]), dir_name)
+        rb = run_base(t["run_id"])
+        task_dir = safe_path(rb, dir_name)
         task_dir.mkdir(parents=True, exist_ok=True)
         meta = {
             "task_id": t["task_id"],
@@ -96,10 +114,12 @@ def write_spans_to_directory(summary: SpanSummary, out_dir: str | Path) -> list[
         p.write_text(json.dumps(meta, indent=2, default=str))
         created.append(str(p))
 
+        # artifacts live under an artifacts/ subdirectory
+        # (cli_pynb_log_parser.py:76-81)
         for a in artifacts:
             if a["task_span_id"] == t["span_id"] and a["run_id"] == t["run_id"]:
                 ap = safe_path(
-                    base, _safe_name(t["run_id"]), dir_name, _safe_artifact_name(a["name"])
+                    rb, dir_name, "artifacts", _safe_artifact_name(a["name"])
                 )
                 ap.parent.mkdir(parents=True, exist_ok=True)
                 ap.write_bytes(bytes(a["content"]))

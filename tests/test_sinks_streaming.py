@@ -26,19 +26,21 @@ from conftest import spans_df
 
 
 def test_directory_sink(spark, tmp_path):
+    # single run -> reference-identical layout at the base directory
+    # (cli_pynb_log_parser.py:38-81): task dirs + top-level metadata json
     s = summarize_spans(spans_df(spark, FX.logged_values_fixture(4)))
     created = write_spans_to_directory(s, tmp_path)
-    # per-task dirs named {type}-task--{id}--{span}--{status}
-    task_dirs = [p for p in Path(tmp_path).glob("*/python-task--*")]
+    task_dirs = [p for p in Path(tmp_path).glob("python-task--*")]
     assert len(task_dirs) == 3
     assert all("--OK" in p.name for p in task_dirs)
-    # artifacts decoded to files
-    pngs = list(Path(tmp_path).glob("*/*/plot.png"))
+    assert (Path(tmp_path) / "run-time-metadata.json").exists()
+    # artifacts decoded to files under artifacts/ (reference :76-81)
+    pngs = list(Path(tmp_path).glob("*/artifacts/plot.png"))
     assert len(pngs) == 1
     assert pngs[0].read_bytes() == bytes(range(256)) * 4
     # metadata json includes logged values
     meta = json.loads(
-        next(Path(tmp_path).glob("*/python-task--h--*/run-time-metadata.json")).read_text()
+        next(Path(tmp_path).glob("python-task--h--*/run-time-metadata.json")).read_text()
     )
     assert meta["logged_values"]["an_int"] == 42
     assert meta["is_success"] is True
@@ -47,8 +49,48 @@ def test_directory_sink(spark, tmp_path):
 def test_directory_sink_failed_status(spark, tmp_path):
     s = summarize_spans(spans_df(spark, FX.parallel_fail(1)))
     write_spans_to_directory(s, tmp_path)
-    assert len(list(Path(tmp_path).glob("*/python-task--g--*--FAILED"))) == 1
-    assert len(list(Path(tmp_path).glob("*/*--OK"))) == 2
+    assert len(list(Path(tmp_path).glob("python-task--g--*--FAILED"))) == 1
+    assert len(list(Path(tmp_path).glob("*--OK"))) == 2
+
+
+def test_directory_sink_reference_golden_parity(spark, tmp_path):
+    """Byte-for-byte naming parity with the reference's task_dir builder
+    (cli_pynb_log_parser.py:59-70): '--'.join([f'{type}-task',
+    id.replace('/','-').replace('.','-'), span_id, OK|FAILED])."""
+    spans = FX.compose3(7)
+    # give one task an id exercising the '/' and '.' replacements
+    for s in spans:
+        if s.get("attributes", {}).get("task.id") == "input_1":
+            s["attributes"]["task.id"] = "nb/ingest.py"
+    summary = summarize_spans(spans_df(spark, spans))
+    write_spans_to_directory(summary, tmp_path)
+    rows = {r["task_id"]: r for r in summary.task_runs.collect()}
+
+    def ref_task_dir(t):  # the reference's expression, verbatim semantics
+        return "--".join(
+            [
+                f"{t['task_type']}-task",
+                t["task_id"].replace("/", "-").replace(".", "-"),
+                t["span_id"],
+                "OK" if t["is_success"] else "FAILED",
+            ]
+        )
+
+    expected = {ref_task_dir(t) for t in rows.values()}
+    got = {p.name for p in Path(tmp_path).iterdir() if p.is_dir()}
+    assert expected == got
+    assert "python-task--nb-ingest-py--" in "".join(sorted(got))
+
+
+def test_directory_sink_multi_run_layout(spark, tmp_path):
+    spans = FX.compose3(0) + FX.parallel_fail(1)
+    s = summarize_spans(spans_df(spark, spans))
+    write_spans_to_directory(s, tmp_path)
+    run_dirs = [p for p in Path(tmp_path).iterdir() if p.is_dir()]
+    assert len(run_dirs) == 2
+    for rd in run_dirs:
+        assert (rd / "run-time-metadata.json").exists()
+        assert list(rd.glob("python-task--*"))
 
 
 def test_mermaid_dag(spark):
