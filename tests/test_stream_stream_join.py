@@ -75,3 +75,19 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 3  # u1 x2 + u2 x1; u3 unmatched
+
+
+def test_interval_join_on_ntz_parquet_events(spark, sf_dir):
+    """PySpark 4.x reads the testdata's timestamp[us] parquet as
+    TIMESTAMP_NTZ; the join's lag computation must survive that (the
+    unix_micros-on-raw-NTZ analysis error, ADVICE r4)."""
+    from composable_logs_spark.queries import load
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = interval_join_streams(clicks, purchases, max_lag_s=3600)
+    rows = out.limit(50).collect()
+    assert rows, "expected at least one click-before-purchase pair"
+    assert all(0 <= r["lag_us"] <= 3600 * 1_000_000 for r in rows)
