@@ -60,13 +60,15 @@ def pynb_log_parser(argv: list[str]) -> int:
         if out.suffix != ".mmd":
             raise SystemExit("--output_filepath_mermaid_dag must end in .mmd")
         out.parent.mkdir(parents=True, exist_ok=True)
-        dag_text = "\n".join(make_mermaid_dag(summary, rid) for rid in run_ids)
+        dag_text = "\n".join(
+            make_mermaid_dag(summary, rid, generate_links=True) for rid in run_ids
+        )
         out.write_text(dag_text)
         # reference also writes a -nolinks variant (cli_pynb_log_parser.py:134-146)
         nolinks = "\n".join(
-            line for line in dag_text.splitlines() if not line.strip().startswith("click ")
+            make_mermaid_dag(summary, rid, generate_links=False) for rid in run_ids
         )
-        out.with_name(out.name.replace(".mmd", "-nolinks.mmd")).write_text(nolinks + "\n")
+        out.with_name(out.name.replace(".mmd", "-nolinks.mmd")).write_text(nolinks)
 
     print(" - Done")
     return 0

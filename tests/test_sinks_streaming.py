@@ -94,14 +94,23 @@ def test_directory_sink_multi_run_layout(spark, tmp_path):
 
 
 def test_mermaid_dag(spark):
+    # reference input-file format (mermaid_graphs.py:49-114):
+    # TASK_SPAN_ID_ node ids, header "{id} ({Type} task)", <a href> links
+    # with sorted task.* attribute lines, comment banner
     s = summarize_spans(spans_df(spark, FX.compose3(0)))
     run_id = s.workflow_runs.collect()[0]["run_id"]
     mmd = make_mermaid_dag(s, run_id)
     assert mmd.startswith("graph LR")
-    assert "input_1 (1s)" in mmd
-    assert "process (1.2s)" in mmd or "process (1.3s)" in mmd
+    assert "%% See https://mermaid-js.github.io/mermaid" in mmd
+    assert "TASK_SPAN_ID_0x" in mmd
+    assert "<b>input_1 (Python task) 🔗</b>" in mmd
+    assert "task.x=1" in mmd
     assert mmd.count("-->") == 2
-    assert "#/experiments/input_1/runs/" in mmd
+    assert "/#/experiments/input_1/runs/" in mmd
+    # nolinks variant: plain headers, no <a href>
+    nolinks = make_mermaid_dag(s, run_id, generate_links=False)
+    assert "<a href" not in nolinks
+    assert '["input_1 (Python task)"]' in nolinks
 
 
 def test_mermaid_dag_marks_failures(spark):
@@ -116,7 +125,10 @@ def test_mermaid_gantt(spark):
     run_id = s.workflow_runs.collect()[0]["run_id"]
     g = make_mermaid_gantt(s, run_id)
     assert g.startswith("gantt")
-    assert "input_1" in g and "process" in g
+    assert "    dateFormat x" in g  # unix-ms timestamps, reference :117-161
+    assert "    section input_1 (Python task)" in g
+    assert "    section process (Python task)" in g
+    assert " - OK : " in g
 
 
 def test_static_data_sink(spark, tmp_path):
