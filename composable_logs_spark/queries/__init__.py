@@ -83,6 +83,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity_q,
         span_q,
         span_ops_q,
+        corpus_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -106,6 +107,7 @@ def all_queries() -> dict[str, QuerySpec]:
         similarity_q,
         span_q,
         span_ops_q,
+        corpus_q,
     ):
         out.update(mod.QUERIES)
     return out

@@ -1,0 +1,120 @@
+"""Corpus-wide line-level dedup — the CCNet/C4 boilerplate-removal pass.
+
+Per-document line filters (``text_c4_filters``) can't catch boilerplate
+that is only recognisable ACROSS documents: navigation chrome, cookie
+banners, subscribe footers repeated on thousands of pages. The standard
+pipeline pass (CCNet, C4, RefinedWeb all do a variant) is:
+
+1. explode documents into (doc_id, pos, line),
+2. count each trimmed line's DOCUMENT frequency corpus-wide,
+3. drop lines appearing in >= K distinct documents,
+4. reassemble each document from its surviving lines in order.
+
+Scale shape: the document-frequency aggregate is the one heavy shuffle
+(distinct (line, doc) then count, both map-side combined); the
+boilerplate set it yields is the FREQUENT tail only — orders of
+magnitude smaller than the corpus — so the filtering join broadcasts at
+real scale. Reassembly shuffles once on doc_id; per-doc state is that
+document's own lines (bounded by document size, not corpus size).
+
+The evaluation corpus plants boilerplate deterministically (variant
+docs wrapped in a subscribe header + copyright footer, ids offset as in
+``dedup_q``), so the operator has known positives and the DuckDB oracle
+checks the full pipeline value-for-value, including exact reassembly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import QuerySpec, load
+
+_VARIANT_OFFSET = 100000
+_LD_THRESHOLD = 3  # drop lines present in >= 3 distinct docs
+_BOILER_TOP = "Subscribe to our newsletter for updates."
+_BOILER_BOT = "(c) Example Corp. All rights reserved."
+
+
+def corpus_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + _VARIANT_OFFSET).alias("doc_id"),
+            F.concat(
+                F.lit(_BOILER_TOP + "\n"), F.col("text"), F.lit("\n" + _BOILER_BOT)
+            ).alias("text"),
+        )
+    )
+    lines = corpus.select(
+        "doc_id", F.posexplode(F.split("text", "\n", -1)).alias("pos", "line")
+    )
+    # document frequency per trimmed line (two map-side-combined aggs)
+    docfreq = (
+        lines.select(F.trim("line").alias("key"), "doc_id")
+        .distinct()
+        .groupBy("key")
+        .agg(F.count("*").alias("docfreq"))
+    )
+    # the frequent tail only — broadcastable at scale
+    boiler = docfreq.where(F.col("docfreq") >= _LD_THRESHOLD).select(
+        F.col("key").alias("bkey")
+    )
+    flagged = lines.join(
+        F.broadcast(boiler), F.trim(F.col("line")) == F.col("bkey"), "left"
+    ).select("doc_id", "pos", "line", F.col("bkey").isNotNull().alias("is_boiler"))
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_lines"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).cast("int").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                # collect_list skips the nulls the when() leaves for
+                # boilerplate lines; struct sort restores document order
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("is_boiler"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )
+
+
+LINE_DEDUP_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_VARIANT_OFFSET},
+         '{_BOILER_TOP}' || chr(10) || text || chr(10) || '{_BOILER_BOT}'
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM corpus
+),
+docfreq AS (
+  SELECT trim(line) AS key, count(*) AS docfreq
+  FROM (SELECT DISTINCT trim(line) AS line, doc_id FROM lines) x
+  GROUP BY trim(line)
+),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line,
+         coalesce(d.docfreq >= {_LD_THRESHOLD}, FALSE) AS is_boiler
+  FROM lines l LEFT JOIN docfreq d ON trim(l.line) = d.key
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_lines,
+       CAST(count(*) FILTER (WHERE is_boiler) AS INT) AS n_dropped,
+       coalesce(array_to_string(list(line ORDER BY pos) FILTER (WHERE NOT is_boiler),
+                                chr(10)), '') AS cleaned_text
+FROM flagged GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "corpus_line_dedup": QuerySpec(corpus_line_dedup, LINE_DEDUP_SQL),
+}
