@@ -302,6 +302,210 @@ SELECT query_id, neighbor_id, cell, cosine, rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# Product quantization + asymmetric distance computation (PQ-ADC) — the
+# memory-bounded ANN scale path: 64-dim vectors compress to _PQ_M
+# one-byte codes (a 16x memory cut at these parameters; real deployments
+# use 8-32x), and query-time distance is a TABLE LOOKUP, not vector
+# math.
+#
+# - Train: independent k-means per 16-dim subspace (same deterministic
+#   unrolled Lloyd recipe as ann_ivf_kmeans: round-6dp distances,
+#   cell-id tie-break, round-6dp centroid means).
+# - Encode: each corpus vector -> _PQ_M nearest-codeword ids. At 100 TB
+#   the codes table is what lives in memory; raw vectors stay on disk.
+# - Search: per-query distance table (queries x subspaces x codewords =
+#   tiny, broadcast) joins the codes on (subspace, code); per-pair ADC
+#   distance is an integer sum of the 4 looked-up cells (scaled-integer:
+#   bit-exact across engines), then the salted two-phase top-k.
+_PQ_M = 4          # subspaces
+_PQ_SUBDIM = 16    # dims per subspace (4 x 16 = 64)
+_PQ_K = 8          # codewords per subspace
+_PQ_ITERS = 2
+
+
+def _pq_subvectors(df: DataFrame, vec_col: str = "vec") -> DataFrame:
+    """(vec_id, vec) -> (vec_id, m, svec): one row per subspace slice."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(F.col(vec_col), m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("svec"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    return df.select("vec_id", F.explode(slices).alias("s")).select(
+        "vec_id", "s.m", "s.svec"
+    )
+
+
+def _pq_assign(subvecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest codeword per (vec_id, m): join on subspace, argmin with
+    round-6dp distance and cell tie-break (cross-engine deterministic)."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("svec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        subvecs.join(F.broadcast(cents), "m")
+        .withColumn("dist_r", F.round(d2, 6))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist_r", "cell")).alias("_a"), F.first("svec").alias("svec"))
+        .select("vec_id", "m", F.col("_a.cell").alias("cell"), "svec")
+    )
+
+
+def _pq_recompute(assigned: DataFrame) -> DataFrame:
+    per_dim = (
+        assigned.select("m", "cell", F.posexplode("svec").alias("dim", "val"))
+        .groupBy("m", "cell", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("mu"))
+    )
+    return per_dim.groupBy("m", "cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+        ).alias("cvec")
+    )
+
+
+def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = load(spark, sf, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    subvecs = _pq_subvectors(corpus)
+    cents = subvecs.where(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").cast("int").alias("cell"), F.col("svec").alias("cvec")
+    )
+    for _ in range(_PQ_ITERS):
+        cents = _pq_recompute(_pq_assign(subvecs, cents))
+    codes = _pq_assign(subvecs, cents).select("vec_id", "m", "cell")
+
+    qsub = _pq_subvectors(corpus.where(F.col("vec_id") < _N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("svec").alias("qsvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qsvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    # scaled-integer lookup cells: the 4-term ADC sum is exact longs, so
+    # parallel summation order cannot flip the hash
+    dtab = (
+        qsub.join(F.broadcast(cents), "m")
+        .select(
+            "query_id",
+            "m",
+            "cell",
+            F.round(d2 * 1e6).cast("long").alias("d2_micro"),
+        )
+    )
+    pairs = (
+        codes.join(F.broadcast(dtab), ["m", "cell"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d2_micro") / 1e6, 4).alias("adc_dist"))
+    )
+    # salted two-phase top-k, ascending distance (see _topk_two_phase)
+    salted = pairs.withColumn(
+        "_salt", F.pmod(F.hash(F.col("vec_id")), F.lit(_SALT_BUCKETS))
+    )
+    order = [F.col("adc_dist").asc(), F.col("vec_id")]
+    local = (
+        salted.withColumn(
+            "_lr", F.row_number().over(W.partitionBy("query_id", "_salt").orderBy(*order))
+        )
+        .where(F.col("_lr") <= _TOP_K)
+    )
+    return (
+        local.withColumn(
+            "rank", F.row_number().over(W.partitionBy("query_id").orderBy(*order))
+        )
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist", "rank")
+    )
+
+
+def _pq_sql() -> str:
+    sub = f"""(
+  SELECT vec_id, m, list_slice(vec, m * {_PQ_SUBDIM} + 1, (m + 1) * {_PQ_SUBDIM}) AS svec
+  FROM {{src}} CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m)
+)"""
+
+    def assign(cent_cte: str) -> str:
+        return f"""(
+  SELECT vec_id, m, cell, svec FROM (
+    SELECT s.vec_id, s.m, c.cell, s.svec,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY round(list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
+                        j -> (s.svec[j] - c.cvec[j]) * (s.svec[j] - c.cvec[j]))), 6),
+                      c.cell) AS rn
+    FROM subvecs s JOIN {cent_cte} c USING (m)
+  ) WHERE rn = 1
+)"""
+
+    def recompute(assign_cte: str) -> str:
+        return f"""(
+  SELECT m, cell, list(mu ORDER BY dim) AS cvec FROM (
+    SELECT m, cell, dim, round(avg(val), 6) AS mu
+    FROM (SELECT m, cell, unnest(svec) AS val, generate_subscripts(svec, 1) AS dim
+          FROM {assign_cte})
+    GROUP BY m, cell, dim
+  ) GROUP BY m, cell
+)"""
+
+    ctes = [
+        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
+        "subvecs AS " + sub.format(src="corpus"),
+        f"""cent0 AS (
+  SELECT m, CAST(vec_id AS INT) AS cell, svec AS cvec
+  FROM subvecs WHERE vec_id < {_PQ_K}
+)""",
+    ]
+    prev = "cent0"
+    for i in range(1, _PQ_ITERS + 1):
+        ctes.append(f"assign{i} AS {assign(prev)}")
+        ctes.append(f"cent{i} AS {recompute(f'assign{i}')}")
+        prev = f"cent{i}"
+    ctes.append(f"codes AS (SELECT vec_id, m, cell FROM {assign(prev)})")
+    ctes.append(
+        f"""qsub AS (
+  SELECT vec_id AS query_id, m, svec AS qsvec
+  FROM subvecs WHERE vec_id < {_N_QUERIES}
+)"""
+    )
+    ctes.append(
+        f"""dtab AS (
+  SELECT q.query_id, q.m, c.cell,
+         CAST(round(list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
+                j -> (q.qsvec[j] - c.cvec[j]) * (q.qsvec[j] - c.cvec[j]))) * 1000000, 0)
+              AS BIGINT) AS d2_micro
+  FROM qsub q JOIN {prev} c USING (m)
+)"""
+    )
+    ctes.append(
+        """pairs AS (
+  SELECT d.query_id, co.vec_id, round(sum(d.d2_micro) / 1000000.0, 4) AS adc_dist
+  FROM codes co JOIN dtab d ON co.m = d.m AND co.cell = d.cell
+  WHERE co.vec_id <> d.query_id
+  GROUP BY d.query_id, co.vec_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, vec_id AS neighbor_id, adc_dist, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist ASC, vec_id) AS INT) AS rank
+  FROM pairs
+) WHERE rank <= {_TOP_K}
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-label embedding centroids via posexplode + hash agg. Float sums are
 # summation-order-dependent, so both engines would disagree in the last
 # ulps under parallel aggregation; we sum SCALED INTEGERS (round(v*1e6)
@@ -470,6 +674,7 @@ QUERIES = {
     "ann_cosine_top5": QuerySpec(ann_cosine_top5, ANN_BRUTE_SQL),
     "ann_ivf_label_probe": QuerySpec(ann_ivf_label_probe, ANN_IVF_SQL),
     "ann_ivf_kmeans": QuerySpec(ann_ivf_kmeans, _km_sql()),
+    "ann_pq_adc": QuerySpec(ann_pq_adc, _pq_sql()),
     "embedding_centroids": QuerySpec(embedding_centroids, CENTROID_SQL),
     "embedding_pca_top1": QuerySpec(embedding_pca_top1, _pca_sql()),
 }

@@ -41,3 +41,42 @@ def test_ann_topk_matches_naive_global_window(spark, sf_dir):
     )
     assert {tuple(r) for r in re_ranked.collect()} == got
     assert _SALT_BUCKETS >= 8
+
+
+def test_pq_adc_invariants_and_recall(spark, sf_dir):
+    """PQ-ADC: 5 ascending-distance results per query, deterministic, and
+    a recall floor against exact L2 top-5 (tiny 4x8 codebooks measure
+    ~0.24 mean recall at sf0.01 — assert a stable margin below that)."""
+    import numpy as np
+
+    from composable_logs_spark.queries import load
+    from composable_logs_spark.queries.similarity_q import _N_QUERIES, ann_pq_adc
+
+    out1 = ann_pq_adc(spark, sf_dir).collect()
+    out2 = ann_pq_adc(spark, sf_dir).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+
+    by_q = {}
+    for r in out1:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(_N_QUERIES))
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        dists = [r["adc_dist"] for r in rows]
+        assert dists == sorted(dists)  # ascending approximate distance
+
+    V = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    recalls = []
+    for q, rows in by_q.items():
+        exact = {
+            i
+            for _, i in sorted(
+                (float(np.sum((V[q] - V[i]) ** 2)), i) for i in V if i != q
+            )[:5]
+        }
+        recalls.append(len(exact & {r["neighbor_id"] for r in rows}) / 5)
+    assert sum(recalls) / len(recalls) >= 0.1
