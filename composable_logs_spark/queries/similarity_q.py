@@ -506,6 +506,75 @@ SELECT query_id, vec_id AS neighbor_id, adc_dist, rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# Symmetric int8 quantization of embeddings — the feature-store /
+# vector-index prep step (4x memory cut vs float32, 8x vs double).
+# Per-vector max-abs scale; components map to round(v/scale*127).
+# Output is the audit summary (scale, saturation count, reconstruction
+# RMSE) rather than the int8 array itself so the gate hashes scalars.
+# Pure per-row array math: zero shuffle, whole-stage codegen; both
+# engines fold arrays sequentially so the per-vector sums are
+# order-identical.
+def embedding_int8_quant(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    scale = F.array_max(F.transform(F.col("vec"), F.abs))
+    q = F.transform(F.col("vec"), lambda x: F.round(x / F.col("scale") * 127).cast("int"))
+    dq_err2 = F.aggregate(
+        F.zip_with(
+            F.col("vec"),
+            F.col("q"),
+            lambda v, qi: (v - qi.cast("double") * F.col("scale") / 127)
+            * (v - qi.cast("double") * F.col("scale") / 127),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    # Exactness: scale and the error sum are bit-identical on both
+    # engines (same sequential array folds), so `scale` ships unrounded.
+    # The RMSE ships as INTEGER micro-units: round(x*1e6) to an integer
+    # is safe because half-integers are exactly representable doubles,
+    # whereas round(x, 6) on a tiny double diverges between Spark
+    # (shortest-decimal-repr HALF_UP) and DuckDB (exact-binary) whenever
+    # the shortest repr ends in ...5 — observed twice in 640 rows.
+    rmse_micro = F.round(F.sqrt(dq_err2 / F.size("vec")) * 1e6).cast("long")
+    return (
+        e.withColumn("scale", scale)
+        .withColumn("q", q)
+        .select(
+            "vec_id",
+            "scale",
+            F.size(F.filter(F.col("q"), lambda x: F.abs(x) == 127)).alias("n_saturated"),
+            rmse_micro.alias("recon_rmse_micro"),
+        )
+    )
+
+
+INT8_QUANT_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+),
+s AS (
+  SELECT vec_id, vec,
+         list_max(list_transform(vec, x -> abs(x))) AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, vec, scale,
+         list_transform(vec, x -> CAST(round(x / scale * 127, 0) AS INT)) AS qv
+  FROM s
+)
+SELECT vec_id,
+       scale,
+       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_saturated,
+       CAST(round(sqrt(list_sum(list_transform(range(1, len(vec) + 1),
+              j -> (vec[j] - qv[j] * scale / 127) * (vec[j] - qv[j] * scale / 127)))
+             / len(vec)) * 1000000, 0) AS BIGINT) AS recon_rmse_micro
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-label embedding centroids via posexplode + hash agg. Float sums are
 # summation-order-dependent, so both engines would disagree in the last
 # ulps under parallel aggregation; we sum SCALED INTEGERS (round(v*1e6)
@@ -675,6 +744,7 @@ QUERIES = {
     "ann_ivf_label_probe": QuerySpec(ann_ivf_label_probe, ANN_IVF_SQL),
     "ann_ivf_kmeans": QuerySpec(ann_ivf_kmeans, _km_sql()),
     "ann_pq_adc": QuerySpec(ann_pq_adc, _pq_sql()),
+    "embedding_int8_quant": QuerySpec(embedding_int8_quant, INT8_QUANT_SQL),
     "embedding_centroids": QuerySpec(embedding_centroids, CENTROID_SQL),
     "embedding_pca_top1": QuerySpec(embedding_pca_top1, _pca_sql()),
 }

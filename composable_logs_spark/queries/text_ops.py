@@ -566,6 +566,65 @@ FROM (SELECT doc_id, regexp_extract_all(text, '.') AS chars FROM documents)
 """
 
 
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring: average token log-probability of each
+# document under the corpus's own unigram distribution — the classic
+# cheap "perplexity-style" quality signal (low score = rare-token soup:
+# gibberish, OCR noise, wrong-language fragments).
+#
+# Scale shape: one explode + hash agg builds the vocab (map-side
+# combined); scoring is a join on the token key — broadcastable while
+# the vocab fits (tens of millions of types), else it degrades to one
+# hash-partitioned equi-join — then one agg back to doc grain. Per-token
+# log-probs are SCALED-INTEGER micro-nats, so the per-doc sums are
+# order-independent longs and only the final division is floating point.
+def text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.explode(_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    total = toks.agg(F.count("*").alias("total"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.round(F.log(F.col("c") / F.col("total")) * 1e6)
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.round(F.sum("lp_micro") / (F.count("*") * 1e6), 4).alias("avg_logprob"),
+        )
+    )
+
+
+UNIGRAM_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+n AS (SELECT count(*) AS total FROM t),
+v AS (
+  SELECT tok,
+         CAST(round(ln(count(*) / (SELECT total FROM n)) * 1000000, 0) AS BIGINT)
+           AS lp_micro
+  FROM t GROUP BY tok
+)
+SELECT t.doc_id,
+       CAST(count(*) AS INT) AS n_tokens,
+       round(sum(v.lp_micro) / (count(*) * 1000000.0), 4) AS avg_logprob
+FROM t JOIN v USING (tok)
+GROUP BY t.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_SQL),
     "text_char_entropy": QuerySpec(text_char_entropy, ENTROPY_SQL),
@@ -576,4 +635,5 @@ QUERIES = {
     "text_c4_filters": QuerySpec(text_c4_filters, C4_SQL),
     "text_vocab_topk": QuerySpec(text_vocab_topk, VOCAB_SQL),
     "text_tfidf_top3": QuerySpec(text_tfidf_top3, TFIDF_SQL),
+    "text_unigram_logprob": QuerySpec(text_unigram_logprob, UNIGRAM_SQL),
 }
