@@ -84,6 +84,7 @@ def all_queries() -> dict[str, QuerySpec]:
         span_q,
         span_ops_q,
         corpus_q,
+        hll_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -108,6 +109,7 @@ def all_queries() -> dict[str, QuerySpec]:
         span_q,
         span_ops_q,
         corpus_q,
+        hll_q,
     ):
         out.update(mod.QUERIES)
     return out

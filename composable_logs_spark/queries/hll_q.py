@@ -1,0 +1,143 @@
+"""HyperLogLog distinct-count sketch with a BIT-EXACT cross-engine oracle.
+
+``approx_sketch_stats`` uses the engines' built-in sketches, which
+differ by construction and can only be rows-only checked. This operator
+implements the HLL register algebra EXPLICITLY — md5-based hashing,
+register index/rank extraction, max-merge, raw estimator — so Spark and
+DuckDB compute the *same registers bit-for-bit* and the gate
+hash-checks an approximate-distinct operator exactly.
+
+Engine-exactness choices (each avoids a real cross-engine hazard):
+- rank (leading-zero count) via COUNTING POWER-OF-TWO COMPARISONS, not
+  floor(log2(w)): log2 can differ by 1 ulp between JVM and libm right
+  where floor() flips.
+- the harmonic sum Σ 2^-M_j as exact integers Σ 2^(53-M_j) (fits in a
+  long for m=256), divided by 2^53 once — a float sum of powers of two
+  spanning >53 bits of magnitude is summation-order-dependent.
+- register digest = md5 of the comma-joined registers in index order —
+  a checksum proving bit-equality of the whole sketch, not just the
+  estimate.
+
+Scale shape: ONE hash-agg to m=256 rows (max-merge is associative and
+map-side combined — this is the mergeable-sketch property that lets
+every partition sketch independently), then a single-row final agg.
+The same register table unions/max-merges across days/partitions for
+incremental distinct counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import QuerySpec, load
+
+_B = 8                     # register index bits
+_M = 1 << _B               # 256 registers
+_W = 52                    # rank-field width (60-bit hash minus 8 index bits)
+_ALPHA = 0.7213 / (1.0 + 1.079 / _M)  # standard alpha_m for m >= 128
+
+
+def hll_distinct_customers(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    # 60-bit hash from the md5 hex prefix (exact integer on both engines)
+    h = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = (h / _M).cast("long")  # upper 52 bits
+    # bit_length(w) = count of powers of two <= w (exact comparisons)
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(_W)])
+    bitlen = F.size(F.filter(powers, lambda p: p <= F.col("w")))
+    regs = (
+        o.select((h % _M).alias("idx"), w.alias("w"))
+        .select("idx", (F.lit(_W) - bitlen + 1).alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    # densify: registers never hit stay 0
+    full = (
+        spark.range(_M)
+        .select(F.col("id").cast("long").alias("idx"))
+        .join(regs, "idx", "left")
+        .select("idx", F.coalesce("m_j", F.lit(0)).alias("m_j"))
+    )
+    est = full.agg(
+        F.count(F.when(F.col("m_j") > 0, 1)).cast("int").alias("n_nonzero_registers"),
+        # Σ 2^-M_j as exact longs: Σ 2^(53 - M_j) / 2^53
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_j AS INT))")).alias(
+            "s_scaled"
+        ),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "m_j"))),
+                    lambda s: s["m_j"].cast("string"),
+                ),
+            )
+        ).alias("register_digest"),
+    )
+    truth = o.agg(F.count_distinct("o_custkey").cast("long").alias("true_distinct"))
+    raw = F.lit(_ALPHA * _M * _M) / (F.col("s_scaled") / F.pow(F.lit(2.0), 53))
+    zeros = F.lit(_M) - F.col("n_nonzero_registers")
+    # standard small-range correction: below 2.5m the raw estimator is
+    # badly biased; linear counting over the zero registers is exact-ish
+    corrected = F.when(
+        (raw <= 2.5 * _M) & (zeros > 0), F.lit(float(_M)) * F.log(F.lit(float(_M)) / zeros)
+    ).otherwise(raw)
+    return est.crossJoin(truth).select(
+        F.lit(_M).alias("m"),
+        "n_nonzero_registers",
+        F.round(corrected, 4).alias("hll_estimate"),
+        "register_digest",
+        "true_distinct",
+    )
+
+
+HLL_SQL = f"""
+WITH h AS (
+  SELECT CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM orders
+),
+r AS (
+  SELECT hv % {_M} AS idx, CAST(hv / {_M} AS BIGINT) AS w FROM h
+),
+rho AS (
+  SELECT idx,
+         {_W} - len(list_filter([{", ".join(f"CAST({1 << i} AS BIGINT)" for i in range(_W))}],
+                                p -> p <= w)) + 1 AS rho
+  FROM r
+),
+regs AS (
+  SELECT idx, max(rho) AS m_j FROM rho GROUP BY idx
+),
+full_regs AS (
+  SELECT g.idx, coalesce(regs.m_j, 0) AS m_j
+  FROM (SELECT unnest(range({_M})) AS idx) g LEFT JOIN regs USING (idx)
+),
+est AS (
+  SELECT CAST(count(*) FILTER (WHERE m_j > 0) AS INT) AS n_nonzero_registers,
+         sum(CAST(1 AS BIGINT) << (53 - m_j)) AS s_scaled,
+         md5(array_to_string(list(CAST(m_j AS VARCHAR) ORDER BY idx), ',')) AS register_digest
+  FROM full_regs
+),
+truth AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS true_distinct FROM orders)
+SELECT {_M} AS m,
+       n_nonzero_registers,
+       round(CASE WHEN CAST({_ALPHA!r} AS DOUBLE) * {_M} * {_M}
+                       / (s_scaled / power(2.0, 53)) <= 2.5 * {_M}
+                   AND {_M} - n_nonzero_registers > 0
+                  THEN CAST({_M} AS DOUBLE)
+                       * ln(CAST({_M} AS DOUBLE) / ({_M} - n_nonzero_registers))
+                  ELSE CAST({_ALPHA!r} AS DOUBLE) * {_M} * {_M}
+                       / (s_scaled / power(2.0, 53))
+             END, 4) AS hll_estimate,
+       register_digest,
+       true_distinct
+FROM est CROSS JOIN truth
+"""
+
+
+QUERIES = {
+    "hll_distinct_customers": QuerySpec(hll_distinct_customers, HLL_SQL),
+}
