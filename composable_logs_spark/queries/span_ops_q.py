@@ -140,3 +140,61 @@ QUERIES = {
     "spanlog_attr_union": QuerySpec(spanlog_attr_union, ATTR_UNION_SQL),
     "spanlog_last_value_wins": QuerySpec(spanlog_last_value_wins, LAST_VALUE_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Failure root-cause: per failed run, the EARLIEST failed task (start
+# time, task_id tie-break) — the reference's is_success/exception model
+# (A5-A7) turned into the "what broke first" triage query every
+# multi-run dashboard needs. One window over the (small) failed subset.
+def spanlog_failure_root_cause(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..plans import summarize_spans
+
+    spans = _spans_df(
+        spark,
+        FX.parallel_fail(1) + FX.diamond5(2, fail_at="t2") + FX.timeout_fixture(3),
+    )
+    s = summarize_spans(spans)
+    failed = s.task_runs.where(~F.col("is_success"))
+    w = W.partitionBy("run_id").orderBy("start_time", "task_id")
+    rc = (
+        failed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("run_id", F.col("task_id").alias("root_cause_task_id"), "n_exceptions")
+    )
+    nf = failed.groupBy("run_id").agg(F.count("*").cast("int").alias("n_failed_tasks"))
+    return (
+        rc.join(nf, "run_id")
+        .join(
+            s.workflow_runs.select(
+                "run_id", F.col("duration_s").alias("run_duration_s")
+            ),
+            "run_id",
+        )
+        .select(
+            "run_id",
+            "root_cause_task_id",
+            F.col("n_exceptions").cast("int").alias("n_exceptions"),
+            "n_failed_tasks",
+            F.col("run_duration_s").cast("double").alias("run_duration_s"),
+        )
+    )
+
+
+ROOT_CAUSE_SQL = f"""
+SELECT run_id, root_cause_task_id,
+       CAST(n_exceptions AS INT) AS n_exceptions,
+       CAST(n_failed_tasks AS INT) AS n_failed_tasks,
+       CAST(run_duration_s AS DOUBLE) AS run_duration_s
+FROM (VALUES
+  ('{_run_id(1)}', 'g', 1, 1, 2.0),
+  ('{_run_id(2)}', 't2', 1, 1, 2.5),
+  ('{_run_id(3)}', 'stuck', 1, 1, 0.5)
+) AS t(run_id, root_cause_task_id, n_exceptions, n_failed_tasks, run_duration_s)
+"""
+
+QUERIES["spanlog_failure_root_cause"] = QuerySpec(
+    spanlog_failure_root_cause, ROOT_CAUSE_SQL
+)
