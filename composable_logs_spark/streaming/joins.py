@@ -30,35 +30,43 @@ def interval_join_streams(
     purchases: DataFrame,
     max_lag_s: int = 1800,
     watermark_s: int = 600,
+    how: str = "inner",
 ) -> DataFrame:
     """Join each purchase to the same user's clicks within ``max_lag_s``
     seconds before the purchase. Both inputs need (user_id, ts, ...).
     Works identically on streaming and batch DataFrames (the test
-    asserts stream == batch)."""
+    asserts stream == batch).
+
+    ``how="left_outer"`` keeps purchases with NO qualifying click
+    (click columns null). Streaming semantics: an unmatched purchase is
+    emitted only once the watermark guarantees no matching click can
+    still arrive — so null rows surface one watermark delay after the
+    purchase's window closes, and a final idle stream may hold back the
+    newest unmatched rows until a later batch advances the watermark.
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError("how must be 'inner' or 'left_outer'")
     c = clicks
     p = purchases
     if clicks.isStreaming:
         c = c.withWatermark("ts", f"{watermark_s} seconds")
     if purchases.isStreaming:
         p = p.withWatermark("ts", f"{watermark_s} seconds")
-    return (
-        p.alias("p")
-        .join(
-            c.alias("c"),
-            (F.col("p.user_id") == F.col("c.user_id"))
-            & (F.col("c.ts") <= F.col("p.ts"))
-            & (F.col("c.ts") >= F.col("p.ts") - F.expr(f"INTERVAL {max_lag_s} SECONDS")),
-            "inner",
-        )
-        .select(
-            F.col("p.user_id").alias("user_id"),
-            F.col("c.ts").alias("click_ts"),
-            F.col("p.ts").alias("purchase_ts"),
-            (
-                # to_timestamp guard: parquet-sourced batch inputs arrive as
-                # TIMESTAMP_NTZ under PySpark 4.x, which unix_micros rejects.
-                F.unix_micros(F.to_timestamp(F.col("p.ts")))
-                - F.unix_micros(F.to_timestamp(F.col("c.ts")))
-            ).alias("lag_us"),
-        )
+    joined = p.alias("p").join(
+        c.alias("c"),
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") <= F.col("p.ts"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr(f"INTERVAL {max_lag_s} SECONDS")),
+        "leftOuter" if how == "left_outer" else "inner",
+    )
+    return joined.select(
+        F.col("p.user_id").alias("user_id"),
+        F.col("c.ts").alias("click_ts"),
+        F.col("p.ts").alias("purchase_ts"),
+        (
+            # to_timestamp guard: parquet-sourced batch inputs arrive as
+            # TIMESTAMP_NTZ under PySpark 4.x, which unix_micros rejects.
+            F.unix_micros(F.to_timestamp(F.col("p.ts")))
+            - F.unix_micros(F.to_timestamp(F.col("c.ts")))
+        ).alias("lag_us"),
     )

@@ -91,3 +91,55 @@ def test_interval_join_on_ntz_parquet_events(spark, sf_dir):
     rows = out.limit(50).collect()
     assert rows, "expected at least one click-before-purchase pair"
     assert all(0 <= r["lag_us"] <= 3600 * 1_000_000 for r in rows)
+
+
+def test_stream_interval_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: a purchase with no qualifying
+    click must emit with null click columns once the watermark passes
+    its match window. A later batch of far-future rows advances the
+    watermark to flush the unmatched row."""
+    clicks_dir = tmp_path / "clicks"
+    purchases_dir = tmp_path / "purchases"
+    ckpt = tmp_path / "ckpt"
+
+    _write(spark, clicks_dir, [(1, "2024-01-01 10:00:00")])
+    _write(
+        spark,
+        purchases_dir,
+        [
+            (1, "2024-01-01 10:05:00"),  # matched
+            (9, "2024-01-01 10:10:00"),  # no click ever -> null row
+        ],
+    )
+
+    cs = spark.readStream.schema(SCHEMA).parquet(str(clicks_dir))
+    ps = spark.readStream.schema(SCHEMA).parquet(str(purchases_dir))
+    q = (
+        interval_join_streams(cs, ps, max_lag_s=1800, watermark_s=600, how="left_outer")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ljoin")
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark is still at batch-1 max(ts) - 600 s: the unmatched
+        # purchase cannot have been emitted yet
+        early = {r["user_id"] for r in spark.sql("select * from ljoin").collect()}
+        assert 9 not in early
+        # far-future rows on BOTH sides push the watermark past
+        # 10:10:00 + max_lag + delay, releasing the unmatched purchase
+        _write(spark, clicks_dir, [(7, "2024-01-01 13:00:00")])
+        _write(spark, purchases_dir, [(7, "2024-01-01 13:00:01")])
+        q.processAllAvailable()
+        q.processAllAvailable()
+        rows = {
+            (r["user_id"], r["click_ts"] is None, str(r["purchase_ts"]))
+            for r in spark.sql("select * from ljoin").collect()
+        }
+    finally:
+        q.stop()
+
+    assert (1, False, "2024-01-01 10:05:00") in rows  # matched pair intact
+    assert (9, True, "2024-01-01 10:10:00") in rows  # null-click emission
