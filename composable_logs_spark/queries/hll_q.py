@@ -141,3 +141,100 @@ FROM est CROSS JOIN truth
 QUERIES = {
     "hll_distinct_customers": QuerySpec(hll_distinct_customers, HLL_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters — same bit-exact philosophy as the HLL
+# above: explicit (row, counter) cells from md5-seeded hashes, so both
+# engines build the IDENTICAL sketch and the gate hash-checks the
+# estimates. Point-query property: estimate >= true count always (only
+# hash collisions inflate), equality w.h.p. for heavy tokens at
+# d=4 x w=1024 on this corpus.
+#
+# Scale shape: the sketch build is one explode + hash agg bounded at
+# d*w rows regardless of corpus size (mergeable by cell-wise SUM across
+# partitions/days); the probe is a broadcast join of the candidate set
+# against the tiny sketch table.
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_TOPK = 10
+
+
+def cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+
+    def cms_idx(tok_col, row: int):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{row}|"), tok_col)), 1, 15), 16, 10)
+            .cast("long")
+            % _CMS_W
+        )
+
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), cms_idx(F.col("tok"), r).alias("idx"))
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).groupBy("c.r", "c.idx").agg(F.count("*").alias("cnt"))
+
+    truth = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "tok")
+        .limit(_CMS_TOPK)
+    )
+    probes = truth.select(
+        "tok",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), cms_idx(F.col("tok"), r).alias("idx"))
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("tok", "true_count", "c.r", "c.idx")
+    return (
+        probes.join(F.broadcast(cells), ["r", "idx"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select("tok", F.col("true_count").cast("long"), F.col("cms_estimate").cast("long"))
+    )
+
+
+CMS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents
+),
+cells AS (
+  SELECT r, CAST('0x' || substring(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 15) AS BIGINT)
+            % {_CMS_W} AS idx,
+         count(*) AS cnt
+  FROM toks CROSS JOIN (SELECT unnest(range({_CMS_D})) AS r)
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT tok, count(*) AS true_count FROM toks GROUP BY tok
+  ORDER BY true_count DESC, tok LIMIT {_CMS_TOPK}
+),
+probes AS (
+  SELECT t.tok, t.true_count, g.r,
+         CAST('0x' || substring(md5(CAST(g.r AS VARCHAR) || '|' || t.tok), 1, 15) AS BIGINT)
+           % {_CMS_W} AS idx
+  FROM truth t CROSS JOIN (SELECT unnest(range({_CMS_D})) AS r) g
+)
+SELECT p.tok, CAST(p.true_count AS BIGINT) AS true_count,
+       CAST(min(c.cnt) AS BIGINT) AS cms_estimate
+FROM probes p JOIN cells c ON p.r = c.r AND p.idx = c.idx
+GROUP BY p.tok, p.true_count
+"""
+
+QUERIES["cms_heavy_hitters"] = QuerySpec(cms_heavy_hitters, CMS_SQL)

@@ -70,3 +70,16 @@ def test_hll_accuracy_and_mergeability(spark, sf_dir):
         .collect()
     }
     assert merged == whole
+
+
+def test_cms_overestimates_only_and_is_tight_for_heavy_tokens(spark, sf_dir):
+    from composable_logs_spark.queries.hll_q import cms_heavy_hitters
+
+    rows = cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) == 10
+    # one-sided error: a count-min estimate can never undercount
+    assert all(r["cms_estimate"] >= r["true_count"] for r in rows)
+    # at d=4 x w=1024 the heavy hitters should estimate (near-)exactly
+    slack = max(r["cms_estimate"] - r["true_count"] for r in rows)
+    top = max(rows, key=lambda r: r["true_count"])
+    assert slack <= 0.05 * top["true_count"]
