@@ -139,9 +139,9 @@ def test_static_data_sink(spark, tmp_path):
     assert len(data) == 8  # 2 workflows + 6 tasks
     kinds = {e["entry_type"] for e in data}
     assert kinds == {"workflow", "task"}
-    # mermaid files per run
-    assert len(list(Path(tmp_path).glob("*/dag.mmd"))) == 2
-    assert len(list(Path(tmp_path).glob("*/gantt.mmd"))) == 2
+    # mermaid reporting artifacts per run (multi-run: nested under run_id)
+    assert len(list(Path(tmp_path).glob("*/artifacts/workflow/*/dag.mmd"))) == 2
+    assert len(list(Path(tmp_path).glob("*/artifacts/workflow/*/gantt.mmd"))) == 2
 
 
 def test_span_recorder(spark, tmp_path):
@@ -280,3 +280,27 @@ def test_media_decode_stub_raises(spark, sf_dir):
     with _pytest.raises(Exception) as ei:
         resize_images(media, 64, 64).collect()
     assert "NotImplementedError" in str(ei.value) or "media codecs" in str(ei.value)
+
+
+def test_static_data_reference_layout(spark, tmp_path):
+    """Single-run www-root matches the reference CLI layout
+    (cli_generate_static_data.py:75-175): workflow reporting artifacts
+    under artifacts/workflow/{span}/, task artifacts + metadata under
+    artifacts/task/{span}/, parent_span_id links in static_data.json."""
+    s = summarize_spans(spans_df(spark, FX.logged_values_fixture(4)))
+    out = write_static_data(s, tmp_path)
+    data = json.loads(out.read_text())
+    wf = [e for e in data if e["type"] == "workflow"]
+    tasks = [e for e in data if e["type"] == "task"]
+    assert len(wf) == 1 and len(tasks) == 3
+    assert all(t["parent_span_id"] == wf[0]["span_id"] for t in tasks)
+
+    wdir = Path(tmp_path) / "artifacts" / "workflow" / wf[0]["span_id"]
+    assert {p.name for p in wdir.iterdir()} == {
+        "dag.mmd", "dag-nolinks.mmd", "gantt.mmd", "run-time-metadata.json",
+    }
+    h = next(t for t in tasks if t["task_id"] == "h")
+    tdir = Path(tmp_path) / "artifacts" / "task" / h["span_id"]
+    assert (tdir / "plot.png").read_bytes() == bytes(range(256)) * 4
+    assert "run-time-metadata.json" in h["artifacts"]
+    assert h["logged_values"]["an_int"] == 42
