@@ -625,6 +625,47 @@ GROUP BY t.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE-style subword pre-tokenization: the GPT-2 pre-tokenizer's regex
+# families (contraction suffixes, space-prefixed letter runs, digit
+# runs, punctuation runs), restricted to the RE2∩Java-regex subset so
+# Spark (java.util.regex) and DuckDB (RE2) extract IDENTICAL token
+# streams — the full GPT-2 pattern's lookahead `\\s+(?!\\S)` is not RE2-
+# expressible. This is the "token count as a BPE tokenizer would see
+# it" estimate a training-data pipeline budgets with, vs the whitespace
+# count of text_token_stats. Pure per-row regexp — zero shuffle.
+_BPE_PAT = r"('s|'t|'re|'ve|'m|'ll|'d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def text_bpe_pretokens(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    toks = F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    ws = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        # fertility: BPE-ish pieces per whitespace word (tokenizer cost
+        # multiplier; rises on noisy/agglutinative text)
+        F.round(F.size(toks) / F.size(ws), 4).alias("fertility"),
+    )
+
+
+_BPE_SQL_PAT = _BPE_PAT.replace("'", "''")
+BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS INT) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_SQL_PAT}'))) AS INT)
+         AS n_unique_bpe_tokens,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+       round(len(regexp_extract_all(text, '{_BPE_SQL_PAT}'))
+             / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 4)
+         AS fertility
+FROM documents
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_SQL),
     "text_char_entropy": QuerySpec(text_char_entropy, ENTROPY_SQL),
@@ -636,4 +677,5 @@ QUERIES = {
     "text_vocab_topk": QuerySpec(text_vocab_topk, VOCAB_SQL),
     "text_tfidf_top3": QuerySpec(text_tfidf_top3, TFIDF_SQL),
     "text_unigram_logprob": QuerySpec(text_unigram_logprob, UNIGRAM_SQL),
+    "text_bpe_pretokens": QuerySpec(text_bpe_pretokens, BPE_SQL),
 }
