@@ -27,7 +27,6 @@ no driver state) — both codecs here are.
 from __future__ import annotations
 
 import io
-import struct
 import wave
 
 import numpy as np

@@ -23,7 +23,6 @@ through the span log as base64 (task_opentelemetry_logging.py:124-143).
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import pandas as pd
