@@ -118,3 +118,73 @@ FROM flagged GROUP BY doc_id
 QUERIES = {
     "corpus_line_dedup": QuerySpec(corpus_line_dedup, LINE_DEDUP_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed-budget training sequences
+# (the "pack to 2048 tokens" step before LLM training). True first-fit
+# bin packing is inherently sequential; the scalable standard is
+# CUMULATIVE-SUM CHUNKING: order docs deterministically (tokens desc,
+# doc_id), take a running token total, and cut a new bin every time the
+# total crosses a budget multiple — each bin overfills by at most one
+# document, with zero coordination.
+#
+# Scale shape: one hash agg for token counts, one window over the
+# global order. The single global sort is the honest cost of globally
+# deterministic packing; at 100 TB you run the same operator per
+# partition/shard (bin ids prefixed by shard) and the window never
+# crosses shards.
+_PACK_BUDGET = 2048
+
+
+def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf, "documents").select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens")
+    )
+    w = W.orderBy(F.col("n_tokens").desc(), "doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    # integer division (`div` / `//`), NOT cast(double->long): DuckDB's
+    # double->BIGINT cast rounds to nearest while Spark's truncates
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    binned = d.select(
+        "doc_id",
+        "n_tokens",
+        cum_before.alias("cum_before"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"cum_before div {_PACK_BUDGET}").alias("bin_id"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max("n_tokens").alias("max_doc_tokens"),
+        F.round(F.sum("n_tokens") / float(_PACK_BUDGET), 4).alias("fill_ratio"),
+    )
+
+
+PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         (sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - n_tokens) // {_PACK_BUDGET} AS bin_id
+  FROM d
+)
+SELECT bin_id,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens,
+       round(sum(n_tokens) / {float(_PACK_BUDGET)}, 4) AS fill_ratio
+FROM c GROUP BY bin_id
+"""
+
+QUERIES["pack_sequences"] = QuerySpec(pack_sequences, PACK_SQL)
