@@ -731,3 +731,45 @@ QUERIES = {
     "window_ntile_customers": QuerySpec(window_ntile_customers, NTILE_SQL),
     "window_rolling_week_spend": QuerySpec(window_rolling_week_spend, ROLLING_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join, hash-gated for semantics preservation: the salted
+# rewrite (operators/skew.py — big side salted, small side replicated
+# per salt, join on (key, salt)) must produce EXACTLY the plain join's
+# result; the oracle is the plain SQL join+agg, so any row the salting
+# duplicated or dropped flips the value hash. Revenue sums are exact
+# integer cents, immune to the salt-dependent summation order.
+def join_salted_skew_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load(spark, sf, "lineitem").select(
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_c4"),
+    )
+    sup = load(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, "l_suppkey", n_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("rev_c4") / 10000.0, 2).alias("revenue"),
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT s_nationkey,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0,
+             2) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+QUERIES["join_salted_skew_revenue"] = QuerySpec(
+    join_salted_skew_revenue, SALTED_JOIN_SQL
+)
