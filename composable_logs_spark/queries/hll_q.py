@@ -38,22 +38,30 @@ _W = 52                    # rank-field width (60-bit hash minus 8 index bits)
 _ALPHA = 0.7213 / (1.0 + 1.079 / _M)  # standard alpha_m for m >= 128
 
 
-def hll_distinct_customers(spark: SparkSession, sf: str) -> DataFrame:
-    o = load(spark, sf, "orders")
-    # 60-bit hash from the md5 hex prefix (exact integer on both engines)
-    h = F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10).cast(
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """(idx, m_j) register table for one column — the mergeable sketch
+    unit: registers of any two frames max-merge by
+    ``union.groupBy(idx).agg(max(m_j))`` (used by the streaming
+    incremental-distinct test)."""
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
     w = (h / _M).cast("long")  # upper 52 bits
     # bit_length(w) = count of powers of two <= w (exact comparisons)
     powers = F.array(*[F.lit(1 << i).cast("long") for i in range(_W)])
     bitlen = F.size(F.filter(powers, lambda p: p <= F.col("w")))
-    regs = (
-        o.select((h % _M).alias("idx"), w.alias("w"))
+    return (
+        df.select((h % _M).alias("idx"), w.alias("w"))
         .select("idx", (F.lit(_W) - bitlen + 1).alias("rho"))
         .groupBy("idx")
         .agg(F.max("rho").alias("m_j"))
     )
+
+
+def hll_distinct_customers(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    # 60-bit hash from the md5 hex prefix (exact integer on both engines)
+    regs = hll_registers(o, "o_custkey")
     # densify: registers never hit stay 0
     full = (
         spark.range(_M)

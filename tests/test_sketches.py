@@ -31,33 +31,19 @@ def test_hll_accuracy_and_mergeability(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from composable_logs_spark.queries import load
-    from composable_logs_spark.queries.hll_q import _M, _W, hll_distinct_customers
+    from composable_logs_spark.queries.hll_q import _M, hll_distinct_customers
 
     row = hll_distinct_customers(spark, sf_dir).collect()[0]
     assert row["m"] == _M
     err = abs(row["hll_estimate"] - row["true_distinct"]) / row["true_distinct"]
     assert err < 0.20, (row["hll_estimate"], row["true_distinct"])
 
+    from composable_logs_spark.queries.hll_q import hll_registers
+
     o = load(spark, sf_dir, "orders")
-    h = F.conv(
-        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(_W)])
 
     def regs(df):
-        return (
-            df.select((h % _M).alias("idx"), (h / _M).cast("long").alias("w"))
-            .select(
-                "idx",
-                (
-                    F.lit(_W)
-                    - F.size(F.filter(powers, lambda p: p <= F.col("w")))
-                    + 1
-                ).alias("rho"),
-            )
-            .groupBy("idx")
-            .agg(F.max("rho").alias("m_j"))
-        )
+        return hll_registers(df, "o_custkey")
 
     whole = {r["idx"]: r["m_j"] for r in regs(o).collect()}
     half_a = regs(o.where(F.col("o_orderkey") % 2 == 0))
@@ -83,3 +69,56 @@ def test_cms_overestimates_only_and_is_tight_for_heavy_tokens(spark, sf_dir):
     slack = max(r["cms_estimate"] - r["true_count"] for r in rows)
     top = max(rows, key=lambda r: r["true_count"])
     assert slack <= 0.05 * top["true_count"]
+
+
+def test_hll_registers_merge_across_streaming_batches(spark, tmp_path):
+    """Mergeable-sketch property in an actual Structured Streaming loop:
+    each micro-batch computes its own registers, foreachBatch max-merges
+    them into a running table, and the merged sketch equals the one-shot
+    batch sketch over all rows — incremental distinct counting without
+    re-scanning history."""
+    from pyspark.sql import functions as F
+
+    from composable_logs_spark.queries.hll_q import hll_registers
+
+    src = tmp_path / "src"
+    ckpt = tmp_path / "ckpt"
+    batches = [
+        [(i,) for i in range(0, 400)],
+        [(i,) for i in range(300, 700)],   # overlaps batch 1
+        [(i,) for i in range(650, 1000)],
+    ]
+    spark.createDataFrame(batches[0], "k long").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    merged: dict[int, int] = {}
+
+    def merge_batch(df, _bid):
+        for r in hll_registers(df, "k").collect():
+            merged[r["idx"]] = max(merged.get(r["idx"], 0), r["m_j"])
+
+    q = (
+        spark.readStream.schema("k long")
+        .parquet(str(src))
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            spark.createDataFrame(b, "k long").coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    whole = {
+        r["idx"]: r["m_j"]
+        for r in hll_registers(
+            spark.createDataFrame(sum(batches, []), "k long"), "k"
+        ).collect()
+    }
+    assert merged == whole
