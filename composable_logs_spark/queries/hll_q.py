@@ -38,11 +38,13 @@ _W = 52                    # rank-field width (60-bit hash minus 8 index bits)
 _ALPHA = 0.7213 / (1.0 + 1.079 / _M)  # standard alpha_m for m >= 128
 
 
-def hll_registers(df: DataFrame, col: str) -> DataFrame:
-    """(idx, m_j) register table for one column — the mergeable sketch
-    unit: registers of any two frames max-merge by
-    ``union.groupBy(idx).agg(max(m_j))`` (used by the streaming
-    incremental-distinct test)."""
+def hll_registers(df: DataFrame, col: str, group_cols: list[str] | None = None) -> DataFrame:
+    """(group..., idx, m_j) register table for one column — the
+    mergeable sketch unit: registers of any two frames (or groups)
+    max-merge by ``union.groupBy(group..., idx).agg(max(m_j))`` (used by
+    the grouped query below and the streaming incremental-distinct
+    test)."""
+    group_cols = group_cols or []
     h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
@@ -51,9 +53,9 @@ def hll_registers(df: DataFrame, col: str) -> DataFrame:
     powers = F.array(*[F.lit(1 << i).cast("long") for i in range(_W)])
     bitlen = F.size(F.filter(powers, lambda p: p <= F.col("w")))
     return (
-        df.select((h % _M).alias("idx"), w.alias("w"))
-        .select("idx", (F.lit(_W) - bitlen + 1).alias("rho"))
-        .groupBy("idx")
+        df.select(*group_cols, (h % _M).alias("idx"), w.alias("w"))
+        .select(*group_cols, "idx", (F.lit(_W) - bitlen + 1).alias("rho"))
+        .groupBy(*group_cols, "idx")
         .agg(F.max("rho").alias("m_j"))
     )
 
@@ -246,3 +248,97 @@ GROUP BY p.tok, p.true_count
 """
 
 QUERIES["cms_heavy_hitters"] = QuerySpec(cms_heavy_hitters, CMS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Grouped HLL + in-query merge: distinct users per event type, PLUS an
+# 'ALL' row computed by MAX-MERGING the per-type register tables — the
+# sketch-algebra point (union of distincts without re-scanning) proven
+# inside one hash-checked query. Zero registers are counted implicitly
+# (M - present rows each contribute 2^53 to the scaled harmonic sum),
+# so no densify join is needed.
+def hll_users_by_event_type(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    per_type = hll_registers(e, "user_id", ["event_type"])
+    merged = per_type.groupBy("idx").agg(F.max("m_j").alias("m_j")).select(
+        F.lit("ALL").alias("event_type"), "idx", "m_j"
+    )
+    regs = per_type.unionByName(merged)
+    agg = regs.groupBy("event_type").agg(
+        F.count("*").cast("int").alias("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_j AS INT))")).alias(
+            "s_present"
+        ),
+    )
+    s_scaled = F.col("s_present") + (F.lit(_M) - F.col("n_present")) * F.lit(
+        1 << 53
+    ).cast("long")
+    raw = F.lit(_ALPHA * _M * _M) / (s_scaled / F.pow(F.lit(2.0), 53))
+    zeros = F.lit(_M) - F.col("n_present")
+    corrected = F.when(
+        (raw <= 2.5 * _M) & (zeros > 0),
+        F.lit(float(_M)) * F.log(F.lit(float(_M)) / zeros),
+    ).otherwise(raw)
+    est = agg.select("event_type", F.round(corrected, 4).alias("hll_estimate"))
+
+    truth = (
+        e.groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("long").alias("true_distinct"))
+        .unionByName(
+            e.agg(F.count_distinct("user_id").cast("long").alias("true_distinct"))
+            .select(F.lit("ALL").alias("event_type"), "true_distinct")
+        )
+    )
+    return est.join(truth, "event_type")
+
+
+_HLL_EST_SQL = f"""
+  round(CASE WHEN CAST({_ALPHA!r} AS DOUBLE) * {_M} * {_M}
+                  / ((s_present + ({_M} - n_present) * (CAST(1 AS BIGINT) << 53))
+                     / power(2.0, 53)) <= 2.5 * {_M}
+              AND {_M} - n_present > 0
+             THEN CAST({_M} AS DOUBLE) * ln(CAST({_M} AS DOUBLE) / ({_M} - n_present))
+             ELSE CAST({_ALPHA!r} AS DOUBLE) * {_M} * {_M}
+                  / ((s_present + ({_M} - n_present) * (CAST(1 AS BIGINT) << 53))
+                     / power(2.0, 53))
+        END, 4)"""
+
+HLL_BY_TYPE_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM events
+),
+rho AS (
+  SELECT event_type, hv % {_M} AS idx,
+         {_W} - len(list_filter([{", ".join(f"CAST({1 << i} AS BIGINT)" for i in range(_W))}],
+                                p -> p <= CAST(hv / {_M} AS BIGINT))) + 1 AS rho
+  FROM h
+),
+per_type AS (
+  SELECT event_type, idx, max(rho) AS m_j FROM rho GROUP BY event_type, idx
+),
+regs AS (
+  SELECT event_type, idx, m_j FROM per_type
+  UNION ALL
+  SELECT 'ALL', idx, max(m_j) FROM per_type GROUP BY idx
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS INT) AS n_present,
+         sum(CAST(1 AS BIGINT) << (53 - m_j)) AS s_present
+  FROM regs GROUP BY event_type
+),
+truth AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS true_distinct
+  FROM events GROUP BY event_type
+  UNION ALL
+  SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+)
+SELECT agg.event_type, {_HLL_EST_SQL} AS hll_estimate, truth.true_distinct
+FROM agg JOIN truth USING (event_type)
+"""
+
+QUERIES["hll_users_by_event_type"] = QuerySpec(
+    hll_users_by_event_type, HLL_BY_TYPE_SQL
+)
