@@ -188,3 +188,90 @@ FROM c GROUP BY bin_id
 """
 
 QUERIES["pack_sequences"] = QuerySpec(pack_sequences, PACK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free train/validation/test split: the split key is the NEAR-DUP
+# CLUSTER, not the document — otherwise one member of a near-duplicate
+# pair lands in train and its twin in test, and eval is contaminated
+# (the standard eval-leakage failure in LLM data pipelines). Hash-bucket
+# the cluster id (deterministic, coordination-free, engine-agnostic)
+# 80/10/10, and report a leaked_clusters counter the query itself proves
+# is zero (count of clusters spanning >1 split).
+def split_no_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    from .cluster_q import dedup_cluster_assign
+
+    clusters = dedup_cluster_assign(spark, sf).select("doc_id", "cluster_id")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    tagged = clusters.withColumn(
+        "split",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("validation"))
+        .otherwise(F.lit("test")),
+    )
+    leaks = (
+        tagged.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .agg(
+            F.count(F.when(F.col("n_splits") > 1, 1)).cast("long").alias(
+                "leaked_clusters"
+            )
+        )
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("cluster_id").cast("long").alias("n_clusters"),
+    )
+    return per_split.crossJoin(leaks)
+
+
+SPLIT_SQL = f"""
+WITH RECURSIVE corpus AS ({{corpus}}),
+pairs AS (
+  SELECT doc_a, doc_b FROM ({{mh}}) mh_pairs
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, anc) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.dst AS id, r.anc FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (
+  SELECT id AS doc_id, min(anc) AS cluster_id FROM reach GROUP BY id
+),
+tagged AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4) AS BIGINT)
+                   % 100 < 80 THEN 'train'
+              WHEN CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 4) AS BIGINT)
+                   % 100 < 90 THEN 'validation'
+              ELSE 'test' END AS split
+  FROM comp
+),
+leaks AS (
+  SELECT CAST(count(*) FILTER (WHERE n_splits > 1) AS BIGINT) AS leaked_clusters
+  FROM (SELECT cluster_id, count(DISTINCT split) AS n_splits FROM tagged GROUP BY 1)
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       leaked_clusters
+FROM tagged CROSS JOIN leaks
+GROUP BY split, leaked_clusters
+"""
+
+def _finalize_split_sql():
+    from .dedup_q import _NEAR_DUP_CORPUS_SQL, _minhash_sql
+
+    return SPLIT_SQL.format(corpus=_NEAR_DUP_CORPUS_SQL, mh=_minhash_sql())
+
+
+QUERIES["split_no_leakage"] = QuerySpec(split_no_leakage, _finalize_split_sql())
