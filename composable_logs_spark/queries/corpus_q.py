@@ -275,3 +275,68 @@ def _finalize_split_sql():
 
 
 QUERIES["split_no_leakage"] = QuerySpec(split_no_leakage, _finalize_split_sql())
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: what fraction of all token OCCURRENCES the
+# top-k most frequent types cover (k = 5 / 10 / 25) — the number a
+# tokenizer/vocab-size decision actually needs (ks sized to the
+# synthetic corpus's ~31-type vocab; real corpora use 1e3..1e5). Exact
+# integer cumsums
+# over the deterministic (freq desc, token) order; one agg + one window
+# over the |vocab|-sized table (never the corpus).
+_COVERAGE_KS = [5, 10, 25]
+
+
+def vocab_coverage_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    w = W.orderBy(F.col("c").desc(), "tok").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = vocab.select(
+        "tok",
+        "c",
+        F.row_number().over(W.orderBy(F.col("c").desc(), "tok")).alias("rank"),
+        F.sum("c").over(w).alias("cum"),
+    )
+    total = toks.agg(F.count("*").alias("total"))
+    return (
+        ranked.where(F.col("rank").isin(_COVERAGE_KS))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").alias("k"),
+            F.col("cum").alias("n_occurrences_covered"),
+            "total",
+            F.round(F.col("cum") / F.col("total"), 4).alias("coverage"),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH t AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents
+),
+v AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+r AS (
+  SELECT tok, c,
+         row_number() OVER (ORDER BY c DESC, tok) AS rank,
+         sum(c) OVER (ORDER BY c DESC, tok
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM v
+),
+n AS (SELECT count(*) AS total FROM t)
+SELECT CAST(r.rank AS INT) AS k,
+       CAST(r.cum AS BIGINT) AS n_occurrences_covered,
+       CAST(n.total AS BIGINT) AS total,
+       round(r.cum / CAST(n.total AS DOUBLE), 4) AS coverage
+FROM r CROSS JOIN n
+WHERE r.rank IN ({", ".join(map(str, _COVERAGE_KS))})
+"""
+
+QUERIES["vocab_coverage_topk"] = QuerySpec(vocab_coverage_topk, VOCAB_COVERAGE_SQL)
