@@ -55,9 +55,12 @@ def main() -> None:
 
     # warm-up: JVM, parquet footers, Python worker pool — one query per
     # major code path (parquet scan-agg; span-summarisation pipeline,
-    # whose 30-stage plan pays a one-time analyzer/codegen cost)
-    for warm in ("q1_pricing_summary", "spanlog_task_runs"):
+    # whose 30-stage plan pays a one-time analyzer/codegen cost; the
+    # shingle/LSH path, whose generated code is the largest JIT target
+    # and dominated run-to-run variance before it was warmed)
+    for warm in ("q1_pricing_summary", "spanlog_task_runs", "dedup_minhash_lsh"):
         qs[warm].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
     def run_once(name: str, cold: bool) -> float:
         if cold:
