@@ -85,6 +85,7 @@ def all_queries() -> dict[str, QuerySpec]:
         span_ops_q,
         corpus_q,
         hll_q,
+        asof_extra_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -110,6 +111,7 @@ def all_queries() -> dict[str, QuerySpec]:
         span_ops_q,
         corpus_q,
         hll_q,
+        asof_extra_q,
     ):
         out.update(mod.QUERIES)
     return out
