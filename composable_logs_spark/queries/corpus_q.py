@@ -174,9 +174,9 @@ WITH d AS (
 ),
 c AS (
   SELECT doc_id, n_tokens,
-         (sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          - n_tokens) // {_PACK_BUDGET} AS bin_id
+         CAST((sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin_id
   FROM d
 )
 SELECT bin_id,

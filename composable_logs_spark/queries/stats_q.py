@@ -95,7 +95,7 @@ SELECT d.event_type,
        any_value(d.n_events) AS n_events,
        round(any_value(d.med_cents) / 100, 4) AS median_value,
        round(any_value(m.mad_cents) / 100, 4) AS mad_value,
-       sum(CAST(d.absdev > {_MAD_FENCE} * m.mad_cents AS BIGINT)) AS n_outliers,
+       CAST(sum(CAST(d.absdev > {_MAD_FENCE} * m.mad_cents AS BIGINT)) AS BIGINT) AS n_outliers,
        round(sum(CAST(d.absdev > {_MAD_FENCE} * m.mad_cents AS BIGINT))
              / any_value(d.n_events), 4) AS outlier_ratio
 FROM dev d JOIN mad m USING (event_type)
@@ -142,8 +142,8 @@ SELECT d.lang,
        any_value(f.n_docs) AS n_docs,
        any_value(f.p05) AS p05,
        any_value(f.p95) AS p95,
-       sum(CAST(d.n_chars < f.p05 AS BIGINT)) AS n_below,
-       sum(CAST(d.n_chars > f.p95 AS BIGINT)) AS n_above,
+       CAST(sum(CAST(d.n_chars < f.p05 AS BIGINT)) AS BIGINT) AS n_below,
+       CAST(sum(CAST(d.n_chars > f.p95 AS BIGINT)) AS BIGINT) AS n_above,
        round((any_value(f.n_docs)
               - sum(CAST(d.n_chars < f.p05 AS BIGINT))
               - sum(CAST(d.n_chars > f.p95 AS BIGINT)))

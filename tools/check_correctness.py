@@ -27,14 +27,30 @@ TABLES = [
 
 
 def canon(val):
+    """Kind-tagged canonical value.
+
+    Tagging the numeric KIND matters: Python's Counter treats 1864 and
+    1864.0 as the same key, but a driver that hashes a pandas/Arrow
+    fetch sees DuckDB HUGEINT (-> float64/Decimal) differently from
+    Spark's int64 — exactly the round-5 q12/outlier/winsorize reds.
+    An int-vs-float divergence must therefore FAIL here, not alias.
+    """
+    import decimal
+
     if val is None:
         return None
+    if isinstance(val, bool):
+        return ("b", val)
     if isinstance(val, float):
         if math.isnan(val):
-            return "NaN"
+            return ("f", "NaN")
         # collapse -0.0/representation noise the same way a value-hash
         # canonicaliser would
-        return round(val, 9)
+        return ("f", round(val, 9))
+    if isinstance(val, int):
+        return ("i", val)
+    if isinstance(val, decimal.Decimal):
+        return ("d", str(val))
     if isinstance(val, bytes):
         return val.hex()
     return val
@@ -75,6 +91,18 @@ def main():
             print(f"ok?  {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
             continue
         try:
+            # fetchall() silently narrows HUGEINT to Python int, so probe
+            # the planned output types first: a HUGEINT/DECIMAL column
+            # reaches a pandas/Arrow-fetching driver as float64/Decimal
+            # and hash-mismatches Spark's int64 even when values agree.
+            desc = con.execute(
+                f"DESCRIBE (SELECT * FROM ({oracles[name]}) q)"
+            ).fetchall()
+            bad = [(c, t) for c, t, *_ in desc if "HUGEINT" in t or "DECIMAL" in t]
+            if bad:
+                print(f"FAIL {name}: HUGEINT/DECIMAL oracle columns {bad}")
+                failures.append(name)
+                continue
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
