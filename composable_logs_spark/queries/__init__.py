@@ -57,12 +57,38 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+# Registry order is a VERIFICATION SURFACE: the driver's correctness gate
+# checks the first 50 entries, so the front window is pinned EXPLICITLY by
+# name (tests/test_registry_window.py guards it). Rotation policy per
+# round: (1) every query that has never had a driver hash-green row,
+# (2) every query whose semantics or oracle changed this round,
+# (3) fill with the longest-unverified green block. Round 6 window:
+# the 17 never-checked + approx_sketch_stats (oracle added) +
+# q10_returned_items / embedding_pca_top1 (plan rewrites) + the two
+# r1-only stragglers, filled with 28 of the r4-verified block.
+_FRONT_WINDOW = [
+    "q12_priority_lines", "outlier_mad_events", "winsorize_doc_lengths",
+    "pack_sequences", "approx_sketch_stats", "join_salted_skew_revenue",
+    "text_unigram_logprob", "text_bpe_pretokens", "ann_pq_adc",
+    "embedding_int8_quant", "spanlog_failure_root_cause", "corpus_line_dedup",
+    "split_no_leakage", "vocab_coverage_topk", "hll_distinct_customers",
+    "cms_heavy_hitters", "hll_users_by_event_type", "asof_join_nearest",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine", "q10_returned_items",
+    "embedding_pca_top1",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "join_semi_heavy_orders", "join_anti_idle_customers",
+    "window_top3_parts_per_supplier", "window_running_customer_spend",
+    "window_order_gaps", "agg_rollup_returns", "agg_cube_events",
+    "pivot_event_cohorts", "unpivot_part_metrics", "set_ops_segments",
+    "scalar_functions_orders", "json_extract_events", "sessionize_user_events",
+    "range_join_error_attribution", "agg_distinct_parts_per_nation",
+    "agg_grouping_sets", "window_ntile_customers", "window_rolling_week_spend",
+    "text_token_stats", "text_char_entropy", "text_quality_scores",
+    "text_lang_id", "text_fingerprint", "text_repetition", "text_c4_filters",
+]
+
+
 def all_queries() -> dict[str, QuerySpec]:
-    # Registry order is a VERIFICATION SURFACE: the driver's correctness
-    # gate checks the first 50 entries. Rounds 1-3 verified the modules
-    # now at the back (relational/text/similarity/span*/dedup head), so
-    # the previously-unchecked modules lead — keep new modules near the
-    # front until a driver round has hash-checked them.
     from . import (
         tpch_full,
         asof_q,
@@ -114,4 +140,8 @@ def all_queries() -> dict[str, QuerySpec]:
         asof_extra_q,
     ):
         out.update(mod.QUERIES)
-    return out
+    missing = [n for n in _FRONT_WINDOW if n not in out]
+    assert not missing, f"front-window names not registered: {missing}"
+    ordered = {n: out[n] for n in _FRONT_WINDOW}
+    ordered.update((n, s) for n, s in out.items() if n not in ordered)
+    return ordered
