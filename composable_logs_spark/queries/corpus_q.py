@@ -129,22 +129,31 @@ QUERIES = {
 # total crosses a budget multiple — each bin overfills by at most one
 # document, with zero coordination.
 #
-# Scale shape: one hash agg for token counts, one window over the
-# global order. The single global sort is the honest cost of globally
-# deterministic packing; at 100 TB you run the same operator per
-# partition/shard (bin ids prefixed by shard) and the window never
-# crosses shards.
+# Scale shape: SHARD-PREFIXED packing. Packing has no cross-shard
+# semantics to preserve — any deterministic partition of the corpus
+# packs independently — so the running sum is a window PARTITIONED BY
+# shard (doc_id % S), and bin ids are shard-prefixed. Per-task state is
+# |corpus|/S, chosen by S ~ cluster parallelism at real scale; a global
+# partition-less window (the previous formulation) would funnel every
+# document through one reducer's sort. S is a fixed literal here so the
+# DuckDB oracle reproduces the exact bin ids.
 _PACK_BUDGET = 2048
+_PACK_SHARDS = 16
+_PACK_SHARD_STRIDE = 1_000_000  # bin_id = shard * stride + local_bin
 
 
 def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load(spark, sf, "documents").select(
-        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens")
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
     )
-    w = W.orderBy(F.col("n_tokens").desc(), "doc_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    w = (
+        W.partitionBy("shard")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     # integer division (`div` / `//`), NOT cast(double->long): DuckDB's
     # double->BIGINT cast rounds to nearest while Spark's truncates
@@ -152,11 +161,15 @@ def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     binned = d.select(
         "doc_id",
         "n_tokens",
+        "shard",
         cum_before.alias("cum_before"),
     ).select(
         "doc_id",
         "n_tokens",
-        F.expr(f"cum_before div {_PACK_BUDGET}").alias("bin_id"),
+        (
+            F.col("shard") * _PACK_SHARD_STRIDE
+            + F.expr(f"cum_before div {_PACK_BUDGET}")
+        ).alias("bin_id"),
     )
     return binned.groupBy("bin_id").agg(
         F.count("*").cast("int").alias("n_docs"),
@@ -169,14 +182,17 @@ def pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
 PACK_SQL = f"""
 WITH d AS (
   SELECT doc_id,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         doc_id % {_PACK_SHARDS} AS shard
   FROM documents
 ),
 c AS (
   SELECT doc_id, n_tokens,
-         CAST((sum(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin_id
+         shard * {_PACK_SHARD_STRIDE}
+         + CAST((sum(n_tokens) OVER (PARTITION BY shard
+                                     ORDER BY n_tokens DESC, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin_id
   FROM d
 )
 SELECT bin_id,
@@ -281,29 +297,38 @@ QUERIES["split_no_leakage"] = QuerySpec(split_no_leakage, _finalize_split_sql())
 # Vocabulary coverage curve: what fraction of all token OCCURRENCES the
 # top-k most frequent types cover (k = 5 / 10 / 25) — the number a
 # tokenizer/vocab-size decision actually needs (ks sized to the
-# synthetic corpus's ~31-type vocab; real corpora use 1e3..1e5). Exact
-# integer cumsums
-# over the deterministic (freq desc, token) order; one agg + one window
-# over the |vocab|-sized table (never the corpus).
+# synthetic corpus's ~31-type vocab; real corpora use 1e3..1e5).
+#
+# Scale shape: TWO-PHASE top-k. Phase 1: ``orderBy().limit(max_k)``
+# lowers to TakeOrderedAndProject — per-partition max_k-row heaps over
+# the |vocab| aggregate, merged as max_k x N rows on the driver — never
+# a partition-less window over the whole vocabulary (the previous
+# formulation's single-reducer rank+cumsum). Phase 2: exact rank and
+# cumulative sum over the surviving max_k rows via a broadcast
+# self-join (rank(t) = #{rows ordered before t}) — max_k^2 = 625
+# comparisons, no window at all. Ranks <= max_k are exact because any
+# global top-k row is inside the global top-max_k set.
 _COVERAGE_KS = [5, 10, 25]
 
 
 def vocab_coverage_topk(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     d = load(spark, sf, "documents")
     toks = d.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    w = W.orderBy(F.col("c").desc(), "tok").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    top = vocab.orderBy(F.col("c").desc(), "tok").limit(max(_COVERAGE_KS))
+    a, b = top.alias("a"), top.alias("b")
+    before_or_self = (F.col("b.c") > F.col("a.c")) | (
+        (F.col("b.c") == F.col("a.c")) & (F.col("b.tok") <= F.col("a.tok"))
     )
-    ranked = vocab.select(
-        "tok",
-        "c",
-        F.row_number().over(W.orderBy(F.col("c").desc(), "tok")).alias("rank"),
-        F.sum("c").over(w).alias("cum"),
+    ranked = (
+        a.join(F.broadcast(b), before_or_self)
+        .groupBy("a.tok", "a.c")
+        .agg(
+            F.count("*").cast("int").alias("rank"),
+            F.sum("b.c").alias("cum"),
+        )
     )
     total = toks.agg(F.count("*").alias("total"))
     return (

@@ -612,55 +612,96 @@ FROM cell GROUP BY label, dim
 
 
 # ---------------------------------------------------------------------------
-# Per-label PCA (top principal component) via grouped applyInPandas —
-# the custom-operator category (b): semantics built-in expressions
-# genuinely cannot express (eigen decomposition), so an Arrow-batched
-# grouped-map UDF with numpy is the right tool. Deterministic: rows
-# sorted by vec_id before the covariance, fixed-iteration power method
-# from a fixed init, sign normalised on the largest-magnitude entry.
-# The oracle replicates the IDENTICAL fixed-iteration recurrence in
-# DuckDB SQL (chained CTEs of matrix-vector products over the per-label
-# covariance), so both engines compute the same iterate — convergence
-# contraction keeps float-order noise far below the 4dp rounding.
-# Invariants (unit norm, determinism, variance) are also pytest-gated.
+# Per-label PCA (top principal component) — MLlib's shape: the only
+# distributed pass accumulates per-label SECOND-MOMENT PARTIALS
+# (n, sum x, sum x x^T) map-side via mapInPandas, reduced with one hash
+# agg; the d x d covariance that falls out is tiny (labels x d^2
+# doubles), so the fixed-iteration power method runs on the driver —
+# exactly how Spark MLlib's RowMatrix.computePrincipalComponents
+# collects the Gram matrix and eigensolves driver-side. The previous
+# formulation (groupBy(label).applyInPandas) collected EVERY vector of
+# a label into one executor's pandas frame — at 100 TB a popular label
+# OOMs; here per-task state is one d x (d+1) accumulator regardless of
+# group size, and the shuffle is |batches| x |labels| x d(d+1) floats,
+# not the corpus.
 #
-# Scale shape: one shuffle on label; per-group state is the group's
-# vectors (groups = quantization cells, bounded by design at real scale).
+# Deterministic: fixed-iteration power method from a fixed init, sign
+# normalised on the largest-magnitude entry. The oracle replicates the
+# IDENTICAL recurrence in DuckDB SQL (chained CTEs of matrix-vector
+# products over the per-label covariance); partial-sum order differs
+# between engines but convergence contraction keeps the float noise far
+# below the 4dp rounding. Invariants (unit norm, determinism, variance,
+# parity with a whole-group numpy PCA) are pytest-gated.
 _PCA_ITERS = 50
+
+
+def _pca_power_iterate(cov):
+    """The shared recurrence: 50 x (multiply, normalise), sign flip on
+    the largest-|entry| (ties -> lowest dim, matching the SQL oracle)."""
+    import numpy as np
+
+    v = np.ones(cov.shape[0]) / np.sqrt(cov.shape[0])
+    for _ in range(_PCA_ITERS):
+        v = cov @ v
+        n = np.linalg.norm(v)
+        if n == 0.0:
+            break
+        v = v / n
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    return v, float(v @ cov @ v)
+
+
 def embedding_pca_top1(spark: SparkSession, sf: str) -> DataFrame:
     import numpy as np
-    import pandas as pd
 
-    def pca(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("vec_id")
-        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        X = X - X.mean(axis=0)
-        cov = (X.T @ X) / len(X)
-        v = np.ones(cov.shape[0]) / np.sqrt(cov.shape[0])
-        for _ in range(_PCA_ITERS):
-            v = cov @ v
-            n = np.linalg.norm(v)
-            if n == 0.0:
-                break
-            v = v / n
-        if v[int(np.argmax(np.abs(v)))] < 0:
-            v = -v
-        ev = float(v @ cov @ v)
-        return pd.DataFrame(
-            {
-                "label": pdf["label"].iloc[0],
-                "dim": np.arange(len(v), dtype=np.int32),
-                "component": v,
-                "explained_var": ev,
-            }
+    def moment_partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for label, grp in pdf.groupby("label"):
+                X = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+                acc = np.concatenate([X.sum(axis=0), (X.T @ X).ravel()])
+                yield pd.DataFrame(
+                    {"label": [int(label)], "n": [len(X)], "acc": [acc.tolist()]}
+                )
+
+    e = load(spark, sf, "embeddings").select("label", "embedding")
+    parts = e.mapInPandas(
+        moment_partials, "label int, n long, acc array<double>"
+    )
+    # elementwise array-sum reduce: explode the fixed-size accumulator to
+    # (label, pos) cells — map-side combined, |labels| x d(d+1) rows total
+    moments = (
+        parts.select("label", "n", F.posexplode("acc").alias("pos", "val"))
+        .groupBy("label", "pos")
+        # every (label, pos) group sees one row per partial, so sum(n)
+        # is the label's total row count in every group
+        .agg(F.sum("val").alias("s"), F.sum("n").alias("n"))
+    )
+    rows = moments.groupBy("label").agg(
+        F.max("n").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda x: x["s"]
+        ).alias("acc"),
+    ).collect()
+
+    out = []
+    for r in rows:
+        n, acc = r["n"], np.asarray(r["acc"])
+        d = int((np.sqrt(4 * len(acc) + 1) - 1) / 2)  # len = d + d^2
+        mu = acc[:d] / n
+        cov = acc[d:].reshape(d, d) / n - np.outer(mu, mu)
+        v, ev = _pca_power_iterate(cov)
+        out.extend(
+            (r["label"], i, float(v[i]), ev) for i in range(d)
         )
-
-    e = load(spark, sf, "embeddings")
-    out_schema = "label int, dim int, component double, explained_var double"
-    raw = e.groupBy("label").applyInPandas(pca, out_schema)
-    # round OUTSIDE the UDF (HALF_UP, not banker's); 4dp leaves ~8
+    res = spark.createDataFrame(
+        out, "label int, dim int, component double, explained_var double"
+    )
+    # round OUTSIDE the numpy path (HALF_UP, not banker's); 4dp leaves ~8
     # orders of magnitude of headroom over cross-engine float noise
-    return raw.select(
+    return res.select(
         "label",
         "dim",
         F.round("component", 4).alias("component"),

@@ -195,10 +195,13 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(price_c * (100 - disc_c)).alias("_rev_c"))
     )
-    w = W.orderBy(F.col("_rev_c").desc(), F.col("c_custkey").asc())
+    # orderBy().limit() lowers to TakeOrderedAndProject: per-partition
+    # top-20 heaps merged on the driver (20 x N rows) — unlike a
+    # partition-less row_number() window, which funnels every customer
+    # through ONE reducer's sort at scale.
     return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 20)
+        agg.orderBy(F.col("_rev_c").desc(), F.col("c_custkey").asc())
+        .limit(20)
         .select(
             "c_custkey",
             "c_name",
@@ -220,13 +223,12 @@ WITH agg AS (
     AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
     AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
   GROUP BY 1, 2, 3
-),
-ranked AS (
-  SELECT *, row_number() OVER (ORDER BY rev_c DESC, c_custkey) AS rn FROM agg
 )
 SELECT c_custkey, c_name, n_name AS nation,
        round(rev_c / 10000.0, 2) AS revenue
-FROM ranked WHERE rn <= 20
+FROM agg
+ORDER BY rev_c DESC, c_custkey
+LIMIT 20
 """
 
 

@@ -1,8 +1,11 @@
-"""embedding_pca_top1 (grouped applyInPandas): invariants + determinism.
-The gate hash-checks it against a DuckDB replica of the same power
-iteration; this test adds the property-based angle: unit norm,
-non-negative explained variance that matches the quadratic form
-recomputed from raw data, and bitwise determinism across runs."""
+"""embedding_pca_top1 (map-side moment partials + driver power method):
+invariants + determinism. The gate hash-checks it against a DuckDB
+replica of the same power iteration; this test adds the property-based
+angle: unit norm, non-negative explained variance that matches the
+quadratic form recomputed from raw data, bitwise determinism across
+runs, and component-level parity with a single-machine numpy PCA over
+the whole group (proving the distributed moment accumulation loses
+nothing vs the collect-the-group formulation it replaced)."""
 
 import math
 
@@ -46,3 +49,10 @@ def test_pca_invariants_and_determinism(spark, sf_dir):
         for i in range(0, X.shape[1], 16):
             axis = np.zeros(X.shape[1]); axis[i] = 1.0
             assert float(v @ cov @ v) >= float(axis @ cov @ axis) - 1e-6
+        # component parity with a whole-group single-machine PCA running
+        # the identical recurrence on the exact covariance
+        from composable_logs_spark.queries.similarity_q import _pca_power_iterate
+
+        v_ref, ev_ref = _pca_power_iterate(cov)
+        assert float(np.max(np.abs(v - v_ref))) < 5e-4
+        assert math.isclose(ev_ref, ev, rel_tol=1e-3)

@@ -33,6 +33,36 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
     assert offenders == []
 
 
+def _iter_logical_nodes(plan):
+    stack = [plan]
+    while stack:
+        n = stack.pop()
+        yield n
+        ch = n.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+
+
+def test_no_partitionless_window_anywhere(spark, sf_dir):
+    """A Window with an empty PARTITION BY funnels the whole input
+    through ONE reducer's sort — the classic 100x scale-killer (this bit
+    q10_returned_items, pack_sequences and vocab_coverage_topk before
+    their round-6 rewrites). Inspects the optimized logical plan's
+    Window nodes directly (the plan's toString truncates long lines, so
+    string-matching is unreliable)."""
+    offenders = []
+    for name, spec in sorted(all_queries().items()):
+        df = spec.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for n in _iter_logical_nodes(plan):
+            if (
+                n.getClass().getSimpleName() == "Window"
+                and n.partitionSpec().isEmpty()
+            ):
+                offenders.append(name)
+    assert offenders == []
+
+
 @pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_local_supplier_volume"])
 def test_dimension_joins_broadcast(spark, sf_dir, name):
     df = all_queries()[name].fn(spark, sf_dir)
