@@ -3,14 +3,16 @@
 JSON line: {"metric", "value", "unit", "queries", "sf"}.
 
 Each query is forced end-to-end with the noop sink (full computation, no
-driver collect). Headline timings are COLD-cache: the Spark cache is
+driver collect). Headline timings are COLD-cache / JIT-warm, applied
+UNIFORMLY: every headline query runs once un-timed first (JVM JIT,
+codegen, parquet footers, Python worker pool), then the cache is
 cleared before every timed pass, so queries that cache intermediates
 (e.g. the span-closure pipeline) can't report a warm-cache rerun as
-their runtime. Two cold passes ride out transient stalls; if they
-disagree by more than 2x (this box shows occasional multi-second
-CPU-steal spikes) a third pass breaks the tie. One extra warm pass per
-query (cache retained from the previous run) is reported separately
-under "queries_warm".
+their runtime and no query gets a JIT advantage another lacks. Two cold
+passes ride out transient stalls; if they disagree by more than 2x
+(this box shows occasional multi-second CPU-steal spikes) a third pass
+breaks the tie. One extra warm pass per query (cache retained from the
+previous run) is reported separately under "queries_warm".
 """
 
 from __future__ import annotations
@@ -53,12 +55,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    # warm-up: JVM, parquet footers, Python worker pool — one query per
-    # major code path (parquet scan-agg; span-summarisation pipeline,
-    # whose 30-stage plan pays a one-time analyzer/codegen cost; the
-    # shingle/LSH path, whose generated code is the largest JIT target
-    # and dominated run-to-run variance before it was warmed)
-    for warm in ("q1_pricing_summary", "spanlog_task_runs", "dedup_minhash_lsh"):
+    # warm-up: EVERY headline query once, un-timed — JVM JIT, codegen,
+    # parquet footers, Python worker pool. Uniform warm-up keeps the
+    # timed numbers comparable across queries and across rounds
+    # (previously only three hand-picked code paths were warmed, which
+    # selectively advantaged one headline query's JIT state).
+    for warm in HEADLINE:
         qs[warm].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 

@@ -151,8 +151,13 @@ def stdlib_codec(payload: bytes, kind: str, op: str = "decode", **kwargs):
         every_ms = int(kwargs.get("every_ms", 1000))
         if _is_wav(payload):
             wav = _decode_wav(payload)
-            bytes_per_ms = wav["rate"] * wav["n_channels"] * wav["sample_width"] / 1000.0
-            chunk = max(1, int(bytes_per_ms * every_ms))
+            frame_size = wav["n_channels"] * wav["sample_width"]
+            bytes_per_ms = wav["rate"] * frame_size / 1000.0
+            # align the chunk to whole PCM frames: e.g. 44.1 kHz stereo
+            # 16-bit at every_ms=333 gives 58749.2 bytes/chunk, and an
+            # unaligned cut splits mid-sample, shifting every later
+            # frame's bytes into misaligned audio
+            chunk = max(frame_size, int(bytes_per_ms * every_ms) // frame_size * frame_size)
             pcm = wav["pixels"]
             frames = [
                 (i, int(start / bytes_per_ms), pcm[start : start + chunk])

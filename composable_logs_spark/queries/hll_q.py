@@ -48,7 +48,11 @@ def hll_registers(df: DataFrame, col: str, group_cols: list[str] | None = None) 
     h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
-    w = (h / _M).cast("long")  # upper 52 bits
+    # upper 52 bits via bit shift — NOT (h / m).cast("long"): that is
+    # double division, where Spark truncates the cast but DuckDB's
+    # CAST(hv/256 AS BIGINT) rounds to nearest, so w would differ on
+    # ~1/3 of rows (only surviving because rho uses bit_length)
+    w = F.shiftright(h, _B)
     # bit_length(w) = count of powers of two <= w (exact comparisons)
     powers = F.array(*[F.lit(1 << i).cast("long") for i in range(_W)])
     bitlen = F.size(F.filter(powers, lambda p: p <= F.col("w")))
@@ -110,7 +114,7 @@ WITH h AS (
   FROM orders
 ),
 r AS (
-  SELECT hv % {_M} AS idx, CAST(hv / {_M} AS BIGINT) AS w FROM h
+  SELECT hv % {_M} AS idx, hv // {_M} AS w FROM h
 ),
 rho AS (
   SELECT idx,
@@ -312,7 +316,7 @@ WITH h AS (
 rho AS (
   SELECT event_type, hv % {_M} AS idx,
          {_W} - len(list_filter([{", ".join(f"CAST({1 << i} AS BIGINT)" for i in range(_W))}],
-                                p -> p <= CAST(hv / {_M} AS BIGINT))) + 1 AS rho
+                                p -> p <= hv // {_M})) + 1 AS rho
   FROM h
 ),
 per_type AS (

@@ -400,17 +400,21 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
             F.round(d2 * 1e6).cast("long").alias("d2_micro"),
         )
     )
+    # keep the distance in exact integer micro-units end-to-end: a
+    # round(sum/1e6, 4) here would reintroduce the Spark-HALF_UP vs
+    # DuckDB-binary rounding-tie hazard whenever sum % 100 == 50 (the
+    # same hazard embedding_int8_quant documents for recon_rmse_micro)
     pairs = (
         codes.join(F.broadcast(dtab), ["m", "cell"])
         .where(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("d2_micro") / 1e6, 4).alias("adc_dist"))
+        .agg(F.sum("d2_micro").alias("adc_d2_micro"))
     )
     # salted two-phase top-k, ascending distance (see _topk_two_phase)
     salted = pairs.withColumn(
         "_salt", F.pmod(F.hash(F.col("vec_id")), F.lit(_SALT_BUCKETS))
     )
-    order = [F.col("adc_dist").asc(), F.col("vec_id")]
+    order = [F.col("adc_d2_micro").asc(), F.col("vec_id")]
     local = (
         salted.withColumn(
             "_lr", F.row_number().over(W.partitionBy("query_id", "_salt").orderBy(*order))
@@ -422,7 +426,9 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
             "rank", F.row_number().over(W.partitionBy("query_id").orderBy(*order))
         )
         .where(F.col("rank") <= _TOP_K)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist", "rank")
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "adc_d2_micro", "rank"
+        )
     )
 
 
@@ -486,7 +492,8 @@ def _pq_sql() -> str:
     )
     ctes.append(
         """pairs AS (
-  SELECT d.query_id, co.vec_id, round(sum(d.d2_micro) / 1000000.0, 4) AS adc_dist
+  SELECT d.query_id, co.vec_id,
+         CAST(sum(d.d2_micro) AS BIGINT) AS adc_d2_micro
   FROM codes co JOIN dtab d ON co.m = d.m AND co.cell = d.cell
   WHERE co.vec_id <> d.query_id
   GROUP BY d.query_id, co.vec_id
@@ -496,9 +503,9 @@ def _pq_sql() -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT query_id, vec_id AS neighbor_id, adc_dist, rank FROM (
+SELECT query_id, vec_id AS neighbor_id, adc_d2_micro, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                                    ORDER BY adc_dist ASC, vec_id) AS INT) AS rank
+                                    ORDER BY adc_d2_micro ASC, vec_id) AS INT) AS rank
   FROM pairs
 ) WHERE rank <= {_TOP_K}
 """

@@ -60,6 +60,20 @@ def test_codec_wav_decode_and_frames():
     assert b"".join(f[2] for f in out) == pcm  # chunks tile the stream
 
 
+def test_codec_wav_chunks_align_to_pcm_frames():
+    """44.1 kHz stereo 16-bit at every_ms=333 gives 58741.2 bytes per
+    chunk; an unaligned int() cut splits mid-sample and every later
+    chunk's bytes decode as garbage audio. Chunks must be whole PCM
+    frames (n_channels * sample_width)."""
+    frame_size = 2 * 2
+    n_frames = 44100  # 1 s
+    pcm = bytes((i % 251 for i in range(n_frames * frame_size)))
+    wav = encode_wav(pcm, rate=44100, n_channels=2, sample_width=2)
+    out = stdlib_codec(wav, "audio", op="frames", every_ms=333)["frames"]
+    assert all(len(f[2]) % frame_size == 0 for f in out)
+    assert b"".join(f[2] for f in out) == pcm  # chunks still tile the stream
+
+
 def test_codec_ppm_stream_frames():
     imgs = [_gradient(4, 3) for _ in range(10)]
     stream = b"".join(encode_pnm(a) for a in imgs)
