@@ -112,6 +112,7 @@ def all_queries() -> dict[str, QuerySpec]:
         corpus_q,
         hll_q,
         asof_extra_q,
+        mix_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -138,6 +139,7 @@ def all_queries() -> dict[str, QuerySpec]:
         corpus_q,
         hll_q,
         asof_extra_q,
+        mix_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
