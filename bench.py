@@ -55,13 +55,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    # warm-up: EVERY headline query once, un-timed — JVM JIT, codegen,
+    # warm-up: EVERY headline query twice, un-timed — JVM JIT, codegen,
     # parquet footers, Python worker pool. Uniform warm-up keeps the
     # timed numbers comparable across queries and across rounds
     # (previously only three hand-picked code paths were warmed, which
-    # selectively advantaged one headline query's JIT state).
-    for warm in HEADLINE:
-        qs[warm].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # selectively advantaged one headline query's JIT state). Two passes
+    # because the largest generated-code paths (minhash/LSH) only reach
+    # steady-state C2 compilation after ~3 invocations; with the two
+    # timed cold passes on top, every query is measured at the same
+    # JIT tier.
+    for _ in range(2):
+        for warm in HEADLINE:
+            qs[warm].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
 
     def run_once(name: str, cold: bool) -> float:

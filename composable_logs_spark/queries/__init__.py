@@ -65,7 +65,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # (3) fill with the longest-unverified green block. Round 6 window:
 # the 17 never-checked + approx_sketch_stats (oracle added) +
 # q10_returned_items / embedding_pca_top1 (plan rewrites) + the two
-# r1-only stragglers, filled with 28 of the r4-verified block.
+# r1-only stragglers + the three new mix_q queries, filled with 25 of
+# the r4-verified block.
 _FRONT_WINDOW = [
     "q12_priority_lines", "outlier_mad_events", "winsorize_doc_lengths",
     "pack_sequences", "approx_sketch_stats", "join_salted_skew_revenue",
@@ -84,7 +85,9 @@ _FRONT_WINDOW = [
     "range_join_error_attribution", "agg_distinct_parts_per_nation",
     "agg_grouping_sets", "window_ntile_customers", "window_rolling_week_spend",
     "text_token_stats", "text_char_entropy", "text_quality_scores",
-    "text_lang_id", "text_fingerprint", "text_repetition", "text_c4_filters",
+    "text_lang_id",
+    # round-6 additions (never driver-checked) take the last three slots
+    "domain_cap_sample", "crossdoc_ngram_overlap", "mix_sources_to_target",
 ]
 
 

@@ -63,7 +63,7 @@ def test_pq_adc_invariants_and_recall(spark, sf_dir):
     for rows in by_q.values():
         rows.sort(key=lambda r: r["rank"])
         assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
-        dists = [r["adc_dist"] for r in rows]
+        dists = [r["adc_d2_micro"] for r in rows]
         assert dists == sorted(dists)  # ascending approximate distance
 
     V = {
