@@ -365,3 +365,67 @@ WHERE r.rank IN ({", ".join(map(str, _COVERAGE_KS))})
 """
 
 QUERIES["vocab_coverage_topk"] = QuerySpec(vocab_coverage_topk, VOCAB_COVERAGE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-window document chunking — the RAG / embedding-prep step:
+# split each document into fixed-size token windows with a stride
+# (here 64-token windows, stride 48 = 16-token overlap), so retrieval
+# embeddings never cut a thought at a hard boundary. Pure per-row array
+# math (explode of a per-doc chunk index sequence + slice): zero
+# shuffle, whole-stage codegen, trivially parallel at any corpus size.
+# The last window covers the tail (k_max = ceil((n-W)/S)), matching the
+# LangChain/LlamaIndex-style splitter contract.
+_CHUNK_W = 64
+_CHUNK_S = 48
+
+
+def chunk_overlap_windows(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    n = F.size(toks)
+    k_max = F.when(n <= _CHUNK_W, F.lit(0).cast("long")).otherwise(
+        F.ceil((n - _CHUNK_W) / F.lit(float(_CHUNK_S))).cast("long")
+    )
+    chunks = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), k_max)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.slice(
+            F.col("toks"), (F.col("chunk_idx") * _CHUNK_S + 1).cast("int"), _CHUNK_W
+        ).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
+    )
+
+
+CHUNK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+k AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= {_CHUNK_W} THEN 0
+              ELSE CAST(ceil((len(toks) - {_CHUNK_W}) / {float(_CHUNK_S)}) AS BIGINT)
+         END AS k_max
+  FROM d
+),
+c AS (
+  SELECT doc_id, unnest(range(0, k_max + 1)) AS chunk_idx, toks FROM k
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                           chunk_idx * {_CHUNK_S} + {_CHUNK_W})) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                                      chunk_idx * {_CHUNK_S} + {_CHUNK_W}), ' ')) AS chunk_hash
+FROM c
+"""
+
+QUERIES["chunk_overlap_windows"] = QuerySpec(chunk_overlap_windows, CHUNK_SQL)
