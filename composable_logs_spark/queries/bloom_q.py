@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import QuerySpec, load
+from .relational import _money2, _money2_sql
 from ..operators.bloom import bloom_build, bloom_prefilter
 
 _N_BITS = 1 << 18
@@ -45,17 +46,16 @@ def bloom_pruned_urgent_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(F.sum(price_c * (100 - disc_c)) / 10000.0, 2).alias("revenue"),
+            _money2(F.sum(price_c * (100 - disc_c)), 10000).alias("revenue"),
         )
     )
 
 
-_SQL = """
+_SQL = f"""
 SELECT l_returnflag,
        count(*) AS n_lines,
-       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0,
-             2) AS revenue
+       {_money2_sql('sum(CAST(round(l_extendedprice * 100) AS BIGINT)'
+                    ' * (100 - CAST(round(l_discount * 100) AS BIGINT)))', 10000)} AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY l_returnflag

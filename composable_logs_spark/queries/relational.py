@@ -26,11 +26,47 @@ def _cents(col):
     return F.round(col * 100, 0).cast("long")
 
 
+def _money2(sum_col, divisor: int):
+    """``round(sum/divisor, 2)`` with the tie decided in EXACT integer
+    arithmetic (half away from zero — Spark's HALF_UP semantics).
+
+    ``F.round(s / 10000.0, 2)`` ties whenever an integer micro-unit sum
+    ends in exactly 50: Spark rounds the decimal shortest-repr UP while
+    DuckDB rounds the binary double to nearest — observed flipping
+    window_top3_parts_per_supplier at sf0.1 (151706.895 -> 151706.9 vs
+    151706.89). Doing the half-step in integers removes the tie from
+    float-land entirely; Spark-side values are UNCHANGED (HALF_UP ==
+    the +h integer div for every value).
+
+    Exactness bound: the quotient cast is exact while |sum| < ~9e17
+    micro-units (9e13 currency units) — far beyond any revenue total.
+    """
+    step = divisor // 100  # 2dp output
+    sign = F.when(sum_col < 0, F.lit(-1)).otherwise(F.lit(1))
+    q = ((F.abs(sum_col) + step // 2) / step).cast("long")
+    return sign * q / F.lit(100.0)
+
+
+def _money2_sql(expr: str, divisor: int) -> str:
+    """DuckDB mirror of :func:`_money2` (``//`` is exact BIGINT div)."""
+    step = divisor // 100
+    return (
+        f"((CASE WHEN ({expr}) < 0 THEN -1 ELSE 1 END)"
+        f" * ((abs({expr}) + {step // 2}) // {step})) / 100.0"
+    )
+
+
+_REV_SUM_SQL = (
+    "sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))"
+)
+
+
 def _revenue_cents():
     """sum(extendedprice * (1 - discount)) in exact integer arithmetic."""
     price_c = _cents(F.col("l_extendedprice"))
     disc_c = _cents(F.col("l_discount"))
-    return F.round(F.sum(price_c * (100 - disc_c)) / 10000.0, 2)
+    return _money2(F.sum(price_c * (100 - disc_c)), 10000)
 
 
 # ---------------------------------------------------------------------------
@@ -51,9 +87,9 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.round(F.sum(qty_c) / 100.0, 2).alias("sum_qty"),
             F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
-            F.round(F.sum(price_c * (100 - disc_c)) / 10000.0, 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0, 2
+            _money2(F.sum(price_c * (100 - disc_c)), 10000).alias("sum_disc_price"),
+            _money2(
+                F.sum(price_c * (100 - disc_c) * (100 + tax_c)), 1000000
             ).alias("sum_charge"),
             F.round(F.sum(qty_c) / 100.0 / F.count("*"), 4).alias("avg_qty"),
             F.round(F.sum(price_c) / 100.0 / F.count("*"), 4).alias("avg_price"),
@@ -63,12 +99,12 @@ def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-Q1_SQL = """
+Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(qty_c) / 100.0, 2)                                   AS sum_qty,
        round(sum(price_c) / 100.0, 2)                                 AS sum_base_price,
-       round(sum(price_c * (100 - disc_c)) / 10000.0, 2)              AS sum_disc_price,
-       round(sum(price_c * (100 - disc_c) * (100 + tax_c)) / 1000000.0, 2) AS sum_charge,
+       {_money2_sql('sum(price_c * (100 - disc_c))', 10000)} AS sum_disc_price,
+       {_money2_sql('sum(price_c * (100 - disc_c) * (100 + tax_c))', 1000000)} AS sum_charge,
        round(sum(qty_c) / 100.0 / count(*), 4)                        AS avg_qty,
        round(sum(price_c) / 100.0 / count(*), 4)                      AS avg_price,
        round(sum(disc_c) / 100.0 / count(*), 4)                       AS avg_disc,
@@ -107,10 +143,9 @@ def q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-Q3_SQL = """
+Q3_SQL = f"""
 SELECT l_orderkey,
-       round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                 * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2) AS revenue,
+       {_money2_sql(_REV_SUM_SQL, 10000)} AS revenue,
        strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
        o_orderpriority
 FROM lineitem
@@ -150,10 +185,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-Q5_SQL = """
+Q5_SQL = f"""
 SELECT n_name,
-       round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                 * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2) AS revenue,
+       {_money2_sql(_REV_SUM_SQL, 10000)} AS revenue,
        count(*)                                          AS n_lines
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -233,11 +267,10 @@ def window_top3_parts_per_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-TOP3_SQL = """
+TOP3_SQL = f"""
 WITH rev AS (
   SELECT l_suppkey, l_partkey,
-         round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                   * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2) AS revenue
+         {_money2_sql(_REV_SUM_SQL, 10000)} AS revenue
   FROM lineitem GROUP BY l_suppkey, l_partkey
 )
 SELECT l_suppkey, l_partkey, revenue, rank FROM (
@@ -756,16 +789,14 @@ def join_salted_skew_revenue(spark: SparkSession, sf: str) -> DataFrame:
     joined = salted_join(li, sup, "l_suppkey", n_salts=8)
     return joined.groupBy("s_nationkey").agg(
         F.count("*").alias("n_items"),
-        F.round(F.sum("rev_c4") / 10000.0, 2).alias("revenue"),
+        _money2(F.sum("rev_c4"), 10000).alias("revenue"),
     )
 
 
-SALTED_JOIN_SQL = """
+SALTED_JOIN_SQL = f"""
 SELECT s_nationkey,
        CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                 * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0,
-             2) AS revenue
+       {_money2_sql(_REV_SUM_SQL, 10000)} AS revenue
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_nationkey
 """

@@ -11,7 +11,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from . import QuerySpec, load
-from .relational import _cents, _revenue_cents
+from .relational import _REV_SUM_SQL, _cents, _money2_sql, _revenue_cents
 
 
 # ---------------------------------------------------------------------------
@@ -110,11 +110,10 @@ def q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-Q7_SQL = """
+Q7_SQL = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
-       round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                 * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2) AS revenue,
+       {_money2_sql(_REV_SUM_SQL, 10000)} AS revenue,
        count(*) AS n_lines
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -195,10 +194,9 @@ def q19_bracket_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-Q19_SQL = """
+Q19_SQL = f"""
 SELECT p_brand,
-       round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                 * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) / 10000.0, 2) AS revenue,
+       {_money2_sql(_REV_SUM_SQL, 10000)} AS revenue,
        count(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)

@@ -28,7 +28,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from . import QuerySpec, load
-from .relational import _cents, _revenue_cents
+from .relational import _cents, _money2, _money2_sql, _revenue_cents
 
 # Shared oracle fragment: exact revenue cents, scale 10^4.
 _REV_C_SQL = (
@@ -53,15 +53,15 @@ def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(disc_c.between(5, 7))
         .agg(
-            F.round(F.sum(price_c * disc_c) / 10000.0, 2).alias("revenue"),
+            _money2(F.sum(price_c * disc_c), 10000).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
 
 
 Q6_SQL = f"""
-SELECT round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-                 * CAST(round(l_discount * 100, 0) AS BIGINT)) / 10000.0, 2) AS revenue,
+SELECT {_money2_sql('sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)'
+                    ' * CAST(round(l_discount * 100, 0) AS BIGINT))', 10000)} AS revenue,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -106,7 +106,7 @@ def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
                 / F.sum(vol_c),
                 4,
             ).alias("mkt_share"),
-            F.round(F.sum(vol_c) / 10000.0, 2).alias("total_volume"),
+            _money2(F.sum(vol_c), 10000).alias("total_volume"),
         )
     )
 
@@ -115,7 +115,7 @@ Q8_SQL = f"""
 SELECT CAST(year(o_orderdate) AS INT) AS o_year,
        round(sum(CASE WHEN n1.n_name = 'NATION_2' THEN {_REV_C_SQL} ELSE 0 END)
              / sum({_REV_C_SQL}), 4) AS mkt_share,
-       round(sum({_REV_C_SQL}) / 10000.0, 2) AS total_volume
+       {_money2_sql(f'sum({_REV_C_SQL})', 10000)} AS total_volume
 FROM lineitem
 JOIN orders    ON l_orderkey = o_orderkey
 JOIN part      ON l_partkey = p_partkey
@@ -154,15 +154,15 @@ def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount_c) / 10000.0, 2).alias("sum_profit"))
+        .agg(_money2(F.sum(amount_c), 10000).alias("sum_profit"))
     )
 
 
 Q9_SQL = f"""
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-       round(sum({_REV_C_SQL}
-                 - CAST(round(p_retailprice * 100, 0) AS BIGINT)
-                   * CAST(round(l_quantity * 100, 0) AS BIGINT)) / 10000.0, 2) AS sum_profit
+       {_money2_sql(f'sum({_REV_C_SQL}'
+                    ' - CAST(round(p_retailprice * 100, 0) AS BIGINT)'
+                    ' * CAST(round(l_quantity * 100, 0) AS BIGINT))', 10000)} AS sum_profit
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN part     ON l_partkey = p_partkey
@@ -206,7 +206,7 @@ def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
             "c_custkey",
             "c_name",
             F.col("n_name").alias("nation"),
-            F.round(F.col("_rev_c") / 10000.0, 2).alias("revenue"),
+            _money2(F.col("_rev_c"), 10000).alias("revenue"),
         )
     )
 
@@ -225,7 +225,7 @@ WITH agg AS (
   GROUP BY 1, 2, 3
 )
 SELECT c_custkey, c_name, n_name AS nation,
-       round(rev_c / 10000.0, 2) AS revenue
+       {_money2_sql('rev_c', 10000)} AS revenue
 FROM agg
 ORDER BY rev_c DESC, c_custkey
 LIMIT 20
@@ -257,11 +257,11 @@ def q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     return (
         per_part.crossJoin(F.broadcast(total))
         .where(F.col("_value_c") * 10000 > F.col("_total_c") * 5)
-        .select("l_partkey", F.round(F.col("_value_c") / 10000.0, 2).alias("value"))
+        .select("l_partkey", _money2(F.col("_value_c"), 10000).alias("value"))
     )
 
 
-Q11_SQL = """
+Q11_SQL = f"""
 WITH base AS (
   SELECT l_partkey,
          CAST(round(l_quantity * 100, 0) AS BIGINT)
@@ -279,7 +279,7 @@ per_part AS (
 total AS (
   SELECT CAST(sum(v_c) AS BIGINT) AS total_c FROM base
 )
-SELECT l_partkey, round(value_c / 10000.0, 2) AS value
+SELECT l_partkey, {_money2_sql('value_c', 10000)} AS value
 FROM per_part, total
 WHERE value_c * 10000 > total_c * 5
 """
@@ -397,7 +397,7 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("_rev_c") / 10000.0, 2).alias("total_revenue"),
+            _money2(F.col("_rev_c"), 10000).alias("total_revenue"),
         )
     )
 
@@ -410,7 +410,7 @@ WITH rev AS (
     AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
   GROUP BY 1
 )
-SELECT s_suppkey, s_name, round(rev_c / 10000.0, 2) AS total_revenue
+SELECT s_suppkey, s_name, {_money2_sql('rev_c', 10000)} AS total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE rev_c = (SELECT max(rev_c) FROM rev)
 """

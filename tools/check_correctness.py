@@ -8,6 +8,7 @@ Usage: python tools/check_correctness.py [name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 import traceback
@@ -19,7 +20,7 @@ sys.path.insert(0, ".")
 import __spark_entry__ as E  # noqa: E402
 from composable_logs_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
