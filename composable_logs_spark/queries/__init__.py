@@ -65,8 +65,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # (3) fill with the longest-unverified green block. Round 6 window:
 # the 17 never-checked + approx_sketch_stats (oracle added) +
 # q10_returned_items / embedding_pca_top1 (plan rewrites) + the two
-# r1-only stragglers + the three new mix_q queries, filled with 25 of
-# the r4-verified block.
+# r1-only stragglers + this round's 13 brand-new queries (mix_q,
+# basket_q, fuzzy_q, bpe_q, profile_q, mv_q) + chunk_overlap_windows,
+# filled with the longest-unverified r3/r4 greens.
 _FRONT_WINDOW = [
     "q12_priority_lines", "outlier_mad_events", "winsorize_doc_lengths",
     "pack_sequences", "approx_sketch_stats", "join_salted_skew_revenue",
@@ -76,18 +77,19 @@ _FRONT_WINDOW = [
     "cms_heavy_hitters", "hll_users_by_event_type", "asof_join_nearest",
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "q10_returned_items",
     "embedding_pca_top1",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "join_semi_heavy_orders", "join_anti_idle_customers",
-    "window_top3_parts_per_supplier", "window_running_customer_spend",
-    "window_order_gaps", "agg_rollup_returns", "agg_cube_events",
+    # round-6 additions (never driver-checked)
+    "domain_cap_sample", "crossdoc_ngram_overlap", "mix_sources_to_target",
+    "chunk_overlap_windows",
+    "frequent_item_pairs", "triangle_count_copurchase", "bfs_purchase_distance",
+    "fuzzy_match_partnames", "bpe_train_merges", "table_profile_lineitem",
+    "skyline_parts", "weighted_reservoir_topk", "mv_incremental_merge",
+    # longest-unverified green fillers
     "pivot_event_cohorts", "unpivot_part_metrics", "set_ops_segments",
     "scalar_functions_orders", "json_extract_events", "sessionize_user_events",
     "range_join_error_attribution", "agg_distinct_parts_per_nation",
     "agg_grouping_sets", "window_ntile_customers", "window_rolling_week_spend",
     "text_token_stats", "text_char_entropy", "text_quality_scores",
     "text_lang_id",
-    # round-6 additions (never driver-checked) take the last three slots
-    "domain_cap_sample", "crossdoc_ngram_overlap", "mix_sources_to_target",
 ]
 
 
@@ -116,6 +118,11 @@ def all_queries() -> dict[str, QuerySpec]:
         hll_q,
         asof_extra_q,
         mix_q,
+        basket_q,
+        fuzzy_q,
+        bpe_q,
+        profile_q,
+        mv_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -143,6 +150,11 @@ def all_queries() -> dict[str, QuerySpec]:
         hll_q,
         asof_extra_q,
         mix_q,
+        basket_q,
+        fuzzy_q,
+        bpe_q,
+        profile_q,
+        mv_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]

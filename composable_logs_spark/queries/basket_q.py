@@ -1,0 +1,290 @@
+"""Market-basket and graph-topology operators over the order/part
+bipartite graph — the co-occurrence analytics a training-data pipeline
+runs to understand corpus structure (and a retailer runs on baskets):
+
+- ``frequent_item_pairs``: A-priori style frequent-pair mining. The
+  scale-critical property is SUPPORT PRUNING BEFORE PAIR GENERATION:
+  items below minimum support are dropped from every basket *before*
+  the within-basket self-join, so the quadratic step runs over
+  frequent items only (Agrawal & Srikant's candidate pruning, the part
+  of A-priori that matters on 100 TB). Pair counting is a map-side
+  combinable hash agg; the final top-20 is `orderBy().limit(20)` which
+  lowers to TakeOrderedAndProject (per-partition heaps, driver merges
+  20 rows per partition — no single-reducer sort).
+- ``triangle_count_copurchase``: exact triangle counting with DEGREE
+  ORIENTATION (Cohen's / Schank-Wagner forward algorithm): each
+  undirected edge is directed from its (degree, id)-smaller endpoint,
+  so every node's out-degree is bounded and the wedge join
+  (e1.src = e2.src) never explodes on hub nodes — the standard trick
+  that makes distributed triangle counting survive power-law graphs.
+  The oracle counts the same triangles with the naive a<b<c 3-way
+  self-join; the counts agree because orientation only canonicalises
+  each triangle once.
+- ``bfs_purchase_distance``: multi-hop breadth-first distances from a
+  fixed source part via iterative frontier expansion — each hop is one
+  equi-join of the current frontier against the (small, broadcastable
+  here; shuffle-partitioned at scale) edge list plus an anti-join
+  against the visited set, with early exit on an empty frontier. The
+  oracle is a recursive CTE (DuckDB `WITH RECURSIVE ... UNION`), i.e.
+  the engine-native fixpoint — a genuinely independent formulation.
+
+Graph parity with the reference: the reference's only graph surface is
+parent-child span traversal (`composable-logs` span trees, see
+`operators/closure.py` for that port); these three extend the engine to
+general graph/co-occurrence analytics with the same iterative-join
+machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import QuerySpec, load
+
+# an item must appear in >= max(5, 0.2% of baskets) baskets to survive
+# support pruning; a pair must co-occur >= _MIN_COOCCUR times to be an
+# edge of the co-purchase graph
+_REL_MINSUP = 0.002
+_ABS_MINSUP = 5
+_MIN_COOCCUR = 2
+_MAX_HOPS = 4
+
+
+def _baskets(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+
+
+_BASKETS_SQL = "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+
+
+# ---------------------------------------------------------------------------
+def frequent_item_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    b = _baskets(spark, sf)
+    # stage 1: item supports + the basket count (two small aggs)
+    support = b.groupBy("l_partkey").agg(F.count("*").alias("item_support"))
+    n_baskets = b.agg(
+        F.count_distinct("l_orderkey").alias("n_baskets")
+    )
+    minsup = n_baskets.select(
+        F.greatest(
+            F.lit(_ABS_MINSUP),
+            F.floor(F.lit(_REL_MINSUP) * F.col("n_baskets")).cast("long"),
+        ).alias("minsup")
+    )
+    frequent = (
+        support.crossJoin(F.broadcast(minsup))
+        .where(F.col("item_support") >= F.col("minsup"))
+        .select("l_partkey")
+    )
+    # stage 2: prune baskets to frequent items BEFORE the pair self-join
+    fb = b.join(frequent, "l_partkey").select("l_orderkey", "l_partkey")
+    pairs = (
+        fb.alias("x")
+        .join(fb.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("pair_support"))
+    )
+    # TakeOrderedAndProject: per-partition top-20 heaps, no global sort
+    return pairs.orderBy(
+        F.col("pair_support").desc(), "part_a", "part_b"
+    ).limit(20)
+
+
+FREQUENT_PAIRS_SQL = f"""
+WITH b AS ({_BASKETS_SQL}),
+stats AS (
+  SELECT greatest({_ABS_MINSUP},
+                  CAST(floor({_REL_MINSUP} * count(DISTINCT l_orderkey)) AS BIGINT))
+           AS minsup
+  FROM b
+),
+frequent AS (
+  SELECT l_partkey FROM b GROUP BY l_partkey
+  HAVING count(*) >= (SELECT minsup FROM stats)
+),
+fb AS (SELECT l_orderkey, l_partkey FROM b JOIN frequent USING (l_partkey))
+SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS pair_support
+FROM fb x JOIN fb y ON x.l_orderkey = y.l_orderkey
+                   AND x.l_partkey < y.l_partkey
+GROUP BY 1, 2
+ORDER BY pair_support DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+def _edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Undirected co-purchase edges (a < b) with co-occurrence >= 2."""
+    b = _baskets(spark, sf)
+    return (
+        b.alias("x")
+        .join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count("*").alias("w"))
+        .where(F.col("w") >= _MIN_COOCCUR)
+        .select("a", "b")
+    )
+
+
+_EDGES_SQL = f"""
+  SELECT x.l_partkey AS a, y.l_partkey AS b
+  FROM ({_BASKETS_SQL}) x JOIN ({_BASKETS_SQL}) y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_MIN_COOCCUR}
+"""
+
+
+def triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    e = _edges(spark, sf).cache()
+    # degree per node over the undirected edge set
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient each edge from the (deg, id)-smaller endpoint: out-degrees
+    # are O(sqrt(m))-bounded, so the wedge join below cannot blow up on
+    # hub nodes (forward / degree-ordering algorithm)
+    da = deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "deg_a")
+    db = deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "deg_b")
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    # wedges around each apex: every triangle has exactly ONE node whose
+    # two triangle edges are both oriented outward (the degree-order
+    # minimum), so closing its wedge counts each triangle once — but the
+    # symmetric self-join materialises each unordered wedge twice
+    # (e1/e2 swapped), hence the /2. The closing edge is looked up in
+    # the id-normalised undirected set (a < b), which the normalised
+    # wedge (least, greatest) matches at most once.
+    w1 = oriented.alias("e1")
+    w2 = oriented.alias("e2")
+    closing = e.select(F.col("a").alias("v"), F.col("b").alias("w_"))
+    tri = (
+        w1.join(w2, F.col("e1.src") == F.col("e2.src"))
+        .where(F.col("e1.dst") != F.col("e2.dst"))
+        .select(
+            F.least("e1.dst", "e2.dst").alias("v"),
+            F.greatest("e1.dst", "e2.dst").alias("w_"),
+        )
+        .join(closing, ["v", "w_"])
+        .agg((F.count("*") / 2).cast("long").alias("n_triangles"))
+    )
+    stats = e.agg(
+        F.count("*").alias("n_edges"),
+    )
+    nodes = deg.agg(F.count("*").alias("n_nodes"))
+    return (
+        tri.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(nodes))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+TRIANGLE_SQL = f"""
+WITH e AS ({_EDGES_SQL}),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       tri.n_triangles
+FROM tri
+"""
+
+
+# ---------------------------------------------------------------------------
+def bfs_purchase_distance(spark: SparkSession, sf: str) -> DataFrame:
+    e = _edges(spark, sf)
+    # undirected adjacency
+    adj = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
+    src = adj.agg(F.min("a").alias("node"))
+    # iterative frontier expansion with a visited anti-join and early
+    # exit — each hop is one shuffle; at cluster scale the visited set
+    # joins shuffle-partitioned on node id
+    visited = src.withColumn("dist", F.lit(0)).cache()
+    frontier = visited
+    for hop in range(1, _MAX_HOPS + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["a"])
+            .select(F.col("b").alias("node"))
+            .dropDuplicates(["node"])
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .cache()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionAll(nxt).cache()
+        frontier = nxt
+    return (
+        visited.groupBy("dist")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+            F.sum("node").alias("node_sum"),
+        )
+        .orderBy("dist")
+    )
+
+
+BFS_SQL = f"""
+WITH RECURSIVE e AS ({_EDGES_SQL}),
+adj AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+src AS (SELECT min(a) AS node FROM adj),
+walk AS (
+  SELECT node, 0 AS dist FROM src
+  UNION
+  SELECT adj.b AS node, walk.dist + 1 AS dist
+  FROM walk JOIN adj ON adj.a = walk.node
+  WHERE walk.dist < {_MAX_HOPS}
+),
+best AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+SELECT CAST(dist AS INTEGER) AS dist,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       min(node) AS min_node, max(node) AS max_node,
+       CAST(sum(node) AS BIGINT) AS node_sum
+FROM best GROUP BY dist ORDER BY dist
+"""
+
+
+QUERIES = {
+    "frequent_item_pairs": QuerySpec(frequent_item_pairs, FREQUENT_PAIRS_SQL),
+    "triangle_count_copurchase": QuerySpec(
+        triangle_count_copurchase, TRIANGLE_SQL
+    ),
+    "bfs_purchase_distance": QuerySpec(bfs_purchase_distance, BFS_SQL),
+}

@@ -1,0 +1,95 @@
+"""Incremental materialized-view maintenance, proven correct by
+construction: the query computes the MV the INCREMENTAL way (partial
+aggregates of a frozen base segment merged with partial aggregates of a
+delta segment), while the oracle computes the same view with one flat
+aggregation over all rows — the gate's hash equality IS the proof that
+the merge algebra is lossless.
+
+This is the batch half of the engine's incremental story (the streaming
+half lives in ``streaming/`` with stream==batch equivalence tests): a
+100 TB deployment never re-aggregates history, it folds deltas into
+partial-agg state. The partial state here is (count, exact integer
+micro-unit sum) per key — both mergeable by `+` — and every derived
+column (avg, money-rounded sum) is computed only AFTER the merge, from
+the merged state; computing them per-segment would be the classic
+non-mergeable-aggregate bug this operator exists to avoid.
+
+The full-outer merge join runs on the MV's key space (|keys|, not
+|rows|), and both segment aggregations are map-side-combinable hash
+aggs over a partition-pruned scan (the `ts` predicate reaches the
+parquet reader).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import QuerySpec, load
+from .relational import _money2, _money2_sql
+
+_CUTOFF = "2024-01-20 00:00:00"
+
+
+def _segment(d: DataFrame) -> DataFrame:
+    """Mergeable partial-agg state per (event_type, day)."""
+    return d.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(
+        F.count("*").alias("cnt"),
+        # exact integer micro-units: summing doubles would make the
+        # merged total depend on addition order across segments
+        F.sum(F.expr("CAST(round(value * 1000000, 0) AS BIGINT)")).alias(
+            "sum_micro"
+        ),
+    )
+
+
+def mv_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    base = _segment(ev.where(F.col("ts") < _CUTOFF))
+    delta = _segment(ev.where(F.col("ts") >= _CUTOFF))
+    merged = (
+        base.alias("b")
+        .join(delta.alias("d"), ["event_type", "day"], "full_outer")
+        .select(
+            "event_type",
+            "day",
+            (
+                F.coalesce(F.col("b.cnt"), F.lit(0))
+                + F.coalesce(F.col("d.cnt"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("b.sum_micro"), F.lit(0))
+                + F.coalesce(F.col("d.sum_micro"), F.lit(0))
+            ).alias("sum_micro"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        _money2(F.col("sum_micro"), 1000000).alias("sum_value"),
+        F.round(
+            F.col("sum_micro") / F.col("n_events") / F.lit(1000000.0), 4
+        ).alias("avg_value"),
+    ).orderBy("event_type", "day")
+
+
+MV_SQL = f"""
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {_money2_sql("sum(CAST(round(value * 1000000, 0) AS BIGINT))", 1000000)}
+         AS sum_value,
+       round(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+             / CAST(count(*) AS DOUBLE) / 1000000.0, 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, day
+"""
+
+
+QUERIES = {
+    "mv_incremental_merge": QuerySpec(mv_incremental_merge, MV_SQL),
+}

@@ -7,9 +7,10 @@ the driver hash-checks.
 Round-6 window (see ``_FRONT_WINDOW``): the 17 queries that had never
 had a driver hash-green row (including the three round-5 HUGEINT reds),
 approx_sketch_stats (oracle added this round), q10_returned_items and
-embedding_pca_top1 (plan rewrites this round), the two r1-only
-stragglers, filled to 50 with the r4-verified block (longest-unverified
-greens).
+embedding_pca_top1 (plan rewrites this round), all 13 queries ADDED
+this round (mix_q, chunk_overlap_windows, basket_q, fuzzy_q, bpe_q,
+profile_q, mv_q — none has ever been driver-checked), filled to 50
+with the longest-unverified r3/r4 greens.
 """
 
 from composable_logs_spark.queries import _FRONT_WINDOW, all_queries
