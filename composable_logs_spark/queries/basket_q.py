@@ -228,13 +228,25 @@ FROM tri
 # ---------------------------------------------------------------------------
 def bfs_purchase_distance(spark: SparkSession, sf: str) -> DataFrame:
     e = _edges(spark, sf)
-    # undirected adjacency
-    adj = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
+    # undirected adjacency, hash-partitioned on the join key ONCE: the
+    # cached output keeps HashPartitioning(a), so every hop's frontier
+    # join re-shuffles only the (small) frontier side — the adjacency
+    # never moves again. This is the partitioning-reuse pattern that
+    # makes iterative graph traversal viable at cluster scale (the same
+    # trick `operators/closure.py` uses for span trees).
+    adj = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition("a")
+        .cache()
+    )
     src = adj.agg(F.min("a").alias("node"))
-    # iterative frontier expansion with a visited anti-join and early
-    # exit — each hop is one shuffle; at cluster scale the visited set
-    # joins shuffle-partitioned on node id
-    visited = src.withColumn("dist", F.lit(0)).cache()
+    # eager localCheckpoint, not cache(): each hop's plan references
+    # every earlier hop, and under AQE a chain of cached iterations
+    # makes Catalyst re-optimise a geometrically growing tree (12s+
+    # per hop observed by hop 4 with cache()). Checkpointing cuts the
+    # lineage so every hop plans against flat leaves — the same
+    # trade-off documented at length in operators/closure.py.
+    visited = src.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
     frontier = visited
     for hop in range(1, _MAX_HOPS + 1):
         nxt = (
@@ -243,11 +255,11 @@ def bfs_purchase_distance(spark: SparkSession, sf: str) -> DataFrame:
             .dropDuplicates(["node"])
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(hop))
-            .cache()
+            .localCheckpoint(eager=True)
         )
-        if nxt.limit(1).count() == 0:
+        if nxt.count() == 0:
             break
-        visited = visited.unionAll(nxt).cache()
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return (
         visited.groupBy("dist")

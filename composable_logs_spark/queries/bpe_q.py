@@ -82,6 +82,9 @@ def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
             break
         l, r, total = best[0]["l"], best[0]["r"], best[0]["total"]
         merges.append((rank, l, r, l + r, int(total)))
+        # eager localCheckpoint: K chained cached layers make Catalyst
+        # re-plan a growing tree every round (see basket_q BFS note);
+        # checkpointing keeps each round's plan flat
         vocab = vocab.withColumn(
             "sym",
             F.replace(
@@ -89,7 +92,7 @@ def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit(f" {l} {r} "),
                 F.lit(f" {l}{r} "),
             ),
-        ).cache()
+        ).localCheckpoint(eager=True)
     schema = T.StructType(
         [
             T.StructField("merge_rank", T.IntegerType()),

@@ -1,0 +1,149 @@
+"""basket_q + fuzzy_q: every operator is cross-checked against an
+independent brute-force Python reference computed from the same parquet
+tables (the gate already hash-checks them against DuckDB SQL; this adds
+a third, structurally different formulation)."""
+
+import duckdb
+import pytest
+
+from composable_logs_spark.queries.basket_q import (
+    _ABS_MINSUP,
+    _MIN_COOCCUR,
+    _REL_MINSUP,
+    bfs_purchase_distance,
+    frequent_item_pairs,
+    triangle_count_copurchase,
+)
+from composable_logs_spark.queries.fuzzy_q import _MAX_DIST, fuzzy_match_partnames
+
+
+@pytest.fixture(scope="module")
+def baskets(sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchall()
+    by_order = {}
+    for o, p in rows:
+        by_order.setdefault(o, set()).add(p)
+    return by_order
+
+
+@pytest.fixture(scope="module")
+def edges(baskets):
+    from collections import Counter
+
+    cooccur = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                cooccur[(s[i], s[j])] += 1
+    return {e for e, c in cooccur.items() if c >= _MIN_COOCCUR}
+
+
+def test_frequent_pairs_match_bruteforce(spark, sf_dir, baskets):
+    from collections import Counter
+
+    minsup = max(_ABS_MINSUP, int(_REL_MINSUP * len(baskets)))
+    item_cnt = Counter(p for items in baskets.values() for p in items)
+    frequent = {p for p, c in item_cnt.items() if c >= minsup}
+    pair_cnt = Counter()
+    for items in baskets.values():
+        s = sorted(p for p in items if p in frequent)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair_cnt[(s[i], s[j])] += 1
+    expect = sorted(
+        ((c, a, b) for (a, b), c in pair_cnt.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+    got = [
+        (r["pair_support"], r["part_a"], r["part_b"])
+        for r in frequent_item_pairs(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir, edges):
+    nodes = {n for e in edges for n in e}
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = sum(
+        1
+        for a, b in edges
+        for c in adj[a] & adj[b]
+        if c > b  # a < b from edge normalisation; count each once
+    )
+    row = triangle_count_copurchase(spark, sf_dir).collect()[0]
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(edges)
+    assert row["n_triangles"] == tri
+
+
+def test_bfs_distances_match_bruteforce(spark, sf_dir, edges):
+    from collections import deque
+
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    src = min(adj)
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        n = q.popleft()
+        if dist[n] >= 4:
+            continue
+        for m in adj[n]:
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    from collections import Counter
+
+    expect = Counter(dist.values())
+    got = {r["dist"]: r for r in bfs_purchase_distance(spark, sf_dir).collect()}
+    assert {d: r["n_nodes"] for d, r in got.items()} == dict(expect)
+    for d, r in got.items():
+        level = [n for n, dd in dist.items() if dd == d]
+        assert r["min_node"] == min(level)
+        assert r["max_node"] == max(level)
+        assert r["node_sum"] == sum(level)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_matches_bruteforce(spark, sf_dir):
+    con = duckdb.connect()
+    names = con.execute(
+        f"SELECT p_name, count(*), min(p_partkey)"
+        f" FROM '{sf_dir}/part.parquet' GROUP BY 1"
+    ).fetchall()
+    expect = set()
+    for na, ca, ia in names:
+        for nb, cb, ib in names:
+            if na < nb and na.split()[-1] == nb.split()[-1]:
+                d = _lev(na, nb)
+                if d <= _MAX_DIST:
+                    expect.add((na, nb, d, ca, cb, ia, ib))
+    got = {
+        (
+            r["name_a"], r["name_b"], r["dist"],
+            r["n_parts_a"], r["n_parts_b"], r["canon_a"], r["canon_b"],
+        )
+        for r in fuzzy_match_partnames(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect  # blocking grid guarantees close pairs exist
