@@ -81,7 +81,8 @@ _FRONT_WINDOW = [
     "domain_cap_sample", "crossdoc_ngram_overlap", "mix_sources_to_target",
     "chunk_overlap_windows",
     "frequent_item_pairs", "triangle_count_copurchase", "bfs_purchase_distance",
-    "fuzzy_match_partnames", "bpe_train_merges", "table_profile_lineitem",
+    "fuzzy_match_partnames", "bpe_train_merges", "bpe_encode_stats",
+    "table_profile_lineitem",
     "skyline_parts", "weighted_reservoir_topk", "mv_incremental_merge",
     # longest-unverified green fillers
     "pivot_event_cohorts", "unpivot_part_metrics", "set_ops_segments",
@@ -89,7 +90,6 @@ _FRONT_WINDOW = [
     "range_join_error_attribution", "agg_distinct_parts_per_nation",
     "agg_grouping_sets", "window_ntile_customers", "window_rolling_week_spend",
     "text_token_stats", "text_char_entropy", "text_quality_scores",
-    "text_lang_id",
 ]
 
 

@@ -42,12 +42,14 @@ from pyspark.sql import functions as F
 
 from . import QuerySpec, load
 
-# an item must appear in >= max(5, 0.2% of baskets) baskets to survive
-# support pruning; a pair must co-occur >= _MIN_COOCCUR times to be an
-# edge of the co-purchase graph
-_REL_MINSUP = 0.002
+# support pruning keeps items strictly above 1.1x the MEAN item
+# support — a data-shape-relative threshold that stays meaningful at
+# every scale factor (a fraction-of-baskets threshold like 0.2% goes
+# degenerate when the catalog grows with the corpus: at sf0.1 no item
+# clears it and the query returns empty). Computed in exact integer
+# arithmetic so both engines derive the identical cutoff.
 _ABS_MINSUP = 5
-_MIN_COOCCUR = 2
+_MIN_COOCCUR = 2  # triangle edges: pairs co-occurring at least twice
 _MAX_HOPS = 4
 
 
@@ -65,15 +67,15 @@ _BASKETS_SQL = "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
 # ---------------------------------------------------------------------------
 def frequent_item_pairs(spark: SparkSession, sf: str) -> DataFrame:
     b = _baskets(spark, sf)
-    # stage 1: item supports + the basket count (two small aggs)
+    # stage 1: item supports; cutoff = floor(1.1 * mean support) + 1
+    # in integer arithmetic (mean = total occurrences / distinct items)
     support = b.groupBy("l_partkey").agg(F.count("*").alias("item_support"))
-    n_baskets = b.agg(
-        F.count_distinct("l_orderkey").alias("n_baskets")
-    )
-    minsup = n_baskets.select(
+    minsup = support.agg(
+        F.sum("item_support").alias("tot"), F.count("*").alias("n_items")
+    ).select(
         F.greatest(
-            F.lit(_ABS_MINSUP),
-            F.floor(F.lit(_REL_MINSUP) * F.col("n_baskets")).cast("long"),
+            F.lit(_ABS_MINSUP).cast("long"),
+            F.expr("(11 * tot) div (10 * n_items) + 1"),
         ).alias("minsup")
     )
     frequent = (
@@ -101,15 +103,14 @@ def frequent_item_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 FREQUENT_PAIRS_SQL = f"""
 WITH b AS ({_BASKETS_SQL}),
+supp AS (SELECT l_partkey, count(*) AS s FROM b GROUP BY l_partkey),
 stats AS (
   SELECT greatest({_ABS_MINSUP},
-                  CAST(floor({_REL_MINSUP} * count(DISTINCT l_orderkey)) AS BIGINT))
-           AS minsup
-  FROM b
+                  (11 * sum(s)) // (10 * count(*)) + 1) AS minsup
+  FROM supp
 ),
 frequent AS (
-  SELECT l_partkey FROM b GROUP BY l_partkey
-  HAVING count(*) >= (SELECT minsup FROM stats)
+  SELECT l_partkey FROM supp WHERE s >= (SELECT minsup FROM stats)
 ),
 fb AS (SELECT l_orderkey, l_partkey FROM b JOIN frequent USING (l_partkey))
 SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
@@ -123,10 +124,16 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
-def _edges(spark: SparkSession, sf: str) -> DataFrame:
-    """Undirected co-purchase edges (a < b) with co-occurrence >= 2."""
+def _edges(spark: SparkSession, sf: str, min_cooccur: int) -> DataFrame:
+    """Undirected co-purchase edges (a < b), co-occurrence >= threshold.
+
+    Triangle counting uses >= 2 (repeat co-purchase — the denser, more
+    meaningful signal); BFS uses >= 1 because the >= 2 graph thins to
+    isolated pairs as the catalog scales (observed at sf0.1) and hop
+    distances need the connected fabric.
+    """
     b = _baskets(spark, sf)
-    return (
+    pairs = (
         b.alias("x")
         .join(b.alias("y"), "l_orderkey")
         .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
@@ -134,21 +141,26 @@ def _edges(spark: SparkSession, sf: str) -> DataFrame:
             F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
         )
         .agg(F.count("*").alias("w"))
-        .where(F.col("w") >= _MIN_COOCCUR)
-        .select("a", "b")
     )
+    if min_cooccur > 1:
+        pairs = pairs.where(F.col("w") >= min_cooccur)
+    return pairs.select("a", "b")
 
 
-_EDGES_SQL = f"""
+def _edges_sql(min_cooccur: int) -> str:
+    having = (
+        f" HAVING count(*) >= {min_cooccur}" if min_cooccur > 1 else ""
+    )
+    return f"""
   SELECT x.l_partkey AS a, y.l_partkey AS b
   FROM ({_BASKETS_SQL}) x JOIN ({_BASKETS_SQL}) y
     ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= {_MIN_COOCCUR}
+  GROUP BY 1, 2{having}
 """
 
 
 def triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
-    e = _edges(spark, sf).cache()
+    e = _edges(spark, sf, _MIN_COOCCUR).cache()
     # degree per node over the undirected edge set
     deg = (
         e.select(F.col("a").alias("node"))
@@ -207,7 +219,7 @@ def triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
 
 
 TRIANGLE_SQL = f"""
-WITH e AS ({_EDGES_SQL}),
+WITH e AS ({_edges_sql(_MIN_COOCCUR)}),
 tri AS (
   SELECT CAST(count(*) AS BIGINT) AS n_triangles
   FROM e e1 JOIN e e2 ON e2.a = e1.b
@@ -227,7 +239,7 @@ FROM tri
 
 # ---------------------------------------------------------------------------
 def bfs_purchase_distance(spark: SparkSession, sf: str) -> DataFrame:
-    e = _edges(spark, sf)
+    e = _edges(spark, sf, 1)
     # undirected adjacency, hash-partitioned on the join key ONCE: the
     # cached output keeps HashPartitioning(a), so every hop's frontier
     # join re-shuffles only the (small) frontier side — the adjacency
@@ -274,7 +286,7 @@ def bfs_purchase_distance(spark: SparkSession, sf: str) -> DataFrame:
 
 
 BFS_SQL = f"""
-WITH RECURSIVE e AS ({_EDGES_SQL}),
+WITH RECURSIVE e AS ({_edges_sql(1)}),
 adj AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
 src AS (SELECT min(a) AS node FROM adj),
 walk AS (

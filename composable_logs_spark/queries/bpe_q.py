@@ -44,7 +44,7 @@ _PAIRS_EXPR = (
 
 
 def _vocab(spark: SparkSession, sf: str) -> DataFrame:
-    """(sym, cnt): space-delimited symbol string per distinct word."""
+    """(word, sym, cnt): space-delimited symbol string per distinct word."""
     words = (
         load(spark, sf, "documents")
         .select(F.explode(F.split("text", " ")).alias("word"))
@@ -55,6 +55,7 @@ def _vocab(spark: SparkSession, sf: str) -> DataFrame:
     # " d a t a " — sentinel spaces make every symbol occurrence
     # match the space-bounded replace pattern exactly once
     return words.select(
+        "word",
         F.concat(
             F.lit(" "),
             F.array_join(F.split("word", ""), " "),
@@ -64,7 +65,8 @@ def _vocab(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+def _train(spark: SparkSession, sf: str):
+    """Run the merge loop; return (merge list, final tokenised vocab)."""
     vocab = _vocab(spark, sf).cache()
     merges = []
     for rank in range(1, _N_MERGES + 1):
@@ -93,6 +95,11 @@ def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit(f" {l}{r} "),
             ),
         ).localCheckpoint(eager=True)
+    return merges, vocab
+
+
+def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    merges, _ = _train(spark, sf)
     schema = T.StructType(
         [
             T.StructField("merge_rank", T.IntegerType()),
@@ -105,11 +112,43 @@ def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(merges, schema)
 
 
-def _bpe_sql(k: int = _N_MERGES) -> str:
-    """Unroll the merge loop into k CTE stages of pure SQL."""
+def bpe_encode_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply the learned merges back to the corpus: per-source token
+    statistics (the tokenizer-fertility numbers a data team watches).
+    The tokenised vocabulary is joined back broadcast — the corpus pass
+    stays a single scan + one hash agg; no per-document Python."""
+    _, vocab = _train(spark, sf)
+    tok = vocab.select(
+        "word", F.size(F.split(F.trim("sym"), " ")).alias("n_tokens")
+    )
+    words = (
+        load(spark, sf, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+    return (
+        words.join(F.broadcast(tok), "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.sum("n_tokens") / F.count("*"), 4).alias(
+                "tokens_per_word"
+            ),
+            F.round(
+                F.sum(F.length("word")) / F.sum("n_tokens"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_ctes(k: int) -> list[str]:
+    """The shared CTE chain: v0 (char-split vocab) through vK."""
     ctes = [
         """v0 AS (
-  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sym,
+  SELECT word,
+         ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sym,
          CAST(count(*) AS BIGINT) AS cnt
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
   WHERE word <> '' GROUP BY word
@@ -130,19 +169,49 @@ def _bpe_sql(k: int = _N_MERGES) -> str:
         )
         ctes.append(
             f"""v{i} AS (
-  SELECT replace(sym, ' ' || b.l || ' ' || b.r || ' ',
-                      ' ' || b.l || b.r || ' ') AS sym, cnt
+  SELECT word, replace(sym, ' ' || b.l || ' ' || b.r || ' ',
+                            ' ' || b.l || b.r || ' ') AS sym, cnt
   FROM v{i - 1} CROSS JOIN b{i} b
 )"""
         )
+    return ctes
+
+
+def _bpe_sql(k: int = _N_MERGES) -> str:
+    """Unroll the merge loop into k CTE stages of pure SQL."""
     selects = " UNION ALL ".join(
         f"SELECT CAST({i} AS INTEGER) AS merge_rank, l AS left_sym,"
         f" r AS right_sym, l || r AS merged, total AS pair_count FROM b{i}"
         for i in range(1, k + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + selects
+    return "WITH " + ",\n".join(_bpe_ctes(k)) + "\n" + selects
+
+
+def _encode_sql(k: int = _N_MERGES) -> str:
+    ctes = _bpe_ctes(k)
+    ctes.append(
+        f"tok AS (SELECT word, len(string_split(trim(sym), ' ')) AS n_tokens"
+        f" FROM v{k})"
+    )
+    ctes.append(
+        "wordsrc AS (SELECT source, unnest(string_split(text, ' ')) AS word"
+        " FROM documents)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(sum(n_tokens) / CAST(count(*) AS DOUBLE), 4) AS tokens_per_word,
+       round(sum(length(word)) / CAST(sum(n_tokens) AS DOUBLE), 4)
+         AS chars_per_token
+FROM wordsrc JOIN tok USING (word)
+GROUP BY source ORDER BY source
+"""
+    )
 
 
 QUERIES = {
     "bpe_train_merges": QuerySpec(bpe_train_merges, _bpe_sql()),
+    "bpe_encode_stats": QuerySpec(bpe_encode_stats, _encode_sql()),
 }

@@ -176,17 +176,25 @@ def weighted_reservoir_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# NB the rounded output column must NOT shadow the ranking key: an
+# `ORDER BY priority` after `round(...) AS priority` binds to the
+# ROUNDED alias in SQL scoping, which ties at the k-boundary and
+# breaks the tie by doc_id differently from Spark's raw-value sort
+# (observed at sf0.1: rank-20/21 priorities 1.7797e-5 vs 1.8097e-5
+# both display-round to 1.8e-5). Rank on the raw value inside, round
+# only in the outer projection.
 RESERVOIR_SQL = f"""
-SELECT doc_id, n_chars, round(priority, 6) AS priority
+SELECT doc_id, n_chars, round(p, 6) AS priority
 FROM (
   SELECT doc_id, n_chars,
          -ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                    AS BIGINT) + 0.5) / {float(1 << 60)})
-           / CAST(greatest(n_chars, 1) AS DOUBLE) AS priority
+           / CAST(greatest(n_chars, 1) AS DOUBLE) AS p
   FROM documents
+  ORDER BY p, doc_id
+  LIMIT {_RESERVOIR_K}
 )
-ORDER BY priority, doc_id
-LIMIT {_RESERVOIR_K}
+ORDER BY p, doc_id
 """
 
 

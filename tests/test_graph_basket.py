@@ -9,7 +9,6 @@ import pytest
 from composable_logs_spark.queries.basket_q import (
     _ABS_MINSUP,
     _MIN_COOCCUR,
-    _REL_MINSUP,
     bfs_purchase_distance,
     frequent_item_pairs,
     triangle_count_copurchase,
@@ -29,8 +28,7 @@ def baskets(sf_dir):
     return by_order
 
 
-@pytest.fixture(scope="module")
-def edges(baskets):
+def _edge_set(baskets, min_cooccur):
     from collections import Counter
 
     cooccur = Counter()
@@ -39,14 +37,28 @@ def edges(baskets):
         for i in range(len(s)):
             for j in range(i + 1, len(s)):
                 cooccur[(s[i], s[j])] += 1
-    return {e for e, c in cooccur.items() if c >= _MIN_COOCCUR}
+    return {e for e, c in cooccur.items() if c >= min_cooccur}
+
+
+@pytest.fixture(scope="module")
+def edges(baskets):
+    """Triangle edges: repeat co-purchases (>= _MIN_COOCCUR)."""
+    return _edge_set(baskets, _MIN_COOCCUR)
+
+
+@pytest.fixture(scope="module")
+def bfs_edges(baskets):
+    """BFS runs on the >= 1 graph (the >= 2 cut disconnects at scale)."""
+    return _edge_set(baskets, 1)
 
 
 def test_frequent_pairs_match_bruteforce(spark, sf_dir, baskets):
     from collections import Counter
 
-    minsup = max(_ABS_MINSUP, int(_REL_MINSUP * len(baskets)))
     item_cnt = Counter(p for items in baskets.values() for p in items)
+    minsup = max(
+        _ABS_MINSUP, (11 * sum(item_cnt.values())) // (10 * len(item_cnt)) + 1
+    )
     frequent = {p for p, c in item_cnt.items() if c >= minsup}
     pair_cnt = Counter()
     for items in baskets.values():
@@ -83,11 +95,11 @@ def test_triangle_count_matches_bruteforce(spark, sf_dir, edges):
     assert row["n_triangles"] == tri
 
 
-def test_bfs_distances_match_bruteforce(spark, sf_dir, edges):
+def test_bfs_distances_match_bruteforce(spark, sf_dir, bfs_edges):
     from collections import deque
 
     adj = {}
-    for a, b in edges:
+    for a, b in bfs_edges:
         adj.setdefault(a, set()).add(b)
         adj.setdefault(b, set()).add(a)
     src = min(adj)
