@@ -160,3 +160,30 @@ def test_mv_merge_equals_flat_recompute(spark, sf_dir):
 
     cutoff = datetime.date(2024, 1, 20)
     assert any(d < cutoff for d in days) and any(d >= cutoff for d in days)
+
+
+def test_seasonal_anomaly_matches_pandas(spark, sf_dir):
+    from composable_logs_spark.queries.seasonal_q import (
+        _Z_CUT,
+        seasonal_anomaly_events,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pdf["hour"] = pdf.ts.dt.floor("h")
+    pdf["hod"] = pdf.ts.dt.hour
+    hourly = (
+        pdf.groupby(["event_type", "hour", "hod"]).size().reset_index(name="n")
+    )
+    prof = hourly.groupby(["event_type", "hod"]).n.agg(
+        ["count", "mean", "std"]
+    )
+    expect = set()
+    for r in hourly.itertuples():
+        cnt, m, s = prof.loc[(r.event_type, r.hod)]
+        if cnt >= 3 and s > 0 and abs((r.n - m) / s) > _Z_CUT:
+            expect.add((r.event_type, r.hour.strftime("%Y-%m-%d %H:00:00")))
+    got = {
+        (r["event_type"], r["hour"])
+        for r in seasonal_anomaly_events(spark, sf_dir).collect()
+    }
+    assert got == expect
