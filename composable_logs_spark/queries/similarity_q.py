@@ -787,6 +787,80 @@ FROM {prev} v JOIN sgn USING (label) JOIN ev USING (label)"""
     )
 
 
+# ---------------------------------------------------------------------------
+def ann_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of the IVF probe against exact brute force, per query —
+    the quality metric every approximate vector index must report
+    alongside its speedup (without it, "fast ANN" is unfalsifiable).
+
+    Both sides reuse the existing two-phase salted top-k programs; the
+    recall join runs on (query_id, neighbor_id) over k x |queries| rows
+    — negligible at any scale. A left join from the exact set counts
+    how many true neighbors the probe recovered.
+    """
+    exact = ann_cosine_top5(spark, sf).select("query_id", "neighbor_id")
+    ivf = ann_ivf_label_probe(spark, sf).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    return (
+        exact.join(
+            ivf,
+            (exact["query_id"] == ivf["query_id"])
+            & (F.col("neighbor_id") == F.col("ivf_neighbor")),
+            "left",
+        )
+        .groupBy(exact["query_id"])
+        .agg(
+            F.count("ivf_neighbor").alias("n_hits"),
+            F.round(F.count("ivf_neighbor") / F.lit(float(_TOP_K)), 4).alias(
+                "recall"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _recall_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, label AS qlabel, vec AS qvec, nrm AS qnrm
+      FROM e WHERE vec_id < {_N_QUERIES}),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_sum(list_transform(range(1, 65),
+                              i -> e.vec[i] * q.qvec[i])) / (e.nrm * q.qnrm), 4)
+                        DESC, e.vec_id) AS rank
+    FROM e JOIN q ON e.vec_id <> q.query_id
+  ) WHERE rank <= {_TOP_K}
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_sum(list_transform(range(1, 65),
+                              i -> e.vec[i] * q.qvec[i])) / (e.nrm * q.qnrm), 4)
+                        DESC, e.vec_id) AS rank
+    FROM e JOIN q ON e.label = q.qlabel AND e.vec_id <> q.query_id
+  ) WHERE rank <= {_TOP_K}
+)
+SELECT x.query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(i.neighbor_id) / CAST({_TOP_K} AS DOUBLE), 4) AS recall
+FROM exact x LEFT JOIN ivf i
+  ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+GROUP BY x.query_id
+ORDER BY x.query_id
+"""
+
+
 QUERIES = {
     "ann_cosine_top5": QuerySpec(ann_cosine_top5, ANN_BRUTE_SQL),
     "ann_ivf_label_probe": QuerySpec(ann_ivf_label_probe, ANN_IVF_SQL),
@@ -795,4 +869,5 @@ QUERIES = {
     "embedding_int8_quant": QuerySpec(embedding_int8_quant, INT8_QUANT_SQL),
     "embedding_centroids": QuerySpec(embedding_centroids, CENTROID_SQL),
     "embedding_pca_top1": QuerySpec(embedding_pca_top1, _pca_sql()),
+    "ann_ivf_recall": QuerySpec(ann_ivf_recall, _recall_sql()),
 }
