@@ -38,12 +38,22 @@ def _money2(sum_col, divisor: int):
     float-land entirely; Spark-side values are UNCHANGED (HALF_UP ==
     the +h integer div for every value).
 
-    Exactness bound: the quotient cast is exact while |sum| < ~9e17
-    micro-units (9e13 currency units) — far beyond any revenue total.
+    The quotient itself is DECIMAL division, not double: ``x / step``
+    in double arithmetic truncate-casts wrongly once the sum nears a
+    large multiple of step (first counterexample at 1e16 micro-units:
+    9999999999999999/10000 -> 1000000000000 instead of 999999999999,
+    because the >2^53 numerator rounds UP to the multiple before
+    dividing). Group sums at the 100 TB design point reach that range,
+    so the division is done at decimal(38,0) — exact for every i64 —
+    and only the final /100 display step is double (the long->double
+    rounding there is identical in both engines).
     """
     step = divisor // 100  # 2dp output
     sign = F.when(sum_col < 0, F.lit(-1)).otherwise(F.lit(1))
-    q = ((F.abs(sum_col) + step // 2) / step).cast("long")
+    q = (
+        ((F.abs(sum_col) + step // 2).cast("decimal(38,0)") / F.lit(step))
+        .cast("long")
+    )
     return sign * q / F.lit(100.0)
 
 
