@@ -671,10 +671,125 @@ WHERE list_sum(list_transform(range(1, 65), i -> sa.vec[i] * sb.vec[i])) / (sa.n
 """
 
 
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-style candidate
+# generation; Chaudhuri/Ganti/Kaushik SSJoin + Xiao et al. PPJoin).
+# Unlike dedup_ngram_jaccard's DF-cut — a HEURISTIC that can miss a
+# pair sharing only frequent shingles — prefix filtering is COMPLETE:
+# order every document's shingles by global rarity (df asc, shingle)
+# and index only its first |d| - ceil(tau*|d|) + 1 shingles; any pair
+# with Jaccard >= tau must intersect in at least one indexed prefix
+# token (if two sets shared none of either's prefix, their overlap is
+# at most min of the suffix lengths = ceil(tau*|d|) - 1 < the
+# tau-required overlap). test_dedup_prefix_complete proves the
+# no-miss property against an all-pairs brute force.
+#
+# Scale shape: one df agg, one per-doc window (partitioned by doc_id —
+# never global), a self-join over PREFIX tokens only (the rarest ~40%
+# of each doc), then exact verify on the candidate pairs. Rare-first
+# ordering makes prefix postings short on both sides of the join.
+_PREFIX_TAU = 0.6
+
+
+def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    corpus = _near_dup_corpus(spark, sf)
+    docs = corpus.select(
+        "doc_id", _shingles(F.col("text")).alias("shingles")
+    ).cache()
+    inv = docs.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
+    )
+    df_tab = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = inv.join(df_tab, "shingle").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy("df", "shingle")
+        ),
+    )
+    # prefix length = n - ceil(tau*n) + 1, ceil in exact integer math
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n") - F.expr("(6 * n + 9) div 10") + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = docs
+    return (
+        cand.join(
+            sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "shingles", "sh_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "shingles", "sh_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= _PREFIX_TAU)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+PREFIX_JACCARD_SQL = f"""
+WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+docs AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus
+),
+inv AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM docs
+),
+dft AS (
+  SELECT shingle, count(*) AS df FROM inv GROUP BY shingle
+),
+ranked AS (
+  SELECT i.doc_id, i.n, i.shingle,
+         row_number() OVER (PARTITION BY i.doc_id
+                            ORDER BY d.df, i.shingle) AS rn
+  FROM inv i JOIN dft d USING (shingle)
+),
+prefix AS (
+  SELECT doc_id, shingle FROM ranked
+  WHERE rn <= n - ((6 * n + 9) // 10) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.shingle = b.shingle
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) AS jaccard
+FROM cand
+JOIN docs sa ON sa.doc_id = doc_a
+JOIN docs sb ON sb.doc_id = doc_b
+WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= {_PREFIX_TAU}
+"""
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _minhash_sql()),
     "dedup_simhash": QuerySpec(dedup_simhash, _simhash_sql()),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_SQL),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, _emb_dedup_sql()),
+    "dedup_jaccard_prefix": QuerySpec(dedup_jaccard_prefix, PREFIX_JACCARD_SQL),
 }
