@@ -42,6 +42,8 @@ def fuzzy_match_partnames(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn(
             "block", F.element_at(F.split(F.col("p_name"), " "), -1)
         )
+        # cached: both sides of the block self-join read this table
+        .cache()
     )
     a = names.alias("a")
     b = names.alias("b")

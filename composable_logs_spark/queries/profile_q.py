@@ -112,6 +112,8 @@ def skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("x.bin").alias("bin"))
         .agg(F.max("y.bin_max").alias("prefix_max"))
     )
+    # cached: the candidate set feeds both sides of the refine join —
+    # without it the whole scan+prune pipeline runs twice
     cand = (
         binned.join(F.broadcast(cheaper), "bin", "left")
         .where(
@@ -119,6 +121,7 @@ def skyline_parts(spark: SparkSession, sf: str) -> DataFrame:
             | (F.col("p_size") > F.col("prefix_max"))
         )
         .select("p_partkey", "p_retailprice", "p_size")
+        .cache()
     )
     # exact refine over the small candidate set (broadcast, not cartesian:
     # the dominance predicate prunes via the range condition)
