@@ -84,13 +84,13 @@ _FRONT_WINDOW = [
     "fuzzy_match_partnames", "bpe_train_merges", "bpe_encode_stats",
     "table_profile_lineitem",
     "skyline_parts", "weighted_reservoir_topk", "mv_incremental_merge",
-    "seasonal_anomaly_events", "ann_ivf_recall", "dedup_jaccard_prefix",
+    "seasonal_anomaly_events", "forecast_linear_events", "ann_ivf_recall",
+    "dedup_jaccard_prefix",
     # longest-unverified green fillers
     "pivot_event_cohorts", "unpivot_part_metrics", "set_ops_segments",
     "scalar_functions_orders", "json_extract_events", "sessionize_user_events",
     "range_join_error_attribution", "agg_distinct_parts_per_nation",
-    "agg_grouping_sets", "window_ntile_customers", "window_rolling_week_spend",
-    "text_token_stats",
+    "agg_grouping_sets", "window_ntile_customers",
 ]
 
 

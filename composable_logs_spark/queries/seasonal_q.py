@@ -102,8 +102,103 @@ ORDER BY event_type, hour
 """
 
 
+# ---------------------------------------------------------------------------
+# Grouped linear-trend forecast: per-event-type OLS over daily counts,
+# fitted in closed form from EXACT integer moments (n, Sx, Sy, Sxy,
+# Sxx, Syy) — one map-side-combinable agg per group, no window, no
+# iteration; the regression becomes doubles only in the final
+# projection, identically on both engines. The 100 TB shape: millions
+# of series fit in a single hash agg (one pass), each group carrying
+# six integers of state.
+_FORECAST_H = 3  # days ahead
+
+
+def forecast_linear_events(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").alias("y"))
+    origin = daily.agg(F.min("day").alias("d0"))
+    xy = daily.crossJoin(F.broadcast(origin)).select(
+        "event_type",
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    m = xy.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.max("x").alias("xmax"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / det
+    intercept = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / det
+    sst = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r2_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    r2 = (r2_num * r2_num) / (det * F.nullif(sst, F.lit(0)))
+    cols = [
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(r2, 4).alias("r2"),
+    ]
+    for h in range(1, _FORECAST_H + 1):
+        cols.append(
+            F.round(intercept + slope * (F.col("xmax") + h), 2).alias(
+                f"forecast_{h}"
+            )
+        )
+    return m.select(*cols).orderBy("event_type")
+
+
+def _forecast_sql() -> str:
+    fcols = ",\n       ".join(
+        f"round((1.0 * sy * sxx - 1.0 * sx * sxy) / det"
+        f" + ((1.0 * n * sxy - 1.0 * sx * sy) / det) * (xmax + {h}), 2)"
+        f" AS forecast_{h}"
+        for h in range(1, _FORECAST_H + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+origin AS (SELECT min(day) AS d0 FROM daily),
+xy AS (
+  SELECT event_type, CAST(day - d0 AS BIGINT) AS x, y
+  FROM daily CROSS JOIN origin
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(max(x) AS BIGINT) AS xmax,
+         CAST(count(*) AS BIGINT) * CAST(sum(x * x) AS BIGINT)
+           - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) AS det
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, n AS n_days,
+       round((1.0 * n * sxy - 1.0 * sx * sy) / det, 4) AS slope,
+       round((1.0 * sy * sxx - 1.0 * sx * sxy) / det, 4) AS intercept,
+       round(((1.0 * n * sxy - 1.0 * sx * sy) * (1.0 * n * sxy - 1.0 * sx * sy))
+             / (det * nullif(1.0 * n * syy - 1.0 * sy * sy, 0)), 4) AS r2,
+       {fcols}
+FROM m ORDER BY event_type
+"""
+
+
 QUERIES = {
     "seasonal_anomaly_events": QuerySpec(
         seasonal_anomaly_events, SEASONAL_SQL
     ),
+    "forecast_linear_events": QuerySpec(forecast_linear_events, _forecast_sql()),
 }

@@ -187,3 +187,28 @@ def test_seasonal_anomaly_matches_pandas(spark, sf_dir):
         for r in seasonal_anomaly_events(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_forecast_linear_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from composable_logs_spark.queries.seasonal_q import forecast_linear_events
+
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pdf["day"] = pdf.ts.dt.floor("d")
+    daily = pdf.groupby(["event_type", "day"]).size().reset_index(name="y")
+    d0 = daily.day.min()
+    got = {r["event_type"]: r for r in forecast_linear_events(spark, sf_dir).collect()}
+    assert set(got) == set(daily.event_type.unique())
+    for et, g in daily.groupby("event_type"):
+        x = (g.day - d0).dt.days.to_numpy(float)
+        y = g.y.to_numpy(float)
+        slope, intercept = np.polyfit(x, y, 1)
+        r = got[et]
+        assert abs(r["slope"] - slope) < 1e-3
+        assert abs(r["intercept"] - intercept) < 1e-2
+        corr = np.corrcoef(x, y)[0, 1]
+        assert abs(r["r2"] - corr * corr) < 1e-3
+        for h in (1, 2, 3):
+            assert abs(r[f"forecast_{h}"] - (intercept + slope * (x.max() + h))) < 0.02
+        assert r["n_days"] == len(g)
