@@ -36,12 +36,15 @@ from . import QuerySpec, load
 
 _BIN_W = 1000  # histogram bin width in price units (~105 bins per group)
 
-# HLL++ (rsd=0.02) distinct counts at sf0.01 — partition-insensitive
-# register algebra over seed-fixed data + pinned Spark, hence constant.
+# HLL++ (rsd=0.02) distinct counts — partition-insensitive register
+# algebra over seed-fixed data + pinned Spark, hence constant per
+# dataset. Goldens are pinned PER SCALE FACTOR (keyed by the lineitem
+# row count) so the oracle holds at sf0.001 / sf0.01 / sf0.1 alike —
+# the one Spark-built-in sketch whose estimator DuckDB cannot mirror.
 _HLL_GOLDEN = {
-    "A": (2019, 11067),
-    "N": (2019, 10999),
-    "R": (2019, 11079),
+    6000: {"A": (199, 1074), "N": (199, 1115), "R": (199, 1083)},
+    60000: {"A": (2019, 11067), "N": (2019, 10999), "R": (2019, 11079)},
+    600000: {"A": (19793, 107963), "N": (19793, 109560), "R": (19801, 106958)},
 }
 
 
@@ -95,8 +98,9 @@ def approx_sketch_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _HLL_VALUES = ", ".join(
-    f"('{k}', CAST({p} AS BIGINT), CAST({o} AS BIGINT))"
-    for k, (p, o) in _HLL_GOLDEN.items()
+    f"({tot}, '{k}', CAST({p} AS BIGINT), CAST({o} AS BIGINT))"
+    for tot, flags in _HLL_GOLDEN.items()
+    for k, (p, o) in flags.items()
 )
 
 SKETCH_SQL = f"""
@@ -128,7 +132,13 @@ p99 AS (
                + {_BIN_W} * (0.99 * n_rows - (cum - cnt)) / cnt, 4) AS approx_p99_price
   FROM cum WHERE cum >= 0.99 * n_rows AND cum - cnt < 0.99 * n_rows
 ),
-hll(l_returnflag, approx_parts, approx_orders) AS (VALUES {_HLL_VALUES})
+tot AS (SELECT count(*) AS t FROM lineitem),
+hll AS (
+  SELECT l_returnflag, approx_parts, approx_orders
+  FROM (VALUES {_HLL_VALUES})
+       v(sf_rows, l_returnflag, approx_parts, approx_orders), tot
+  WHERE v.sf_rows = tot.t
+)
 SELECT l_returnflag, approx_parts, approx_orders,
        approx_median_price, approx_p99_price, n_rows
 FROM hll JOIN p50 USING (l_returnflag)
