@@ -152,8 +152,163 @@ FROM est CROSS JOIN truth
 """
 
 
+# ---------------------------------------------------------------------------
+# HLL set algebra: estimated overlap of two nations' purchased part
+# catalogs by inclusion-exclusion over MERGED register sketches. The
+# point being showcased: HLL registers are a bounded, mergeable
+# summary — the union sketch is just max(m_j) over the two sets'
+# registers, so at 100 TB each segment keeps 256 longs and ANY set
+# union is estimable without revisiting rows. (Intersection itself is
+# not directly sketchable; |A|+|B|-|A∪B| is the standard estimator and
+# its error is checked against the exact join in the output row.)
+# The two sets genuinely partially overlap (each nation's customers
+# buy a large-but-different subset of the catalog) — a same-set demo
+# would make all four estimates collapse to one number.
+def hll_intersection_parts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _nation_parts(spark, sf)
+    regs = hll_registers(ev, "l_partkey", group_cols=["nat"])
+    regs_u = (
+        regs.groupBy("idx")
+        .agg(F.max("m_j").alias("m_j"))
+        .select(F.lit("union").alias("nat"), "idx", "m_j")
+    )
+    all_regs = regs.select("nat", "idx", "m_j").unionByName(regs_u)
+    sets = spark.createDataFrame([("n0",), ("n1",), ("union",)], "nat string")
+    full = (
+        spark.range(_M)
+        .select(F.col("id").cast("long").alias("idx"))
+        .crossJoin(F.broadcast(sets))
+        .join(all_regs, ["nat", "idx"], "left")
+        .select("nat", "idx", F.coalesce("m_j", F.lit(0)).alias("m_j"))
+    )
+    est = full.groupBy("nat").agg(
+        F.count(F.when(F.col("m_j") > 0, 1)).cast("int").alias("nz"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_j AS INT))")
+        ).alias("s_scaled"),
+    )
+    raw = F.lit(_ALPHA * _M * _M) / (F.col("s_scaled") / F.pow(F.lit(2.0), 53))
+    zeros = F.lit(_M) - F.col("nz")
+    corrected = F.when(
+        (raw <= 2.5 * _M) & (zeros > 0),
+        F.lit(float(_M)) * F.log(F.lit(float(_M)) / zeros),
+    ).otherwise(raw)
+    wide = est.withColumn("e", corrected).groupBy().agg(
+        F.max(F.when(F.col("nat") == "n0", F.col("e"))).alias("e_a"),
+        F.max(F.when(F.col("nat") == "n1", F.col("e"))).alias("e_b"),
+        F.max(F.when(F.col("nat") == "union", F.col("e"))).alias("e_union"),
+    )
+    base = _nation_parts(spark, sf)
+    a = base.where(F.col("nat") == "n0").select("l_partkey").distinct()
+    b = base.where(F.col("nat") == "n1").select("l_partkey").distinct()
+    truth = a.join(b, "l_partkey", "left_semi").agg(
+        F.count("*").cast("long").alias("true_intersection")
+    )
+    return wide.crossJoin(F.broadcast(truth)).select(
+        F.round("e_a", 4).alias("est_a"),
+        F.round("e_b", 4).alias("est_b"),
+        F.round("e_union", 4).alias("est_union"),
+        F.round(F.col("e_a") + F.col("e_b") - F.col("e_union"), 4).alias(
+            "est_intersection"
+        ),
+        "true_intersection",
+    )
+
+
+def _nation_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """(nat, l_partkey): parts purchased by customers of nations 0/1."""
+    l = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = (
+        load(spark, sf, "customer")
+        .where(F.col("c_nationkey").isin(0, 1))
+        .select(
+            "c_custkey",
+            F.when(F.col("c_nationkey") == 0, "n0").otherwise("n1").alias("nat"),
+        )
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("nat", "l_partkey")
+    )
+
+
+_POWERS_SQL = ", ".join(f"CAST({1 << i} AS BIGINT)" for i in range(_W))
+
+_EST_CASE = f"""CASE WHEN CAST({_ALPHA!r} AS DOUBLE) * {_M} * {_M}
+                     / (s_scaled / power(2.0, 53)) <= 2.5 * {_M}
+                 AND {_M} - nz > 0
+            THEN CAST({_M} AS DOUBLE)
+                 * ln(CAST({_M} AS DOUBLE) / ({_M} - nz))
+            ELSE CAST({_ALPHA!r} AS DOUBLE) * {_M} * {_M}
+                 / (s_scaled / power(2.0, 53))
+       END"""
+
+HLL_INTERSECT_SQL = f"""
+WITH base AS (
+  SELECT CASE WHEN c.c_nationkey = 0 THEN 'n0' ELSE 'n1' END AS nat,
+         l.l_partkey
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey IN (0, 1)
+),
+h AS (
+  SELECT nat AS event_type,
+         CAST('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM base
+),
+rho AS (
+  SELECT event_type, hv % {_M} AS idx,
+         {_W} - len(list_filter([{_POWERS_SQL}], p -> p <= hv // {_M})) + 1 AS rho
+  FROM h
+),
+regs AS (
+  SELECT event_type, idx, max(rho) AS m_j FROM rho GROUP BY 1, 2
+),
+all_regs AS (
+  SELECT event_type, idx, m_j FROM regs
+  UNION ALL
+  SELECT 'union', idx, max(m_j) FROM regs GROUP BY idx
+),
+full_regs AS (
+  SELECT s.event_type, g.idx, coalesce(a.m_j, 0) AS m_j
+  FROM (SELECT unnest(range({_M})) AS idx) g
+  CROSS JOIN (SELECT unnest(['n0', 'n1', 'union']) AS event_type) s
+  LEFT JOIN all_regs a ON a.idx = g.idx AND a.event_type = s.event_type
+),
+est AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (WHERE m_j > 0) AS INT) AS nz,
+         sum(CAST(1 AS BIGINT) << (53 - m_j)) AS s_scaled
+  FROM full_regs GROUP BY event_type
+),
+wide AS (
+  SELECT max(CASE WHEN event_type = 'n0' THEN {_EST_CASE} END) AS e_a,
+         max(CASE WHEN event_type = 'n1' THEN {_EST_CASE} END) AS e_b,
+         max(CASE WHEN event_type = 'union' THEN {_EST_CASE} END) AS e_union
+  FROM est
+),
+truth AS (
+  SELECT CAST(count(*) AS BIGINT) AS true_intersection FROM (
+    SELECT DISTINCT l_partkey FROM base WHERE nat = 'n0'
+    INTERSECT
+    SELECT DISTINCT l_partkey FROM base WHERE nat = 'n1'
+  )
+)
+SELECT round(e_a, 4) AS est_a,
+       round(e_b, 4) AS est_b,
+       round(e_union, 4) AS est_union,
+       round(e_a + e_b - e_union, 4) AS est_intersection,
+       true_intersection
+FROM wide CROSS JOIN truth
+"""
+
+
 QUERIES = {
     "hll_distinct_customers": QuerySpec(hll_distinct_customers, HLL_SQL),
+    "hll_intersection_parts": QuerySpec(hll_intersection_parts, HLL_INTERSECT_SQL),
 }
 
 
