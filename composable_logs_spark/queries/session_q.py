@@ -297,10 +297,86 @@ GROUP BY src, dst
 """
 
 
+# ---------------------------------------------------------------------------
+# Top-k behavioural paths: the most common 3-step event-type sequences
+# WITHIN a session (30-minute inactivity gap, same definition as
+# sessionize_user_events). Extends event_transitions (bigrams, no
+# session boundary) to session-scoped trigram paths — the "what do
+# users actually do" query behind funnel design.
+#
+# Scale shape: one shuffle on user_id; sessionisation and both leads
+# ride the SAME (user_id, ts) window sort (one Exchange + one Sort
+# feeds three window functions); path counting is a map-side-combined
+# hash agg; top-10 lowers to TakeOrderedAndProject.
+_PATH_K = 10
+
+
+def session_path_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf, "events").select("user_id", "ts", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts")
+    from .asof_q import _us
+
+    # integer-microsecond gap (NTZ-safe via _us) — a seconds cast
+    # truncates differently from DuckDB's fractional epoch()
+    gap = _us(F.col("ts")) - F.lag(_us(F.col("ts"))).over(w)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap >= 1800 * 1000000), 1).otherwise(0)
+    ).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    d = e.withColumn("sess", sess)
+    ws = W.partitionBy("user_id", "sess").orderBy("ts")
+    d = d.withColumn("e2", F.lead("event_type", 1).over(ws)).withColumn(
+        "e3", F.lead("event_type", 2).over(ws)
+    )
+    return (
+        d.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_PATH_K)
+    )
+
+
+SESSION_PATH_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts) >= 1800 * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sessed AS (
+  SELECT user_id, ts, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess
+  FROM o
+),
+tri AS (
+  SELECT event_type || '>' ||
+         lead(event_type, 1) OVER fr || '>' ||
+         lead(event_type, 2) OVER fr AS path,
+         lead(event_type, 2) OVER fr AS e3
+  FROM sessed
+  WINDOW fr AS (PARTITION BY user_id, sess ORDER BY ts)
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n
+FROM tri WHERE e3 IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT {_PATH_K}
+"""
+
+
 QUERIES = {
     "session_window_stats": QuerySpec(session_window_stats, SESSION_WINDOW_SQL),
     "funnel_conversion": QuerySpec(funnel_conversion, FUNNEL_SQL),
     "events_rate_anomaly": QuerySpec(events_rate_anomaly, ANOMALY_SQL),
     "retention_cohorts": QuerySpec(retention_cohorts, RETENTION_SQL),
     "event_transitions": QuerySpec(event_transitions, TRANSITIONS_SQL),
+    "session_path_topk": QuerySpec(session_path_topk, SESSION_PATH_SQL),
 }
