@@ -305,10 +305,93 @@ FROM best GROUP BY dist ORDER BY dist
 """
 
 
+# ---------------------------------------------------------------------------
+# Pointwise mutual information over co-purchases: PMI(a,b) =
+# ln(N * c_ab / (c_a * c_b)) — the association measure that separates
+# "bought together because both are popular" from genuine affinity
+# (raw pair counts, as in frequent_item_pairs, rank popular-x-popular
+# pairs first; PMI normalises by both marginals). Same A-priori-style
+# shape: marginal counts + support-floored pair counts, one broadcast
+# of the 1-row N, ln only in the final projection. The support floor is c_ab >= 2 (repeat
+# co-purchase — the same evidence bar as the triangle edges; a floor
+# of 5 leaves 1 pair at sf0.01 and 0 at sf0.1). The ranking key is
+# the correctly-rounded double of an exact integer ratio (all inputs
+# < 2^53), identical in both engines; ties break on (a, b).
+_PMI_MIN_PAIR = 2
+
+
+def copurchase_pmi_topk(spark: SparkSession, sf: str) -> DataFrame:
+    b = _baskets(spark, sf)
+    n_baskets = b.agg(F.count_distinct("l_orderkey").alias("nb"))
+    item = b.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= _PMI_MIN_PAIR)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b"))
+    scored = (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .withColumn(
+            "ratio",
+            (F.col("c_ab") * F.col("nb")) / (F.col("c_a") * F.col("c_b")),
+        )
+    )
+    return (
+        scored.orderBy(F.col("ratio").desc(), "part_a", "part_b")
+        .limit(20)
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(F.log("ratio"), 4).alias("pmi"),
+        )
+    )
+
+
+PMI_SQL = f"""
+WITH b AS ({_BASKETS_SQL}),
+nb AS (SELECT count(DISTINCT l_orderkey) AS nb FROM b),
+item AS (SELECT l_partkey, count(*) AS c FROM b GROUP BY 1),
+pairs AS (
+  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS c_ab
+  FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                   AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_PMI_MIN_PAIR}
+),
+scored AS (
+  SELECT p.part_a, p.part_b, p.c_ab,
+         CAST(ia.c AS BIGINT) AS c_a, CAST(ib.c AS BIGINT) AS c_b,
+         (p.c_ab * nb.nb) / CAST(ia.c * ib.c AS DOUBLE) AS ratio
+  FROM pairs p
+  JOIN item ia ON ia.l_partkey = p.part_a
+  JOIN item ib ON ib.l_partkey = p.part_b
+  CROSS JOIN nb
+)
+SELECT part_a, part_b, c_ab, c_a, c_b, round(ln(ratio), 4) AS pmi
+FROM scored
+ORDER BY ratio DESC, part_a, part_b
+LIMIT 20
+"""
+
+
 QUERIES = {
     "frequent_item_pairs": QuerySpec(frequent_item_pairs, FREQUENT_PAIRS_SQL),
     "triangle_count_copurchase": QuerySpec(
         triangle_count_copurchase, TRIANGLE_SQL
     ),
     "bfs_purchase_distance": QuerySpec(bfs_purchase_distance, BFS_SQL),
+    "copurchase_pmi_topk": QuerySpec(copurchase_pmi_topk, PMI_SQL),
 }

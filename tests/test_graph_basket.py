@@ -159,3 +159,39 @@ def test_fuzzy_matches_bruteforce(spark, sf_dir):
     }
     assert got == expect
     assert expect  # blocking grid guarantees close pairs exist
+
+
+def test_pmi_matches_bruteforce(spark, sf_dir, baskets):
+    import math
+    from collections import Counter
+
+    from composable_logs_spark.queries.basket_q import (
+        _PMI_MIN_PAIR,
+        copurchase_pmi_topk,
+    )
+
+    n = len(baskets)
+    item = Counter(p for items in baskets.values() for p in items)
+    pair = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair[(s[i], s[j])] += 1
+    scored = [
+        (c * n / (item[a] * item[b]), a, b, c)
+        for (a, b), c in pair.items()
+        if c >= _PMI_MIN_PAIR
+    ]
+    expect = [
+        (a, b, c, item[a], item[b], round(math.log(r), 4))
+        for r, a, b, c in sorted(scored, key=lambda t: (-t[0], t[1], t[2]))[:20]
+    ]
+    got = [
+        (r["part_a"], r["part_b"], r["c_ab"], r["c_a"], r["c_b"], r["pmi"])
+        for r in copurchase_pmi_topk(spark, sf_dir).collect()
+    ]
+    # pmi rounding: Python's round() is banker's; tolerate half-tie ULP
+    assert [g[:5] for g in got] == [e[:5] for e in expect]
+    for g, e in zip(got, expect):
+        assert abs(g[5] - e[5]) <= 1e-4
