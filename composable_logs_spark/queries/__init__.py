@@ -86,10 +86,10 @@ _FRONT_WINDOW = [
     "skyline_parts", "weighted_reservoir_topk", "mv_incremental_merge",
     "seasonal_anomaly_events", "forecast_linear_events", "ann_ivf_recall",
     "dedup_jaccard_prefix", "hll_intersection_parts", "session_path_topk", "copurchase_pmi_topk",
+    "cheapest_path_copurchase",
     # longest-unverified green fillers
     "pivot_event_cohorts", "unpivot_part_metrics", "set_ops_segments",
     "scalar_functions_orders", "json_extract_events", "sessionize_user_events",
-    "range_join_error_attribution",
 ]
 
 

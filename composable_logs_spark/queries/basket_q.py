@@ -387,6 +387,106 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Bounded-hop weighted cheapest paths over the K-NN co-purchase graph:
+# every node keeps its K=5 strongest neighbours (cooccurrence desc,
+# id tie-break) — the similarity-graph construction that keeps degree
+# BOUNDED at any corpus size (a raw cooccur>=2 cut fragments to
+# isolated pairs at sf0.1, and cooccur>=1 explodes the oracle's path
+# enumeration; top-K does neither, by construction). Edge costs are
+# integer 1000000 div cooccur ("strong ties are short"). Four
+# Bellman-Ford relaxation rounds compute the exact min cost over paths
+# of <= 4 edges — each round is ONE join of the current distance table
+# against the once-partitioned adjacency plus a min-agg, with eager
+# localCheckpoint (the BFS lesson above). The oracle walks the same
+# digraph with a recursive CTE accumulating cost under the hop bound
+# and takes min per node — the engine-native fixpoint formulation.
+# Integer costs make every comparison exact; top-20 tie-breaks on id.
+_MAX_COST_HOPS = 4
+_KNN_K = 5
+
+
+def cheapest_path_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    b = _baskets(spark, sf)
+    und = (
+        b.alias("x")
+        .join(b.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    both = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("a").orderBy(F.col("w").desc(), "b")
+    )
+    adj = (
+        both.withColumn("rn", rn)
+        .where(F.col("rn") <= _KNN_K)
+        .withColumn("cost", F.expr("1000000 div w"))
+        .select("a", "b", "cost")
+        .repartition("a")
+        .cache()
+    )
+    src = adj.agg(F.min("a").alias("node"))
+    dist = src.withColumn("cost", F.lit(0).cast("long")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(_MAX_COST_HOPS):
+        cand = (
+            dist.join(adj, dist["node"] == adj["a"])
+            .select(
+                F.col("b").alias("node"),
+                (dist["cost"] + adj["cost"]).alias("cost"),
+            )
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        dist.orderBy("cost", "node")
+        .limit(20)
+        .select("node", F.col("cost").alias("cost_milli"))
+    )
+
+
+CHEAPEST_PATH_SQL = f"""
+WITH RECURSIVE und AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS w
+  FROM ({_BASKETS_SQL}) x JOIN ({_BASKETS_SQL}) y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+),
+both_dir AS (SELECT a, b, w FROM und UNION ALL SELECT b, a, w FROM und),
+adj AS (
+  SELECT a, b, 1000000 // w AS cost FROM (
+    SELECT a, b, w,
+           row_number() OVER (PARTITION BY a ORDER BY w DESC, b) AS rn
+    FROM both_dir
+  ) WHERE rn <= {_KNN_K}
+),
+src AS (SELECT min(a) AS node FROM adj),
+walk AS (
+  SELECT node, CAST(0 AS BIGINT) AS cost, 0 AS hops FROM src
+  UNION
+  SELECT adj.b, walk.cost + adj.cost, walk.hops + 1
+  FROM walk JOIN adj ON adj.a = walk.node
+  WHERE walk.hops < {_MAX_COST_HOPS}
+),
+best AS (SELECT node, min(cost) AS cost FROM walk GROUP BY node)
+SELECT node, CAST(cost AS BIGINT) AS cost_milli
+FROM best ORDER BY cost, node LIMIT 20
+"""
+
+
 QUERIES = {
     "frequent_item_pairs": QuerySpec(frequent_item_pairs, FREQUENT_PAIRS_SQL),
     "triangle_count_copurchase": QuerySpec(
@@ -394,4 +494,5 @@ QUERIES = {
     ),
     "bfs_purchase_distance": QuerySpec(bfs_purchase_distance, BFS_SQL),
     "copurchase_pmi_topk": QuerySpec(copurchase_pmi_topk, PMI_SQL),
+    "cheapest_path_copurchase": QuerySpec(cheapest_path_copurchase, CHEAPEST_PATH_SQL),
 }

@@ -195,3 +195,47 @@ def test_pmi_matches_bruteforce(spark, sf_dir, baskets):
     assert [g[:5] for g in got] == [e[:5] for e in expect]
     for g, e in zip(got, expect):
         assert abs(g[5] - e[5]) <= 1e-4
+
+
+def test_cheapest_path_matches_bellman_ford(spark, sf_dir, baskets):
+    from collections import Counter
+
+    from composable_logs_spark.queries.basket_q import (
+        _KNN_K,
+        _MAX_COST_HOPS,
+        cheapest_path_copurchase,
+    )
+
+    cooccur = Counter()
+    for items in baskets.values():
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                cooccur[(s[i], s[j])] += 1
+    # K-NN digraph: each node keeps its K strongest neighbours
+    nbrs = {}
+    for (a, b), c in cooccur.items():
+        nbrs.setdefault(a, []).append((b, c))
+        nbrs.setdefault(b, []).append((a, c))
+    adj = {
+        u: [
+            (v, 1000000 // c)
+            for v, c in sorted(lst, key=lambda t: (-t[1], t[0]))[:_KNN_K]
+        ]
+        for u, lst in nbrs.items()
+    }
+    src = min(adj)
+    dist = {src: 0}
+    for _ in range(_MAX_COST_HOPS):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            for v, c in adj[u]:
+                if d + c < nxt.get(v, float("inf")):
+                    nxt[v] = d + c
+        dist = nxt
+    expect = sorted(((c, n) for n, c in dist.items()))[:20]
+    got = [
+        (r["cost_milli"], r["node"])
+        for r in cheapest_path_copurchase(spark, sf_dir).collect()
+    ]
+    assert got == expect
