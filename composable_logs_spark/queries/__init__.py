@@ -86,10 +86,10 @@ _FRONT_WINDOW = [
     "skyline_parts", "weighted_reservoir_topk", "mv_incremental_merge",
     "seasonal_anomaly_events", "forecast_linear_events", "ann_ivf_recall",
     "dedup_jaccard_prefix", "hll_intersection_parts", "session_path_topk", "copurchase_pmi_topk",
-    "cheapest_path_copurchase",
+    "cheapest_path_copurchase", "fk_integrity_audit", "hll_cumulative_users",
     # longest-unverified green fillers
     "pivot_event_cohorts", "unpivot_part_metrics", "set_ops_segments",
-    "scalar_functions_orders", "json_extract_events", "sessionize_user_events",
+    "scalar_functions_orders",
 ]
 
 
@@ -124,6 +124,7 @@ def all_queries() -> dict[str, QuerySpec]:
         profile_q,
         mv_q,
         seasonal_q,
+        audit_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -157,6 +158,7 @@ def all_queries() -> dict[str, QuerySpec]:
         profile_q,
         mv_q,
         seasonal_q,
+        audit_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]

@@ -67,3 +67,34 @@ def test_session_paths_match_bruteforce(spark, sf_dir):
         (r["path"], r["n"]) for r in session_path_topk(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_fk_audit_matches_pandas(spark, sf_dir):
+    from composable_logs_spark.queries.audit_q import _FK_EDGES, fk_integrity_audit
+
+    got = {r["fk_edge"]: r for r in fk_integrity_audit(spark, sf_dir).collect()}
+    assert len(got) == len(_FK_EDGES)
+    for name, child, fk, parent, pk in _FK_EDGES:
+        cdf = pd.read_parquet(f"{sf_dir}/{child}.parquet", columns=[fk])
+        pdfp = pd.read_parquet(f"{sf_dir}/{parent}.parquet", columns=[pk])
+        r = got[name]
+        assert r["n_child_rows"] == len(cdf)
+        assert r["n_nonnull_fk"] == cdf[fk].notna().sum()
+        assert r["n_parent_keys"] == pdfp[pk].nunique()
+        orphans = (~cdf[fk].dropna().isin(set(pdfp[pk]))).sum()
+        assert r["n_orphans"] == orphans
+
+
+def test_hll_cumulative_is_monotone_and_tracks_truth(spark, sf_dir):
+    from composable_logs_spark.queries.audit_q import hll_cumulative_users
+
+    rows = hll_cumulative_users(spark, sf_dir).collect()
+    assert len(rows) >= 25
+    ests = [r["hll_cum_estimate"] for r in rows]
+    trues = [r["true_cum_users"] for r in rows]
+    # register merge can only grow: both curves monotone non-decreasing
+    assert all(a <= b + 1e-9 for a, b in zip(ests, ests[1:]))
+    assert all(a <= b for a, b in zip(trues, trues[1:]))
+    # sketch error sane at m=256 on every day
+    for e, t in zip(ests, trues):
+        assert abs(e - t) / t < 0.25
