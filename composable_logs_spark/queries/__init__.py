@@ -87,9 +87,9 @@ _FRONT_WINDOW = [
     "seasonal_anomaly_events", "forecast_linear_events", "ann_ivf_recall",
     "dedup_jaccard_prefix", "hll_intersection_parts", "session_path_topk", "copurchase_pmi_topk",
     "cheapest_path_copurchase", "fk_integrity_audit", "hll_cumulative_users",
+    "drift_psi_events", "cusum_changepoint_events",
     # longest-unverified green fillers
-    "pivot_event_cohorts", "unpivot_part_metrics", "set_ops_segments",
-    "scalar_functions_orders",
+    "pivot_event_cohorts", "unpivot_part_metrics",
 ]
 
 
@@ -125,6 +125,7 @@ def all_queries() -> dict[str, QuerySpec]:
         mv_q,
         seasonal_q,
         audit_q,
+        drift_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -159,6 +160,7 @@ def all_queries() -> dict[str, QuerySpec]:
         mv_q,
         seasonal_q,
         audit_q,
+        drift_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
