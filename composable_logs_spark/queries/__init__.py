@@ -87,9 +87,9 @@ _FRONT_WINDOW = [
     "seasonal_anomaly_events", "forecast_linear_events", "ann_ivf_recall",
     "dedup_jaccard_prefix", "hll_intersection_parts", "session_path_topk", "copurchase_pmi_topk",
     "cheapest_path_copurchase", "fk_integrity_audit", "hll_cumulative_users",
-    "drift_psi_events", "cusum_changepoint_events",
+    "drift_psi_events", "cusum_changepoint_events", "fuzzy_entity_clusters",
     # longest-unverified green fillers
-    "pivot_event_cohorts", "unpivot_part_metrics",
+    "pivot_event_cohorts",
 ]
 
 

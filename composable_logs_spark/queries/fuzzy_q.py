@@ -86,6 +86,94 @@ ORDER BY a.block, name_a, name_b
 """
 
 
+# ---------------------------------------------------------------------------
+# End-to-end entity resolution: the matched pairs above are EDGES; what
+# a catalog pipeline ships is the entity table — connected components
+# over the match graph, one canonical id per entity (min part key),
+# with membership rolled up. Reuses the same min-label-propagation
+# operator the near-dup corpus pipeline uses (operators/components.py:
+# per-round cost O(|E|), rounds = component diameter); the oracle
+# recomputes the clustering with a recursive CTE, cluster_q's pattern.
+def fuzzy_entity_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    names = (
+        load(spark, sf, "part")
+        .groupBy("p_name")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_partkey").alias("canon_id"),
+        )
+        .withColumn(
+            "block", F.element_at(F.split(F.col("p_name"), " "), -1)
+        )
+        .cache()
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    edges = (
+        a.join(b, "block")
+        .where(
+            (F.col("a.p_name") < F.col("b.p_name"))
+            & (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= _MAX_DIST)
+        )
+        .select(
+            F.col("a.canon_id").alias("src"), F.col("b.canon_id").alias("dst")
+        )
+    )
+    comp = connected_components(
+        names.select(F.col("canon_id").alias("id")), edges
+    )
+    labeled = comp.join(
+        names.select(F.col("canon_id").alias("id"), "p_name", "n_parts"), "id"
+    )
+    return (
+        labeled.groupBy(F.col("component").alias("entity_id"))
+        .agg(
+            F.count("*").alias("n_names"),
+            F.sum("n_parts").alias("n_parts"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("p_name")))
+            ).alias("members_digest"),
+        )
+        .orderBy("entity_id")
+    )
+
+
+ENTITY_SQL = f"""
+WITH RECURSIVE names AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+         min(p_partkey) AS canon_id,
+         string_split(p_name, ' ')[-1] AS block
+  FROM part GROUP BY p_name
+),
+pairs AS (
+  SELECT a.canon_id AS src, b.canon_id AS dst
+  FROM names a JOIN names b
+    ON a.block = b.block AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= {_MAX_DIST}
+),
+edges AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+),
+reach(id, anc) AS (
+  SELECT canon_id, canon_id FROM names
+  UNION
+  SELECT e.dst AS id, r.anc FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(anc) AS entity_id FROM reach GROUP BY id)
+SELECT c.entity_id,
+       CAST(count(*) AS BIGINT) AS n_names,
+       CAST(sum(n.n_parts) AS BIGINT) AS n_parts,
+       md5(array_to_string(list(n.p_name ORDER BY n.p_name), ','))
+         AS members_digest
+FROM comp c JOIN names n ON n.canon_id = c.id
+GROUP BY c.entity_id
+ORDER BY c.entity_id
+"""
+
+
 QUERIES = {
     "fuzzy_match_partnames": QuerySpec(fuzzy_match_partnames, FUZZY_SQL),
+    "fuzzy_entity_clusters": QuerySpec(fuzzy_entity_clusters, ENTITY_SQL),
 }

@@ -239,3 +239,48 @@ def test_cheapest_path_matches_bellman_ford(spark, sf_dir, baskets):
         for r in cheapest_path_copurchase(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_fuzzy_entities_match_union_find(spark, sf_dir):
+    import hashlib
+
+    from composable_logs_spark.queries.fuzzy_q import (
+        _MAX_DIST,
+        fuzzy_entity_clusters,
+    )
+
+    con = duckdb.connect()
+    names = con.execute(
+        f"SELECT p_name, count(*), min(p_partkey)"
+        f" FROM '{sf_dir}/part.parquet' GROUP BY 1"
+    ).fetchall()
+    parent = {cid: cid for _, _, cid in names}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for na, _, ia in names:
+        for nb, _, ib in names:
+            if na < nb and na.split()[-1] == nb.split()[-1] and _lev(na, nb) <= _MAX_DIST:
+                ra, rb = find(ia), find(ib)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for name, cnt, cid in names:
+        groups.setdefault(find(cid), []).append((name, cnt))
+    expect = {
+        eid: (
+            len(ms),
+            sum(c for _, c in ms),
+            hashlib.md5(",".join(sorted(n for n, _ in ms)).encode()).hexdigest(),
+        )
+        for eid, ms in groups.items()
+    }
+    got = {
+        r["entity_id"]: (r["n_names"], r["n_parts"], r["members_digest"])
+        for r in fuzzy_entity_clusters(spark, sf_dir).collect()
+    }
+    assert got == expect
