@@ -65,14 +65,24 @@ def mv_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("sum_micro"),
         )
     )
+    # avg at 4dp via the exact integer half-step: round(sm/n/1e6, 4)
+    # ties whenever sm*1e4/(n*1e6) = sm/(n*100) lands on .5 exactly —
+    # observed at sf0.001 (307030000/8/1e6 = 38.37875: Spark HALF_UP
+    # 38.3788 vs DuckDB binary-double 38.3787). Folding the 4dp scale
+    # into the divisor keeps every intermediate within i64.
+    # NB: a bare 10000.0 literal parses as DECIMAL in Spark SQL and
+    # would turn the whole column decimal — cast explicitly
+    avg4 = F.expr(
+        "(CASE WHEN sum_micro < 0 THEN -1 ELSE 1 END)"
+        " * ((abs(sum_micro) + n_events * 50) div (n_events * 100))"
+        " / CAST(10000 AS DOUBLE)"
+    )
     return merged.select(
         "event_type",
         "day",
         "n_events",
         _money2(F.col("sum_micro"), 1000000).alias("sum_value"),
-        F.round(
-            F.col("sum_micro") / F.col("n_events") / F.lit(1000000.0), 4
-        ).alias("avg_value"),
+        avg4.alias("avg_value"),
     ).orderBy("event_type", "day")
 
 
@@ -82,8 +92,10 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        {_money2_sql("sum(CAST(round(value * 1000000, 0) AS BIGINT))", 1000000)}
          AS sum_value,
-       round(sum(CAST(round(value * 1000000, 0) AS BIGINT))
-             / CAST(count(*) AS DOUBLE) / 1000000.0, 4) AS avg_value
+       (CASE WHEN sum(CAST(round(value * 1000000, 0) AS BIGINT)) < 0
+             THEN -1 ELSE 1 END)
+       * ((abs(sum(CAST(round(value * 1000000, 0) AS BIGINT)))
+           + count(*) * 50) // (count(*) * 100)) / 10000.0 AS avg_value
 FROM events
 GROUP BY 1, 2
 ORDER BY event_type, day
