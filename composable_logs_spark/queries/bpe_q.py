@@ -17,14 +17,36 @@ Shape and scale design:
 - Merge application is a literal string replace over the
   space-delimited symbol string (" d a t a " -> " d at a "): both
   Spark's `replace` and DuckDB's `replace` scan left-to-right,
-  non-overlapping, continuing after each replacement — the same
-  convention fast BPE implementations use — so the two engines apply
-  merges identically and the oracle is REAL SQL (the merge loop is
-  unrolled into K CTE stages), not a pinned golden: it holds at every
-  scale factor.
+  non-overlapping, continuing after each replacement, so the two
+  engines apply merges identically and the oracle is REAL SQL (the
+  merge loop is unrolled into K CTE stages), not a pinned golden: it
+  holds at every scale factor.
+
+  KNOWN CONVENTION DIVERGENCE (deliberate, documented per r6 ADVICE):
+  on a RUN of a repeated symbol this single-pass replace merges fewer
+  pairs than symbol-level greedy BPE — " a a a a " with merge (a,a)
+  yields [aa, a, a] here (the match consumes the trailing space, so
+  the scan resumes past the next candidate) where reference tokenizers
+  yield [aa, aa]. Both engines implement the SAME convention, so the
+  cross-engine gate is sound; the trained merge SEQUENCE can differ
+  from a reference BPE trainer only on corpora where repeated-symbol
+  runs are frequent enough to flip an argmax. We keep the single-pass
+  convention because it is expressible as one scalar `replace` in both
+  engines (a fixpoint loop would need a recursive CTE per round on the
+  oracle side, times K rounds); ``train_bpe_local`` below implements
+  the identical convention in plain Python and is equality-tested
+  against the distributed loop.
 - Tie-break is total order (pair count desc, left, right) on binary
   string collation — identical in both engines, so the merge sequence
   is deterministic.
+- TWO trainer paths, same algorithm: the distributed loop (`_train`,
+  K Spark jobs — the cross-engine-oracle demo, fine at K=8) and the
+  vocab-sized driver-side loop (`train_bpe_local` — collect the
+  (word, count) table ONCE after the single corpus-sized pass, then
+  run the merge loop in-process; the path you use at real merge counts
+  (30-100k), where K job round-trips would dominate. The collected
+  state is vocab-sized, not corpus-sized — the same boundary reference
+  BPE trainers draw).
 """
 
 from __future__ import annotations
@@ -98,6 +120,58 @@ def _train(spark: SparkSession, sf: str):
     return merges, vocab
 
 
+def train_bpe_local(
+    word_counts: list[tuple[str, int]], n_merges: int = _N_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-side merge loop over a collected (word, count) table.
+
+    The scale path for real merge counts: the corpus-sized pass (word
+    counting) stays distributed; its OUTPUT is vocab-sized, so at
+    30-100k merges you collect it once and loop in-process instead of
+    paying one Spark job per merge round. Implements the exact
+    convention of the distributed loop — space-delimited symbol
+    strings, single-pass non-overlapping replace, (count desc, l, r)
+    tie-break — and is equality-tested against it.
+    """
+    vocab = {
+        " " + " ".join(word) + " ": int(cnt) for word, cnt in word_counts if word
+    }
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for sym, cnt in vocab.items():
+            arr = sym.split()
+            for i in range(len(arr) - 1):
+                p = (arr[i], arr[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + cnt
+        if not pair_counts:
+            break
+        (l, r), total = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, l + r, total))
+        pat, rep = f" {l} {r} ", f" {l}{r} "
+        nxt: dict[str, int] = {}
+        for sym, cnt in vocab.items():
+            ns = sym.replace(pat, rep)  # same single-pass convention
+            nxt[ns] = nxt.get(ns, 0) + cnt
+        vocab = nxt
+    return merges
+
+
+def _collect_word_counts(spark: SparkSession, sf: str) -> list[tuple[str, int]]:
+    """The ONE corpus-sized pass; its result is vocab-sized."""
+    rows = (
+        load(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    return [(r["word"], r["cnt"]) for r in rows]
+
+
 def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
     merges, _ = _train(spark, sf)
     schema = T.StructType(
@@ -115,8 +189,12 @@ def bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
 def bpe_encode_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Apply the learned merges back to the corpus: per-source token
     statistics (the tokenizer-fertility numbers a data team watches).
-    The tokenised vocabulary is joined back broadcast — the corpus pass
-    stays a single scan + one hash agg; no per-document Python."""
+    The corpus pass stays a single scan + one hash agg; no per-document
+    Python. NO broadcast hint on the vocab join: at web scale the
+    distinct-word table is 10^8+ rows — past any broadcast threshold —
+    so the join is a plain equi-join on ``word`` and AQE's runtime
+    size gate (autoBroadcastJoinThreshold, on in session.py) upgrades
+    it to broadcast exactly when the vocab actually fits (r6 ADVICE)."""
     _, vocab = _train(spark, sf)
     tok = vocab.select(
         "word", F.size(F.split(F.trim("sym"), " ")).alias("n_tokens")
@@ -127,7 +205,7 @@ def bpe_encode_stats(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("word") != "")
     )
     return (
-        words.join(F.broadcast(tok), "word")
+        words.join(tok, "word")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_words"),
@@ -140,6 +218,52 @@ def bpe_encode_stats(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
         .orderBy("source")
+    )
+
+
+def apply_merges(col, merges) -> "F.Column":
+    """Apply a learned merge list to a symbolised column at ENCODE time
+    (rank order, same space-bounded single-pass replace as training) —
+    so words never seen at train time still tokenize. ``col`` must be a
+    sentinel-spaced symbol string (`" w o r d "`); K chained scalar
+    replaces = one narrow projection, zero shuffle, codegen'd JVM-side."""
+    out = col
+    for _, l, r, _merged, _ in merges:
+        out = F.replace(out, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+    return out
+
+
+def bpe_encode_oov(spark: SparkSession, sf: str) -> DataFrame:
+    """Encode OUT-OF-VOCABULARY text: tokenize the distinct words of
+    ``part.p_name`` — a table the tokenizer never trained on — by
+    applying the learned merges at encode time instead of joining back
+    the training vocabulary (which can only score seen words).
+
+    This is how a real pipeline encodes unseen text; the train-time
+    vocab join in ``bpe_encode_stats`` is the fast path for the corpus
+    the tokenizer was fitted on. Scale shape: one distinct-words hash
+    agg over the target table, then K scalar replaces — merge count
+    bounds the expression depth, corpus size only the scan.
+    """
+    merges = train_bpe_local(_collect_word_counts(spark, sf))
+    words = (
+        load(spark, sf, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    sym = F.concat(
+        F.lit(" "), F.array_join(F.split("word", ""), " "), F.lit(" ")
+    )
+    return (
+        words.select(
+            "word",
+            F.size(F.split(F.trim(apply_merges(sym, merges)), " "))
+            .cast("long")
+            .alias("n_tokens"),
+            F.length("word").cast("long").alias("n_chars"),
+        )
+        .orderBy("word")
     )
 
 
@@ -211,7 +335,41 @@ GROUP BY source ORDER BY source
     )
 
 
+def _encode_oov_sql(k: int = _N_MERGES) -> str:
+    """Oracle: the SAME merges (from the unrolled distributed CTEs —
+    so a hash match also proves train_bpe_local == the distributed
+    loop, cross-engine) applied to part.p_name words by K chained
+    scalar replaces in rank order."""
+    ctes = _bpe_ctes(k)
+    ctes.append(
+        "w0 AS (SELECT DISTINCT word FROM"
+        " (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)"
+        " WHERE word <> '')"
+    )
+    ctes.append(
+        "e0 AS (SELECT word,"
+        " ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sym"
+        " FROM w0)"
+    )
+    for i in range(1, k + 1):
+        ctes.append(
+            f"e{i} AS (SELECT word,"
+            f" replace(sym, ' ' || b.l || ' ' || b.r || ' ',"
+            f"               ' ' || b.l || b.r || ' ') AS sym"
+            f" FROM e{i - 1} CROSS JOIN b{i} b)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT word,
+       CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(word) AS BIGINT) AS n_chars
+FROM e{k} ORDER BY word
+"""
+    )
+
+
 QUERIES = {
     "bpe_train_merges": QuerySpec(bpe_train_merges, _bpe_sql()),
     "bpe_encode_stats": QuerySpec(bpe_encode_stats, _encode_sql()),
+    "bpe_encode_oov": QuerySpec(bpe_encode_oov, _encode_oov_sql()),
 }

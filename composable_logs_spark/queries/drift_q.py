@@ -159,12 +159,25 @@ def cusum_changepoint_events(spark: SparkSession, sf: str) -> DataFrame:
             )
         ),
     )
+    # round(cusum_scaled/d, 2) via the exact integer half-step (same
+    # pattern as mv_q's avg4 / relational._money2): round() on the raw
+    # double ratio ties HALF_UP on Spark's shortest-decimal repr vs
+    # DuckDB's binary double whenever the ratio lands near .xx5.
+    # Doubled form (200x + d) div (2d) == floor(100x/d + 1/2) exactly,
+    # odd or even d; decimal cast keeps the *200 within range when the
+    # cumulative sum reaches i64-scale magnitudes.
+    peak = F.expr(
+        "(CASE WHEN cusum_scaled < 0 THEN -1 ELSE 1 END)"
+        " * CAST((CAST(abs(cusum_scaled) AS DECIMAL(38,0)) * 200 + d)"
+        "        div (d * 2) AS BIGINT)"
+        " / CAST(100 AS DOUBLE)"
+    )
     return (
         ranked.where(F.col("rk") == 1)
         .select(
             "event_type",
             F.col("day").alias("changepoint_day"),
-            F.round(F.col("cusum_scaled") / F.col("d"), 2).alias("cusum_peak"),
+            peak.alias("cusum_peak"),
             "d",
         )
         .orderBy("event_type")
@@ -196,7 +209,9 @@ ranked AS (
   FROM scaled
 )
 SELECT event_type, day AS changepoint_day,
-       round(cusum_scaled / CAST(d AS DOUBLE), 2) AS cusum_peak, d
+       (CASE WHEN cusum_scaled < 0 THEN -1 ELSE 1 END)
+       * ((abs(cusum_scaled)::HUGEINT * 200 + d) // (d * 2)) / 100.0
+         AS cusum_peak, d
 FROM ranked WHERE rk = 1 ORDER BY event_type
 """
 

@@ -314,8 +314,10 @@ _PATH_K = 10
 def session_path_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    e = load(spark, sf, "events").select("user_id", "ts", "event_type")
-    w = W.partitionBy("user_id").orderBy("ts")
+    e = load(spark, sf, "events").select("user_id", "ts", "event_type", "event_id")
+    # event_id tiebreak: lead() over tied (user_id, ts) rows is otherwise
+    # partition-order-nondeterministic (same convention as TRANSITIONS_SQL).
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
     from .asof_q import _us
 
     # integer-microsecond gap (NTZ-safe via _us) — a seconds cast
@@ -325,7 +327,7 @@ def session_path_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.when(gap.isNull() | (gap >= 1800 * 1000000), 1).otherwise(0)
     ).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
     d = e.withColumn("sess", sess)
-    ws = W.partitionBy("user_id", "sess").orderBy("ts")
+    ws = W.partitionBy("user_id", "sess").orderBy("ts", "event_id")
     d = d.withColumn("e2", F.lead("event_type", 1).over(ws)).withColumn(
         "e3", F.lead("event_type", 2).over(ws)
     )
@@ -342,16 +344,16 @@ def session_path_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 SESSION_PATH_SQL = f"""
 WITH o AS (
-  SELECT user_id, ts, event_type,
+  SELECT user_id, ts, event_type, event_id,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
-                   OVER (PARTITION BY user_id ORDER BY ts) >= 1800 * 1000000
-              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800 * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 ),
 sessed AS (
-  SELECT user_id, ts, event_type,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT user_id, ts, event_type, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS sess
   FROM o
@@ -362,7 +364,7 @@ tri AS (
          lead(event_type, 2) OVER fr AS path,
          lead(event_type, 2) OVER fr AS e3
   FROM sessed
-  WINDOW fr AS (PARTITION BY user_id, sess ORDER BY ts)
+  WINDOW fr AS (PARTITION BY user_id, sess ORDER BY ts, event_id)
 )
 SELECT path, CAST(count(*) AS BIGINT) AS n
 FROM tri WHERE e3 IS NOT NULL

@@ -133,6 +133,17 @@ p99 AS (
   FROM cum WHERE cum >= 0.99 * n_rows AND cum - cnt < 0.99 * n_rows
 ),
 tot AS (SELECT count(*) AS t FROM lineitem),
+guard AS (
+  -- fail LOUDLY on a dataset with no pinned golden: without this the
+  -- hll CTE is silently empty and the gate shows a confusing 0-row
+  -- diff instead of naming the real problem (ADVICE r6).
+  SELECT CASE WHEN t IN ({", ".join(str(k) for k in _HLL_GOLDEN)}) THEN 1
+         ELSE CAST(error('approx_sketch_stats: no HLL golden pinned for '
+                         || 'lineitem row count ' || t
+                         || ' (known: {sorted(_HLL_GOLDEN)})') AS INTEGER)
+         END AS ok
+  FROM tot
+),
 hll AS (
   SELECT l_returnflag, approx_parts, approx_orders
   FROM (VALUES {_HLL_VALUES})
@@ -144,6 +155,7 @@ SELECT l_returnflag, approx_parts, approx_orders,
 FROM hll JOIN p50 USING (l_returnflag)
          JOIN p99 USING (l_returnflag)
          JOIN n   USING (l_returnflag)
+WHERE (SELECT min(ok) FROM guard) = 1
 """
 
 

@@ -74,6 +74,59 @@ def test_bpe_merges_match_reference(spark, sf_dir):
         assert m == l + r and c > 0
 
 
+def test_local_trainer_equals_distributed(spark, sf_dir):
+    """train_bpe_local (the vocab-sized driver-side path for real merge
+    counts) must produce the exact merge sequence of the distributed
+    K-job loop on the same corpus."""
+    from composable_logs_spark.queries.bpe_q import (
+        _collect_word_counts,
+        train_bpe_local,
+    )
+
+    local = train_bpe_local(_collect_word_counts(spark, sf_dir))
+    dist = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(spark, sf_dir).collect()
+    ]
+    assert local == dist
+
+
+def test_encode_oov_tokenizes_unseen_words(spark, sf_dir):
+    """Merge application at encode time must tokenize words ABSENT from
+    the training vocabulary (the train-time vocab join can't), and must
+    agree with a Python replay of the same merges."""
+    from pyspark.sql import functions as F
+
+    from composable_logs_spark.queries import load
+    from composable_logs_spark.queries.bpe_q import (
+        _collect_word_counts,
+        bpe_encode_oov,
+        train_bpe_local,
+    )
+
+    train_vocab = {w for w, _ in _collect_word_counts(spark, sf_dir)}
+    got = {r["word"]: r["n_tokens"] for r in bpe_encode_oov(spark, sf_dir).collect()}
+    oov = set(got) - train_vocab
+    assert oov, "fixture regression: p_name must contain words unseen in documents"
+    merges = train_bpe_local(_collect_word_counts(spark, sf_dir))
+    for word, n_tokens in got.items():
+        sym = " " + " ".join(word) + " "
+        for _, l, r, _m, _ in merges:
+            sym = sym.replace(f" {l} {r} ", f" {l}{r} ")
+        assert n_tokens == len(sym.split()), word
+        assert 1 <= n_tokens <= len(word)
+    # and every p_name word is covered
+    expect_words = {
+        r["word"]
+        for r in load(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+        .collect()
+    }
+    assert set(got) == expect_words
+
+
 def test_profile_matches_pandas(spark, sf_dir):
     pdf = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
     got = {r["col_name"]: r for r in table_profile_lineitem(spark, sf_dir).collect()}
