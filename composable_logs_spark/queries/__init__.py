@@ -126,6 +126,7 @@ def all_queries() -> dict[str, QuerySpec]:
         seasonal_q,
         audit_q,
         drift_q,
+        substr_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -161,6 +162,7 @@ def all_queries() -> dict[str, QuerySpec]:
         seasonal_q,
         audit_q,
         drift_q,
+        substr_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]

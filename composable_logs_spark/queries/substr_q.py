@@ -1,0 +1,235 @@
+"""Exact substring deduplication — the EXACT half of Lee et al. 2022
+("Deduplicating Training Data Makes Language Models Better"), the one
+canonical LLM-corpus dedup modality the near-dup family (MinHash/SimHash/
+Jaccard/SRP in ``dedup_q``) and the approximate shingle-overlap query
+(``mix_q.crossdoc_ngram_overlap``) do not cover: find every VERBATIM
+token span of length >= L that occurs more than once anywhere in the
+corpus (across documents or repeated within one), and cut it.
+
+The reference's dedup surface is span-id anti-joins
+(opentelemetry_helpers.py:540-546) — this is north-star scope.
+
+Spark-shaped equivalent of the paper's suffix-array method, built on an
+exact L-gram identity instead of a suffix array (which is a single-node
+data structure):
+
+    a token position p in doc d starts a duplicated L-window
+        <=>  hash(tokens[p : p+L]) has corpus frequency >= 2
+    and the union of duplicated L-windows, merged where they overlap or
+    touch, is EXACTLY the set of maximal duplicated spans of length >= L
+    (a duplicated span of length M >= L is the union of its M-L+1
+    duplicated L-windows; conversely every duplicated L-window is itself
+    a duplicated span).
+
+So the whole computation is: one corpus-sized L-gram pass -> one
+frequency hash-agg on 8-byte keys (map-side combined) -> join back ->
+per-doc gaps-and-islands window merge. NO all-pairs stage, no candidate
+pair materialisation at all — unlike the near-dup family this does not
+even need banding, because exact identity IS an equi-join key. Shuffle
+volume is one 8-byte hash per corpus token position; the only window
+runs per (doc_id) over that doc's duplicated positions — bounded by
+document length, never corpus length.
+
+Hash: md5 truncated to 60 bits, identical bytes in Spark and DuckDB, so
+the oracle reproduces the pipeline value-for-value at every scale
+factor. (At 60 bits a false collision needs ~2^30 DISTINCT grams for a
+50% birthday chance; a collision would merely flag one extra window.)
+
+``cut_dup_spans`` is the removal half: re-emit each document with every
+duplicated-span token dropped (Lee et al. cut ALL occurrences, noting
+keeping one copy changes results negligibly) — a zero-shuffle array
+filter once the spans are known.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import QuerySpec, load
+
+_L = 20  # minimum duplicated-span length in tokens (paper uses 50 BPE
+# tokens at web scale; testdata documents average ~56 words)
+
+
+def _grams(docs: DataFrame, l: int = _L) -> DataFrame:
+    """(doc_id, n_tokens, pos, h): 60-bit hash of the L-token window at
+    every start position. Docs shorter than L emit nothing (they cannot
+    contain a duplicated span)."""
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("tok"))
+        .where(F.size("tok") >= l)
+        .select(
+            "doc_id",
+            F.size("tok").alias("n_tokens"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tok) - {l} + 1),"
+                    f" i -> struct(i AS pos,"
+                    f" array_join(slice(tok, i, {l}), ' ') AS gram))"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("g.pos").alias("pos"),
+            F.conv(F.substring(F.md5("g.gram"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+
+
+def dup_spans(docs: DataFrame, l: int = _L) -> DataFrame:
+    """Maximal duplicated spans per doc: (doc_id, n_tokens, span_start,
+    span_end) in 1-based inclusive token indices."""
+    from pyspark.sql import Window as W
+
+    g = _grams(docs, l)
+    freq = g.groupBy("h").agg(F.count("*").alias("cnt"))
+    dup = (
+        g.join(freq.where(F.col("cnt") >= 2), "h")
+        .select("doc_id", "n_tokens", "pos")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    # windows [pos, pos+L-1] all have equal width, so two sorted windows
+    # overlap-or-touch exactly when the start gap is <= L
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w) <= l, F.lit(0)
+    ).otherwise(F.lit(1))
+    isl = dup.withColumn(
+        "sid",
+        F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return isl.groupBy("doc_id", "sid").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + l - 1).alias("span_end"),
+    ).drop("sid")
+
+
+def cut_dup_spans(docs: DataFrame, l: int = _L) -> DataFrame:
+    """(doc_id, text, clean_text): every duplicated-span token removed.
+    One left join of docs against their collected span list (vast
+    majority of docs have none), then a zero-shuffle array filter."""
+    spans = dup_spans(docs, l).groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    return (
+        docs.join(spans, "doc_id", "left")
+        .withColumn(
+            "clean_text",
+            F.expr(
+                "array_join(transform(filter("
+                " transform(sequence(1, size(split(text, ' '))),"
+                "   i -> struct(i AS i, element_at(split(text, ' '), i) AS t)),"
+                " s -> NOT exists(coalesce(spans, array()),"
+                "   sp -> s.i >= sp.span_start AND s.i <= sp.span_end)),"
+                " s -> s.t), ' ')"
+            ),
+        )
+        .select("doc_id", "text", "clean_text")
+    )
+
+
+def dedup_exact_substring(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document duplicated-span report over the raw documents table:
+    every doc holding at least one verbatim >=L-token span that occurs
+    2+ times in the corpus, with a digest of the exact span boundaries
+    (proves the SPANS are identical cross-engine, not just their
+    count)."""
+    spans = dup_spans(load(spark, sf, "documents"))
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_dup_spans"),
+            F.sum(
+                F.col("span_end") - F.col("span_start") + 1
+            ).alias("dup_tokens"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("span_start", "span_end")
+                            )
+                        ),
+                        lambda s: F.concat_ws(
+                            ":",
+                            s["span_start"].cast("string"),
+                            s["span_end"].cast("string"),
+                        ),
+                    ),
+                )
+            ).alias("span_digest"),
+        )
+        # dup ratio at 4dp via the exact integer half-step (tie example:
+        # 21/32 -> 6562.5 — round() on the double is engine-dependent)
+        .withColumn(
+            "dup_ratio",
+            F.expr(
+                "(dup_tokens * 20000 + n_tokens) div (n_tokens * 2)"
+                " / CAST(10000 AS DOUBLE)"
+            ),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_dup_spans", "dup_tokens",
+            "dup_ratio", "span_digest",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SUBSTR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+g AS (
+  SELECT doc_id, len(tok) AS n_tokens, x AS pos,
+         CAST('0x' || substring(
+           md5(array_to_string(tok[x : x + {_L} - 1], ' ')), 1, 15)
+           AS BIGINT) AS h
+  FROM toks, UNNEST(generate_series(1, len(tok) - {_L} + 1)) AS u(x)
+  WHERE len(tok) >= {_L}
+),
+freq AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+dup AS (SELECT doc_id, n_tokens, pos FROM g JOIN freq USING (h)),
+isl AS (
+  SELECT doc_id, n_tokens, pos,
+         CASE WHEN pos - lag(pos) OVER w <= {_L} THEN 0 ELSE 1 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sid AS (
+  SELECT doc_id, n_tokens, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, max(n_tokens) AS n_tokens,
+         min(pos) AS span_start, max(pos) + {_L} - 1 AS span_end
+  FROM sid GROUP BY doc_id, sid
+)
+SELECT doc_id,
+       CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_dup_spans,
+       CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+       (CAST(sum(span_end - span_start + 1) AS BIGINT) * 20000
+        + max(n_tokens)) // (max(n_tokens) * 2) / 10000.0 AS dup_ratio,
+       md5(array_to_string(
+             list(CAST(span_start AS VARCHAR) || ':' ||
+                  CAST(span_end AS VARCHAR)
+                  ORDER BY span_start), ',')) AS span_digest
+FROM spans
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact_substring": QuerySpec(dedup_exact_substring, SUBSTR_SQL),
+}
