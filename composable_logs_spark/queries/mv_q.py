@@ -45,11 +45,11 @@ def _segment(d: DataFrame) -> DataFrame:
     )
 
 
-def mv_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load(spark, sf, "events")
-    base = _segment(ev.where(F.col("ts") < _CUTOFF))
-    delta = _segment(ev.where(F.col("ts") >= _CUTOFF))
-    merged = (
+def merge_partials(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold two mergeable (cnt, sum_micro) states — the `+` of the MV
+    monoid. Used batch-side here and per-micro-batch by the streaming
+    merge sink (``streaming/mv_sink.py``); runs on the KEY space."""
+    return (
         base.alias("b")
         .join(delta.alias("d"), ["event_type", "day"], "full_outer")
         .select(
@@ -58,20 +58,41 @@ def mv_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
             (
                 F.coalesce(F.col("b.cnt"), F.lit(0))
                 + F.coalesce(F.col("d.cnt"), F.lit(0))
-            ).alias("n_events"),
+            ).alias("cnt"),
             (
                 F.coalesce(F.col("b.sum_micro"), F.lit(0))
                 + F.coalesce(F.col("d.sum_micro"), F.lit(0))
             ).alias("sum_micro"),
         )
     )
-    # avg at 4dp via the exact integer half-step: round(sm/n/1e6, 4)
-    # ties whenever sm*1e4/(n*1e6) = sm/(n*100) lands on .5 exactly —
-    # observed at sf0.001 (307030000/8/1e6 = 38.37875: Spark HALF_UP
-    # 38.3788 vs DuckDB binary-double 38.3787). Folding the 4dp scale
-    # into the divisor keeps every intermediate within i64.
-    # NB: a bare 10000.0 literal parses as DECIMAL in Spark SQL and
-    # would turn the whole column decimal — cast explicitly
+
+
+def mv_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    base = _segment(ev.where(F.col("ts") < _CUTOFF))
+    delta = _segment(ev.where(F.col("ts") >= _CUTOFF))
+    merged = merge_partials(base, delta).select(
+        "event_type",
+        "day",
+        F.col("cnt").alias("n_events"),
+        "sum_micro",
+    )
+    return finalize_mv(merged)
+
+
+def finalize_mv(merged: DataFrame) -> DataFrame:
+    """Derived columns (money-rounded sum, 4dp avg) computed only AFTER
+    the merge, from (event_type, day, n_events, sum_micro) state —
+    computing them per-segment would be the classic non-mergeable-
+    aggregate bug this operator exists to avoid.
+
+    avg at 4dp via the exact integer half-step: round(sm/n/1e6, 4)
+    ties whenever sm*1e4/(n*1e6) = sm/(n*100) lands on .5 exactly —
+    observed at sf0.001 (307030000/8/1e6 = 38.37875: Spark HALF_UP
+    38.3788 vs DuckDB binary-double 38.3787). Folding the 4dp scale
+    into the divisor keeps every intermediate within i64.
+    NB: a bare 10000.0 literal parses as DECIMAL in Spark SQL and
+    would turn the whole column decimal — cast explicitly."""
     avg4 = F.expr(
         "(CASE WHEN sum_micro < 0 THEN -1 ELSE 1 END)"
         " * ((abs(sum_micro) + n_events * 50) div (n_events * 100))"

@@ -209,14 +209,7 @@ def _km_recompute(assigned: DataFrame) -> DataFrame:
 
 
 def ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
-    corpus = load(spark, sf, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("vec")
-    )
-    cents = corpus.where(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").cast("int").alias("cell"), F.col("vec").alias("cvec")
-    )
-    for _ in range(_KM_ITERS):
-        cents = _km_recompute(_km_assign(corpus, cents))
+    corpus, cents = _train_kmeans(spark, sf)
     final = _km_assign(corpus, cents).withColumn("norm", _norm(F.col("vec")))
     queries = final.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -239,7 +232,24 @@ def ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return _topk_two_phase(scored, _TOP_K, extra_cols=["cell"])
 
 
-def _km_sql() -> str:
+def _train_kmeans(spark: SparkSession, sf: str):
+    """Shared IVF training: unrolled Lloyd loop -> (corpus, centroids)."""
+    corpus = load(spark, sf, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    cents = corpus.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("vec").alias("cvec")
+    )
+    for _ in range(_KM_ITERS):
+        cents = _km_recompute(_km_assign(corpus, cents))
+    return corpus, cents
+
+
+def _km_cte_chain() -> tuple[list[str], str]:
+    """The unrolled-Lloyd CTE chain through ``finaln`` (assigned +
+    normed corpus); returns (ctes, name of the final centroid CTE) so
+    both the k-means probe and the multi-probe query share it."""
+
     def assign(cent_cte: str, src: str) -> str:
         return f"""(
   SELECT vec_id, vec, cell FROM (
@@ -280,6 +290,11 @@ def _km_sql() -> str:
   FROM finala
 )"""
     )
+    return ctes, prev_cent
+
+
+def _km_sql() -> str:
+    ctes, _ = _km_cte_chain()
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -861,6 +876,173 @@ ORDER BY x.query_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Multi-probe IVF: real IVF indexes probe the nprobe NEAREST cells (by
+# query-to-centroid distance), trading scan width for recall. This wires
+# nprobe into the recall harness: recall@5 per query at nprobe 1/2/4
+# over the SAME k-means cells as ann_ivf_kmeans — recall must rise
+# monotonically with nprobe (a probed candidate set only grows, and a
+# true global-top-5 neighbor can only be outranked by other global-top-5
+# vectors, so it never falls out of a larger probe's top-5).
+#
+# Scale shape: cell ranking is queries x K against the BROADCAST
+# centroid table (K rows); candidate fetch is an equi-join of the
+# corpus on cell against the broadcast (query, probed-cell) set — never
+# all-pairs. Everything downstream runs on |queries| * k rows.
+_NPROBES = [1, 2, 4]
+
+
+def ann_ivf_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    corpus, cents = _train_kmeans(spark, sf)
+    final = _km_assign(corpus, cents).withColumn("norm", _norm(F.col("vec")))
+    queries = final.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    # rank ALL cells per query by centroid distance (6dp + cell-id
+    # tie-break, the assignment's own convention)
+    d2 = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("dist_r", F.round(d2, 6))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("dist_r", "cell")
+            ),
+        )
+        .where(F.col("crank") <= max(_NPROBES))
+        .select("query_id", "qvec", "qnorm", "cell", "crank")
+    )
+    cand = (
+        final.join(F.broadcast(probed), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("vec"), F.col("qvec"))
+                / (F.col("norm") * F.col("qnorm")),
+                4,
+            ),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cosine", "crank")
+    )
+    nprobe = spark.createDataFrame(
+        [(n,) for n in _NPROBES], "nprobe int"
+    )
+    ranked = (
+        cand.join(F.broadcast(nprobe), F.col("crank") <= F.col("nprobe"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("nprobe", "query_id").orderBy(
+                    F.col("cosine").desc(), "neighbor_id"
+                )
+            ),
+        )
+        .where(F.col("rank") <= _TOP_K)
+        .select(
+            F.col("nprobe").alias("r_nprobe"),
+            F.col("query_id").alias("r_query"),
+            F.col("neighbor_id").alias("r_neighbor"),
+        )
+    )
+    exact = ann_cosine_top5(spark, sf).select(
+        "query_id", F.col("neighbor_id").alias("true_neighbor")
+    )
+    # (nprobe x exact) LEFT JOIN found: a true neighbor missed at some
+    # nprobe must still count in that nprobe's denominator
+    base = exact.crossJoin(F.broadcast(nprobe))
+    return (
+        base.join(
+            ranked,
+            (base["nprobe"] == ranked["r_nprobe"])
+            & (base["query_id"] == ranked["r_query"])
+            & (base["true_neighbor"] == ranked["r_neighbor"]),
+            "left",
+        )
+        .groupBy("nprobe", "query_id")
+        .agg(
+            F.count("r_neighbor").alias("n_hits"),
+            F.round(F.count("r_neighbor") / F.lit(float(_TOP_K)), 4).alias(
+                "recall"
+            ),
+        )
+        .orderBy("nprobe", "query_id")
+    )
+
+
+def _multiprobe_sql() -> str:
+    ctes, final_cent = _km_cte_chain()
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+q AS (SELECT vec_id AS query_id, vec AS qvec, nrm AS qnrm
+      FROM finaln WHERE vec_id < {_N_QUERIES}),
+probed AS (
+  SELECT query_id, qvec, qnrm, cell, crank FROM (
+    SELECT q.query_id, q.qvec, q.qnrm, ct.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_sum(list_transform(range(1, 65),
+                        j -> (q.qvec[j] - ct.cvec[j]) * (q.qvec[j] - ct.cvec[j]))), 6),
+                      ct.cell) AS crank
+    FROM q CROSS JOIN {final_cent} ct
+  ) WHERE crank <= {max(_NPROBES)}
+),
+cand AS (
+  SELECT p.query_id, f.vec_id AS neighbor_id,
+         round(list_sum(list_transform(range(1, 65), j -> f.vec[j] * p.qvec[j]))
+               / (f.nrm * p.qnrm), 4) AS cosine,
+         p.crank
+  FROM finaln f JOIN probed p ON f.cell = p.cell AND f.vec_id <> p.query_id
+),
+ranked AS (
+  -- NB: the inner np alias must NOT be referenced qualified out here:
+  -- DuckDB inlines the CTE into the main query, where a DIFFERENT np
+  -- alias is in scope, and the qualified ref silently binds to THAT
+  -- (observed: join condition became trivially true, recall 2.8)
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT c.*, np.nprobe,
+           row_number() OVER (PARTITION BY np.nprobe, c.query_id
+                              ORDER BY c.cosine DESC, c.neighbor_id) AS rank
+    FROM cand c JOIN (VALUES {", ".join(f"({n})" for n in _NPROBES)}) np(nprobe)
+      ON c.crank <= np.nprobe
+  ) WHERE rank <= {_TOP_K}
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_sum(list_transform(range(1, 65),
+                              i -> e.vec[i] * q.qvec[i])) / (e.nrm * q.qnrm), 4)
+                        DESC, e.vec_id) AS rank
+    FROM finaln e JOIN q ON e.vec_id <> q.query_id
+  ) WHERE rank <= {_TOP_K}
+)
+SELECT np.nprobe, x.query_id,
+       CAST(count(r.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(r.neighbor_id) / CAST({_TOP_K} AS DOUBLE), 4) AS recall
+FROM (VALUES {", ".join(f"({n})" for n in _NPROBES)}) np(nprobe)
+CROSS JOIN exact x
+LEFT JOIN ranked r
+  ON r.nprobe = np.nprobe AND r.query_id = x.query_id
+  AND r.neighbor_id = x.neighbor_id
+GROUP BY np.nprobe, x.query_id
+ORDER BY np.nprobe, x.query_id
+"""
+    )
+
+
 QUERIES = {
     "ann_cosine_top5": QuerySpec(ann_cosine_top5, ANN_BRUTE_SQL),
     "ann_ivf_label_probe": QuerySpec(ann_ivf_label_probe, ANN_IVF_SQL),
@@ -870,4 +1052,5 @@ QUERIES = {
     "embedding_centroids": QuerySpec(embedding_centroids, CENTROID_SQL),
     "embedding_pca_top1": QuerySpec(embedding_pca_top1, _pca_sql()),
     "ann_ivf_recall": QuerySpec(ann_ivf_recall, _recall_sql()),
+    "ann_ivf_multiprobe": QuerySpec(ann_ivf_multiprobe, _multiprobe_sql()),
 }

@@ -80,3 +80,29 @@ def test_pq_adc_invariants_and_recall(spark, sf_dir):
         }
         recalls.append(len(exact & {r["neighbor_id"] for r in rows}) / 5)
     assert sum(recalls) / len(recalls) >= 0.1
+
+
+def test_multiprobe_recall_monotone(spark, sf_dir):
+    """More probed cells => candidate superset => recall@5 can only rise
+    (a global-top-5 neighbor is outranked only by other global-top-5
+    vectors, so it never drops out of a wider probe's top-5)."""
+    from composable_logs_spark.queries.similarity_q import (
+        _NPROBES,
+        ann_ivf_multiprobe,
+    )
+
+    rows = ann_ivf_multiprobe(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["nprobe"]] = r["recall"]
+    assert by_q, "no queries"
+    for q, rec in by_q.items():
+        assert sorted(rec) == _NPROBES  # every nprobe reported per query
+        seq = [rec[n] for n in _NPROBES]
+        assert all(a <= b for a, b in zip(seq, seq[1:])), (q, seq)
+        assert all(0.0 <= v <= 1.0 for v in seq)
+    # widening the probe must help SOMEWHERE on this data, else the
+    # fixture isn't exercising multi-probe at all
+    assert any(
+        rec[_NPROBES[-1]] > rec[_NPROBES[0]] for rec in by_q.values()
+    )
