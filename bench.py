@@ -87,6 +87,54 @@ def main() -> None:
         # warm pass: cache left over from the previous run stays valid
         warm[name] = round(run_once(name, cold=False), 3)
 
+    # --- span summarisation at relational scale (~10^6 spans) ---------
+    # The spanlog_* gate queries run on ~10^2-span correctness fixtures;
+    # this entry times the SAME closure-join summarisation over a
+    # generated million-span archive (deep/wide/diamond/mixed DAGs).
+    # Generation + archive are one-time, cached in /tmp, and UNTIMED;
+    # only the summarisation pipeline is measured (same noop-forced,
+    # 2-pass-cold protocol). Runs at the full size only at sf0.1 so
+    # iteration at small SFs stays fast.
+    if float(sf) >= 0.1:
+        big_runs, big_tasks = 256, 800
+    else:
+        big_runs, big_tasks = 32, 100
+    arch = f"/tmp/spark_graft_bigspans_v1_{big_runs}x{big_tasks}/archive"
+    if not os.path.isdir(arch):
+        from composable_logs_spark.spanlog.archive import archive_spans
+        from composable_logs_spark.spanlog.biggen import generate_big_spanlog
+
+        log_dir = os.path.dirname(arch) + "/jsonl"
+        generate_big_spanlog(log_dir, n_runs=big_runs, tasks_per_run=big_tasks)
+        archive_spans(spark, log_dir, arch)
+
+    def run_big(cold: bool) -> float:
+        from composable_logs_spark.plans import summarize_spans
+        from composable_logs_spark.spanlog.archive import read_span_archive
+
+        if cold:
+            spark.catalog.clearCache()
+        t0 = time.time()
+        s = summarize_spans(read_span_archive(spark, arch))
+        s.task_runs.write.format("noop").mode("overwrite").save()
+        s.workflow_runs.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run_big(cold=True)  # warm-up (JIT) like the headline set
+    big_passes = [run_big(cold=True) for _ in range(2)]
+    if max(big_passes) > 2 * min(big_passes):
+        big_passes.append(run_big(cold=True))
+    # reported under queries_extra, NOT in the headline total: the
+    # headline set and its total are the round-over-round comparable
+    # series (BASELINE.md); the million-span summarisation is new
+    # scale evidence with its own input, not part of that series
+    extra = {
+        "spanlog_big_summarize": round(min(big_passes), 3),
+        "spanlog_big_summarize_warm": round(run_big(cold=False), 3),
+        "spanlog_big_runs": big_runs,
+        "spanlog_big_tasks_per_run": big_tasks,
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -96,6 +144,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_warm": warm,
+                "queries_extra": extra,
                 "sf": float(sf),
             }
         )

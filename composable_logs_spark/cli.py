@@ -119,5 +119,15 @@ def main() -> int:
     return generate_static_data(rest)
 
 
+def entry_pynb_log_parser() -> int:
+    """console_script: same name the reference installs (setup.py:97)."""
+    return pynb_log_parser(sys.argv[1:])
+
+
+def entry_generate_static_data() -> int:
+    """console_script: same name the reference installs (setup.py:98)."""
+    return generate_static_data(sys.argv[1:])
+
+
 if __name__ == "__main__":
     sys.exit(main())

@@ -62,34 +62,37 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # name (tests/test_registry_window.py guards it). Rotation policy per
 # round: (1) every query that has never had a driver hash-green row,
 # (2) every query whose semantics or oracle changed this round,
-# (3) fill with the longest-unverified green block. Round 6 window:
-# the 17 never-checked + approx_sketch_stats (oracle added) +
-# q10_returned_items / embedding_pca_top1 (plan rewrites) + the two
-# r1-only stragglers + this round's 13 brand-new queries (mix_q,
-# basket_q, fuzzy_q, bpe_q, profile_q, mv_q) + chunk_overlap_windows,
-# filled with the longest-unverified r3/r4 greens.
+# (3) fill with the longest-unverified green block. Round 7 window:
+# the 3 queries ADDED this round (exact substring dedup, OOV BPE
+# encode, multi-probe IVF — never driver-checked), the 7 whose code or
+# oracle changed this round (event_id tiebreaks, integer half-step
+# rounding, HLL-golden guard, BPE vocab-join de-broadcast, shared-CTE
+# refactors), then 40 of the 47 queries whose last driver-green row is
+# round 4 — the stalest block — in name order (the remaining 7 rotate
+# in next round).
 _FRONT_WINDOW = [
-    "q12_priority_lines", "outlier_mad_events", "winsorize_doc_lengths",
-    "pack_sequences", "approx_sketch_stats", "join_salted_skew_revenue",
-    "text_unigram_logprob", "text_bpe_pretokens", "ann_pq_adc",
-    "embedding_int8_quant", "spanlog_failure_root_cause", "corpus_line_dedup",
-    "split_no_leakage", "vocab_coverage_topk", "hll_distinct_customers",
-    "cms_heavy_hitters", "hll_users_by_event_type", "asof_join_nearest",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "q10_returned_items",
-    "embedding_pca_top1",
-    # round-6 additions (never driver-checked)
-    "domain_cap_sample", "crossdoc_ngram_overlap", "mix_sources_to_target",
-    "chunk_overlap_windows",
-    "frequent_item_pairs", "triangle_count_copurchase", "bfs_purchase_distance",
-    "fuzzy_match_partnames", "bpe_train_merges", "bpe_encode_stats",
-    "table_profile_lineitem",
-    "skyline_parts", "weighted_reservoir_topk", "mv_incremental_merge",
-    "seasonal_anomaly_events", "forecast_linear_events", "ann_ivf_recall",
-    "dedup_jaccard_prefix", "hll_intersection_parts", "session_path_topk", "copurchase_pmi_topk",
-    "cheapest_path_copurchase", "fk_integrity_audit", "hll_cumulative_users",
-    "drift_psi_events", "cusum_changepoint_events", "fuzzy_entity_clusters",
-    # longest-unverified green fillers
-    "pivot_event_cohorts",
+    # (1) new this round
+    "dedup_exact_substring", "bpe_encode_oov", "ann_ivf_multiprobe",
+    # (2) changed this round
+    "session_path_topk", "cusum_changepoint_events", "approx_sketch_stats",
+    "bpe_encode_stats", "bpe_train_merges", "mv_incremental_merge",
+    "ann_ivf_kmeans",
+    # (3) stalest driver-green (r4), name order
+    "agg_cube_events", "agg_distinct_parts_per_nation", "agg_grouping_sets",
+    "agg_rollup_returns", "ann_cosine_top5", "ann_ivf_label_probe",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "embedding_centroids", "join_anti_idle_customers",
+    "join_semi_heavy_orders", "json_extract_events", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "range_join_error_attribution", "scalar_functions_orders",
+    "sessionize_user_events", "set_ops_segments", "spanlog_artifacts",
+    "spanlog_attr_union", "spanlog_deps", "spanlog_descendant_counts",
+    "spanlog_exceptions", "spanlog_last_value_wins",
+    "spanlog_logged_values", "spanlog_roots", "spanlog_task_runs",
+    "spanlog_task_trends", "spanlog_validation_errors",
+    "spanlog_workflow_runs", "text_c4_filters", "text_char_entropy",
+    "text_fingerprint", "text_lang_id", "text_quality_scores",
+    "text_repetition", "text_tfidf_top3", "text_token_stats",
 ]
 
 

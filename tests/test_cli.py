@@ -81,3 +81,21 @@ def test_generate_static_data_cli_no_input(spark, tmp_path):
         ["--output_www_root_directory", str(tmp_path / "www")]
     )
     assert rc == 1
+
+
+def test_packaging_console_scripts_resolve():
+    """pyproject.toml ships the same two console scripts the reference's
+    setup.py installs; each declared entry point must resolve to a
+    callable (a `pip install -e .` smoke without needing pip in-test)."""
+    import importlib
+    import pathlib
+    import tomllib
+
+    data = tomllib.loads(
+        pathlib.Path(__file__).resolve().parents[1].joinpath("pyproject.toml").read_text()
+    )
+    scripts = data["project"]["scripts"]
+    assert set(scripts) == {"pynb_log_parser", "generate_static_data"}
+    for target in scripts.values():
+        mod, fn = target.split(":")
+        assert callable(getattr(importlib.import_module(mod), fn))
