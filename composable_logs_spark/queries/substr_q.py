@@ -81,24 +81,20 @@ def _grams(docs: DataFrame, l: int = _L) -> DataFrame:
     )
 
 
-def dup_spans(docs: DataFrame, l: int = _L) -> DataFrame:
-    """Maximal duplicated spans per doc: (doc_id, n_tokens, span_start,
-    span_end) in 1-based inclusive token indices."""
+def merge_windows(dup_positions: DataFrame, l: int = _L) -> DataFrame:
+    """Gaps-and-islands merge of duplicated L-windows into maximal
+    spans. Input: (doc_id, n_tokens, pos) start positions; output:
+    (doc_id, n_tokens, span_start, span_end), 1-based inclusive. The
+    window runs per doc over ONLY that doc's duplicated positions."""
     from pyspark.sql import Window as W
 
-    g = _grams(docs, l)
-    freq = g.groupBy("h").agg(F.count("*").alias("cnt"))
-    dup = (
-        g.join(freq.where(F.col("cnt") >= 2), "h")
-        .select("doc_id", "n_tokens", "pos")
-    )
     w = W.partitionBy("doc_id").orderBy("pos")
     # windows [pos, pos+L-1] all have equal width, so two sorted windows
     # overlap-or-touch exactly when the start gap is <= L
     brk = F.when(
         F.col("pos") - F.lag("pos").over(w) <= l, F.lit(0)
     ).otherwise(F.lit(1))
-    isl = dup.withColumn(
+    isl = dup_positions.withColumn(
         "sid",
         F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
     )
@@ -107,6 +103,18 @@ def dup_spans(docs: DataFrame, l: int = _L) -> DataFrame:
         F.min("pos").alias("span_start"),
         (F.max("pos") + l - 1).alias("span_end"),
     ).drop("sid")
+
+
+def dup_spans(docs: DataFrame, l: int = _L) -> DataFrame:
+    """Maximal duplicated spans per doc: (doc_id, n_tokens, span_start,
+    span_end) in 1-based inclusive token indices."""
+    g = _grams(docs, l)
+    freq = g.groupBy("h").agg(F.count("*").alias("cnt"))
+    dup = (
+        g.join(freq.where(F.col("cnt") >= 2), "h")
+        .select("doc_id", "n_tokens", "pos")
+    )
+    return merge_windows(dup, l)
 
 
 def cut_dup_spans(docs: DataFrame, l: int = _L) -> DataFrame:
