@@ -238,6 +238,101 @@ ORDER BY doc_id
 """
 
 
+def substr_cut_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-governance view of the cut: per source, how much text the
+    exact-substring pass removes (docs flagged, tokens before/after,
+    removal ratio). The numbers a data team watches when tuning L —
+    too-low L cuts boilerplate AND legitimate common phrases.
+
+    Scale shape: the span table (output of the banded-free frequency
+    pass) joined back to documents on doc_id, one hash agg per source.
+    """
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    per_doc = (
+        dup_spans(load(spark, sf, "documents"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("span_end") - F.col("span_start") + 1
+            ).alias("cut_tokens")
+        )
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("cut_tokens").alias("n_flagged"),
+            F.sum("n_tokens").cast("long").alias("tokens_before"),
+            (
+                F.sum("n_tokens") - F.sum(F.coalesce("cut_tokens", F.lit(0)))
+            ).cast("long").alias("tokens_after"),
+            # removal ratio at 4dp, integer half-step (ties: see
+            # dedup_exact_substring)
+            F.expr(
+                "(sum(coalesce(cut_tokens, 0)) * 20000 + sum(n_tokens))"
+                " div (sum(n_tokens) * 2) / CAST(10000 AS DOUBLE)"
+            ).alias("cut_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+CUT_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+g AS (
+  SELECT doc_id, len(tok) AS n_tokens, x AS pos,
+         CAST('0x' || substring(
+           md5(array_to_string(tok[x : x + {_L} - 1], ' ')), 1, 15)
+           AS BIGINT) AS h
+  FROM toks, UNNEST(generate_series(1, len(tok) - {_L} + 1)) AS u(x)
+  WHERE len(tok) >= {_L}
+),
+freq AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+dup AS (SELECT doc_id, n_tokens, pos FROM g JOIN freq USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER w <= {_L} THEN 0 ELSE 1 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sid AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {_L} - 1 AS e
+  FROM sid GROUP BY doc_id, sid
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS cut_tokens
+  FROM spans GROUP BY doc_id
+),
+d AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(p.cut_tokens) AS BIGINT) AS n_flagged,
+       CAST(sum(d.n_tokens) AS BIGINT) AS tokens_before,
+       CAST(sum(d.n_tokens) - sum(coalesce(p.cut_tokens, 0)) AS BIGINT)
+         AS tokens_after,
+       (sum(coalesce(p.cut_tokens, 0))::HUGEINT * 20000 + sum(d.n_tokens))
+         // (sum(d.n_tokens) * 2) / 10000.0 AS cut_ratio
+FROM d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "dedup_exact_substring": QuerySpec(dedup_exact_substring, SUBSTR_SQL),
+    "substr_cut_stats": QuerySpec(substr_cut_stats, CUT_STATS_SQL),
 }
