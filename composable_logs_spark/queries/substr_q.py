@@ -280,9 +280,14 @@ def substr_cut_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-CUT_STATS_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+def _cut_stats_sql(doc_source: str) -> str:
+    """The per-source cut-stats oracle over any (doc_id, source, text)
+    source expression — `documents` for the raw-corpus query, a nested
+    survivors subquery for the composed pipeline variant."""
+    return f"""
+WITH src AS ({doc_source}),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM src
 ),
 g AS (
   SELECT doc_id, len(tok) AS n_tokens, x AS pos,
@@ -316,7 +321,7 @@ per_doc AS (
 ),
 d AS (
   SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
-  FROM documents
+  FROM src
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -332,7 +337,73 @@ ORDER BY source
 """
 
 
+CUT_STATS_SQL = _cut_stats_sql("SELECT doc_id, source, text FROM documents")
+
+
+# ---------------------------------------------------------------------------
+# Composed full recipe: document-level dedup + quality filtering FIRST
+# (pipeline_clean_corpus: minhash near-dup clusters -> keep-best +
+# C4/repetition/quality filters), THEN the exact-substring pass over
+# only the SURVIVORS — the Lee et al. 2022 ordering (doc dedup before
+# substring dedup, so a near-dup cluster's shared text doesn't inflate
+# the substring frequencies it left behind). One oracled query proves
+# the whole chain end-to-end; both sides reuse their stage
+# implementations verbatim, so a hash match is a proof of COMPOSITION,
+# not a reimplementation.
+def pipeline_dedup_then_cut(spark: SparkSession, sf: str) -> DataFrame:
+    from .pipeline_q import pipeline_clean_corpus
+
+    survivors = pipeline_clean_corpus(spark, sf).select("doc_id")
+    d = (
+        load(spark, sf, "documents")
+        .join(survivors, "doc_id")
+        .select("doc_id", "source", "text")
+    )
+    per_doc = (
+        dup_spans(d)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("span_end") - F.col("span_start") + 1
+            ).alias("cut_tokens")
+        )
+    )
+    docs = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("cut_tokens").alias("n_flagged"),
+            F.sum("n_tokens").cast("long").alias("tokens_before"),
+            (
+                F.sum("n_tokens") - F.sum(F.coalesce("cut_tokens", F.lit(0)))
+            ).cast("long").alias("tokens_after"),
+            F.expr(
+                "(sum(coalesce(cut_tokens, 0)) * 20000 + sum(n_tokens))"
+                " div (sum(n_tokens) * 2) / CAST(10000 AS DOUBLE)"
+            ).alias("cut_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+def _pipeline_cut_sql() -> str:
+    from .pipeline_q import _clean_corpus_sql
+
+    return _cut_stats_sql(
+        "SELECT d.doc_id, d.source, d.text FROM documents d"
+        f" JOIN (SELECT doc_id FROM ({_clean_corpus_sql()}) c) k"
+        " USING (doc_id)"
+    )
+
+
 QUERIES = {
     "dedup_exact_substring": QuerySpec(dedup_exact_substring, SUBSTR_SQL),
     "substr_cut_stats": QuerySpec(substr_cut_stats, CUT_STATS_SQL),
+    "pipeline_dedup_then_cut": QuerySpec(
+        pipeline_dedup_then_cut, _pipeline_cut_sql()
+    ),
 }
