@@ -1,0 +1,80 @@
+"""Scaling-curve harness: time the SF-dependent headline queries at
+sf0.01, sf0.1 and a synthetic K-fold replica of sf0.1 (built by
+tools/gen_scaled.py), and report the runtime ratio per 10x/Kx row
+growth — measured evidence for the would-this-survive-a-scale-up
+question, beyond the largest driver-provided SF.
+
+Each timing is the min of two noop-forced cold passes after a JIT
+warm-up pass (the bench.py protocol). spanlog_task_runs is excluded
+(its input is the span fixture set, independent of the SF directory).
+
+Usage: python tools/bench_scaling.py [scaled_dir]
+Prints one JSON line {"dirs", "queries": {name: {dir: sec}}, "ratios"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from composable_logs_spark.queries import all_queries
+from composable_logs_spark.session import get_spark
+
+SCALED = (
+    sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scaled_sf0p4"
+)
+DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1", SCALED]
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_top3_parts_per_supplier",
+    "sessionize_user_events",
+    "range_join_error_attribution",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_top5",
+    "text_token_stats",
+    "stream_tumbling_counts",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench_scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    def run(name: str, d: str) -> float:
+        spark.catalog.clearCache()
+        t0 = time.time()
+        qs[name].fn(spark, d).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # uniform warm-up (JIT/codegen/footers) on the smallest dir
+    for name in QUERIES:
+        qs[name].fn(spark, DIRS[0]).write.format("noop").mode("overwrite").save()
+
+    out: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        out[name] = {}
+        for d in DIRS:
+            passes = [run(name, d) for _ in range(2)]
+            out[name][d] = round(min(passes), 3)
+
+    ratios = {
+        name: {
+            "x10_sf001_to_sf01": round(t[DIRS[1]] / t[DIRS[0]], 2),
+            "x4_sf01_to_scaled": round(t[DIRS[2]] / t[DIRS[1]], 2),
+        }
+        for name, t in out.items()
+    }
+    print(json.dumps({"dirs": DIRS, "queries": out, "ratios": ratios}))
+
+
+if __name__ == "__main__":
+    main()
