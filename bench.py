@@ -99,14 +99,18 @@ def main() -> None:
         big_runs, big_tasks = 256, 800
     else:
         big_runs, big_tasks = 32, 100
-    arch = f"/tmp/spark_graft_bigspans_v1_{big_runs}x{big_tasks}/archive"
+    arch = f"/tmp/spark_graft_bigspans_v2_{big_runs}x{big_tasks}/archive"
     if not os.path.isdir(arch):
         from composable_logs_spark.spanlog.archive import archive_spans
         from composable_logs_spark.spanlog.biggen import generate_big_spanlog
 
         log_dir = os.path.dirname(arch) + "/jsonl"
         generate_big_spanlog(log_dir, n_runs=big_runs, tasks_per_run=big_tasks)
-        archive_spans(spark, log_dir, arch)
+        # the run span covers ~11 archive days: at 1 file/day the scan
+        # gets 11 splits for 32 cores (35 MB files sit under
+        # maxPartitionBytes, one split each) — 4 files/day restores
+        # full scan parallelism for every downstream cache/consumer
+        archive_spans(spark, log_dir, arch, files_per_day=4)
 
     def run_big(cold: bool) -> float:
         from composable_logs_spark.plans import summarize_spans
