@@ -666,6 +666,97 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Bigram-LM quality scoring — one step up the n-gram ladder from
+# text_unigram_logprob: per-doc average log P(w2|w1) under an add-1
+# (Laplace) smoothed corpus bigram model. The KenLM-style perplexity
+# filter of an LLM data pipeline, reduced to its SQL-provable core:
+# fluent/native text scores high, shuffled or boilerplate-injected text
+# scores low even when its UNIGRAM distribution is unchanged — which is
+# exactly the failure mode the unigram score cannot see.
+#
+# Scale shape: one corpus pass for bigram counts (map-side-combined
+# hash agg on (w1, w2)), one vocab-sized unigram/count join to attach
+# denominators, then the doc-bigram stream equi-joins the scored bigram
+# table. Cross-engine exactness: ln() rounded to integer micro-nats per
+# bigram type (the unigram query's proven recipe), summed exactly.
+def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", _tokens(F.lower(F.col("text"))).alias("arr"))
+    big = toks.where(F.size("arr") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(arr) - 1),"
+                " i -> struct(element_at(arr, i) AS w1,"
+                " element_at(arr, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    uni = (
+        toks.select(F.explode("arr").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    vsize = uni.agg(F.count("*").alias("v"))
+    lp = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v"))) * 1e6
+            )
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        big.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.round(F.sum("lp_micro") / (F.count("*") * 1e6), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+BIGRAM_SQL = """
+WITH arrs AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+  FROM documents
+),
+big AS (
+  SELECT doc_id, arr[x] AS w1, arr[x + 1] AS w2
+  FROM arrs, UNNEST(generate_series(1, len(arr) - 1)) AS u(x)
+  WHERE len(arr) >= 2
+),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(arr) AS tok FROM arrs) GROUP BY tok
+),
+vs AS (SELECT count(*) AS v FROM uni),
+lp AS (
+  SELECT b.w1, b.w2,
+         CAST(round(ln((count(*) + 1)
+                       / CAST(u.c1 + (SELECT v FROM vs) AS DOUBLE))
+                    * 1000000, 0) AS BIGINT) AS lp_micro
+  FROM big b JOIN uni u ON u.tok = b.w1
+  GROUP BY b.w1, b.w2, u.c1
+)
+SELECT b.doc_id,
+       CAST(count(*) AS INT) AS n_bigrams,
+       round(sum(lp.lp_micro) / (count(*) * 1000000.0), 4) AS avg_logprob
+FROM big b JOIN lp USING (w1, w2)
+GROUP BY b.doc_id
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_SQL),
     "text_char_entropy": QuerySpec(text_char_entropy, ENTROPY_SQL),
@@ -678,4 +769,5 @@ QUERIES = {
     "text_tfidf_top3": QuerySpec(text_tfidf_top3, TFIDF_SQL),
     "text_unigram_logprob": QuerySpec(text_unigram_logprob, UNIGRAM_SQL),
     "text_bpe_pretokens": QuerySpec(text_bpe_pretokens, BPE_SQL),
+    "text_bigram_logprob": QuerySpec(text_bigram_logprob, BIGRAM_SQL),
 }

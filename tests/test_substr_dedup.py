@@ -142,3 +142,67 @@ def test_threshold_parameter(spark, l):
     docs = _mk_docs(spark)
     got = {r["doc_id"] for r in dup_spans(docs, l).collect()}
     assert {4, 5} <= got  # the short shared run is now above threshold
+
+
+def test_bigram_logprob_matches_python_and_beats_shuffled(spark, sf_dir):
+    """text_bigram_logprob == a from-scratch Python replica on the real
+    corpus; and on a planted corpus, token-SHUFFLED text must score
+    strictly lower than the fluent original even though its unigram
+    distribution is identical (the failure mode unigram scoring cannot
+    see)."""
+    import math
+
+    import pandas as pd
+
+    from composable_logs_spark.queries.text_ops import text_bigram_logprob
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = {r.doc_id: r.text.strip().lower().split() for r in pdf.itertuples()}
+    uni, big = {}, {}
+    for arr in toks.values():
+        for w in arr:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(arr, arr[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    v = len(uni)
+    lp = {
+        k: round(math.log((c + 1) / (uni[k[0]] + v)) * 1e6)
+        for k, c in big.items()
+    }
+    expect = {}
+    for d, arr in toks.items():
+        if len(arr) < 2:
+            continue
+        pairs = list(zip(arr, arr[1:]))
+        s = sum(lp[p] for p in pairs)
+        expect[d] = (len(pairs), round(s / (len(pairs) * 1e6), 4))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in text_bigram_logprob(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for d, (n, avg) in expect.items():
+        assert got[d][0] == n
+        # Python round() is banker's, Spark HALF_UP: allow one ulp at 4dp
+        assert abs(got[d][1] - avg) <= 1e-4 + 1e-9, d
+
+    # planted: fluent docs repeat a common phrase pattern; one doc is a
+    # shuffled permutation of another's tokens
+    fluent = "the quick brown fox jumps over the lazy dog".split()
+    rows = [(i, " ".join(fluent)) for i in range(10)]
+    shuffled = [fluent[i] for i in (5, 0, 7, 2, 8, 1, 6, 3, 4)]
+    rows += [(100, " ".join(fluent)), (101, " ".join(shuffled))]
+    frame = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import composable_logs_spark.queries.text_ops as T
+    from composable_logs_spark.queries import QuerySpec  # noqa: F401
+
+    # run the same pipeline body against the planted frame
+    from unittest import mock
+
+    with mock.patch.object(T, "load", lambda s, sf, t: frame):
+        scores = {
+            r["doc_id"]: r["avg_logprob"]
+            for r in T.text_bigram_logprob(spark, "ignored").collect()
+        }
+    assert scores[101] < scores[100]
