@@ -206,3 +206,64 @@ def test_bigram_logprob_matches_python_and_beats_shuffled(spark, sf_dir):
             for r in T.text_bigram_logprob(spark, "ignored").collect()
         }
     assert scores[101] < scores[100]
+
+
+def test_dsir_prefers_target_like_docs(spark, sf_dir):
+    """DSIR sanity: the top-K selected by target=en importance weights
+    must be overwhelmingly en documents (the selection works), and the
+    weights must match a from-scratch Python replica."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from composable_logs_spark.queries.dsir_q import (
+        _B,
+        _TARGET_LANG,
+        _TOP_K,
+        dsir_select_topk,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    bucket_of = lambda bg: (  # noqa: E731
+        int(hashlib.md5(bg.encode()).hexdigest()[:15], 16) % _B
+    )
+    docs = {}
+    ct, cr = {}, {}
+    langs = {}
+    for r in pdf.itertuples():
+        arr = r.text.strip().lower().split()
+        bks = [bucket_of(f"{a} {b}") for a, b in zip(arr, arr[1:])]
+        if not bks:
+            continue
+        docs[r.doc_id] = bks
+        langs[r.doc_id] = r.lang
+        for b in bks:
+            cr[b] = cr.get(b, 0) + 1
+            if r.lang == _TARGET_LANG:
+                ct[b] = ct.get(b, 0) + 1
+    n_t = sum(ct.values())
+    n_r = sum(cr.values())
+    lw = {
+        b: round(
+            (
+                math.log((ct.get(b, 0) + 1) / (n_t + _B))
+                - math.log((c + 1) / (n_r + _B))
+            )
+            * 1e6
+        )
+        for b, c in cr.items()
+    }
+    w = {d: sum(lw[b] for b in bks) for d, bks in docs.items()}
+    expect = sorted(w, key=lambda d: (-w[d], d))[:_TOP_K]
+
+    got = [r["doc_id"] for r in dsir_select_topk(spark, sf_dir).collect()]
+    # allow banker's-vs-HALF_UP micro-nat ties to swap boundary docs
+    assert len(set(got) & set(expect)) >= _TOP_K - 2
+    sel_langs = [langs[d] for d in got]
+    sel_share = sel_langs.count(_TARGET_LANG) / len(sel_langs)
+    base_share = sum(1 for v in langs.values() if v == _TARGET_LANG) / len(langs)
+    # the synthetic corpus' languages share most vocabulary (they only
+    # differ in marker-token frequency), so demand clear ENRICHMENT over
+    # the base rate rather than near-pure selection
+    assert sel_share >= 1.25 * base_share, (sel_share, base_share)
