@@ -447,7 +447,10 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _pq_sql() -> str:
+def _pq_cte_chain(include_corpus: bool = True) -> list[str]:
+    """The PQ training/encode/distance-table CTE chain (through
+    ``codes``, ``qsub`` and ``dtab``); PQ-internal names are prefixed
+    ``pq`` so the chain composes with ``_km_cte_chain`` (IVF-PQ)."""
     sub = f"""(
   SELECT vec_id, m, list_slice(vec, m * {_PQ_SUBDIM} + 1, (m + 1) * {_PQ_SUBDIM}) AS svec
   FROM {{src}} CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m)
@@ -476,19 +479,25 @@ def _pq_sql() -> str:
   ) GROUP BY m, cell
 )"""
 
-    ctes = [
-        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
+    ctes = (
+        [
+            "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)"
+        ]
+        if include_corpus
+        else []
+    )
+    ctes += [
         "subvecs AS " + sub.format(src="corpus"),
-        f"""cent0 AS (
+        f"""pqcent0 AS (
   SELECT m, CAST(vec_id AS INT) AS cell, svec AS cvec
   FROM subvecs WHERE vec_id < {_PQ_K}
 )""",
     ]
-    prev = "cent0"
+    prev = "pqcent0"
     for i in range(1, _PQ_ITERS + 1):
-        ctes.append(f"assign{i} AS {assign(prev)}")
-        ctes.append(f"cent{i} AS {recompute(f'assign{i}')}")
-        prev = f"cent{i}"
+        ctes.append(f"pqassign{i} AS {assign(prev)}")
+        ctes.append(f"pqcent{i} AS {recompute(f'pqassign{i}')}")
+        prev = f"pqcent{i}"
     ctes.append(f"codes AS (SELECT vec_id, m, cell FROM {assign(prev)})")
     ctes.append(
         f"""qsub AS (
@@ -505,6 +514,11 @@ def _pq_sql() -> str:
   FROM qsub q JOIN {prev} c USING (m)
 )"""
     )
+    return ctes
+
+
+def _pq_sql() -> str:
+    ctes = _pq_cte_chain()
     ctes.append(
         """pairs AS (
   SELECT d.query_id, co.vec_id,
@@ -1043,6 +1057,148 @@ ORDER BY np.nprobe, x.query_id
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ: the canonical memory-bounded ANN index composition (what a
+# FAISS IndexIVFPQ is) — a coarse k-means quantizer prunes the corpus
+# to the nprobe nearest cells, and distances inside the probed cells
+# are PQ-ADC table lookups instead of vector math. Composes the two
+# existing trained stages verbatim (`_train_kmeans` + the `_pq_*`
+# helpers), so the gate hash proves the COMPOSITION.
+#
+# Codes encode the raw vectors, not residuals (a residual-encoded
+# variant needs per-cell codebooks; documented trade-off — the plan
+# shape is identical). Scale: candidate set per query is ~nprobe/K of
+# the corpus; the ADC join runs on candidate-sized input (codes join
+# candidates BEFORE the distance-table join), lookup tables and
+# centroids broadcast, top-k salted two-phase.
+_IVFPQ_NPROBE = 2
+
+
+def ann_ivfpq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    corpus, kcents = _train_kmeans(spark, sf)
+    assigned = _km_assign(corpus, kcents)  # (vec_id, vec, cell)
+
+    subvecs = _pq_subvectors(corpus)
+    pcents = subvecs.where(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").cast("int").alias("cell"), F.col("svec").alias("cvec")
+    )
+    for _ in range(_PQ_ITERS):
+        pcents = _pq_recompute(_pq_assign(subvecs, pcents))
+    codes = _pq_assign(subvecs, pcents).select("vec_id", "m", "cell")
+
+    queries = assigned.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(kcents))
+        .withColumn("dist_r", F.round(d2, 6))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("dist_r", "cell")
+            ),
+        )
+        .where(F.col("crank") <= _IVFPQ_NPROBE)
+        .select("query_id", "cell")
+    )
+    cand = (
+        assigned.join(F.broadcast(probed), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+
+    qsub = _pq_subvectors(corpus.where(F.col("vec_id") < _N_QUERIES)).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("svec").alias("qsvec")
+    )
+    pd2 = F.aggregate(
+        F.zip_with(F.col("qsvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    dtab = qsub.join(F.broadcast(pcents), "m").select(
+        "query_id", "m", "cell", F.round(pd2 * 1e6).cast("long").alias("d2_micro")
+    )
+    # candidate restriction FIRST: the ADC sum runs on ~nprobe/K of the
+    # corpus, which is the pruning IVF exists to buy
+    pairs = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(dtab), ["query_id", "m", "cell"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2_micro").alias("adc_d2_micro"))
+    )
+    salted = pairs.withColumn(
+        "_salt", F.pmod(F.hash(F.col("vec_id")), F.lit(_SALT_BUCKETS))
+    )
+    order = [F.col("adc_d2_micro").asc(), F.col("vec_id")]
+    local = salted.withColumn(
+        "_lr",
+        F.row_number().over(W.partitionBy("query_id", "_salt").orderBy(*order)),
+    ).where(F.col("_lr") <= _TOP_K)
+    return (
+        local.withColumn(
+            "rank", F.row_number().over(W.partitionBy("query_id").orderBy(*order))
+        )
+        .where(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "adc_d2_micro", "rank"
+        )
+    )
+
+
+def _ivfpq_sql() -> str:
+    ctes, final_cent = _km_cte_chain()
+    ctes += _pq_cte_chain(include_corpus=False)
+    ctes.append(
+        f"""ivfq AS (SELECT vec_id AS query_id, vec AS qvec
+      FROM finaln WHERE vec_id < {_N_QUERIES})"""
+    )
+    ctes.append(
+        f"""probed AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, ct.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_sum(list_transform(range(1, 65),
+                        j -> (q.qvec[j] - ct.cvec[j]) * (q.qvec[j] - ct.cvec[j]))), 6),
+                      ct.cell) AS crank
+    FROM ivfq q CROSS JOIN {final_cent} ct
+  ) WHERE crank <= {_IVFPQ_NPROBE}
+)"""
+    )
+    ctes.append(
+        """cand AS (
+  SELECT p.query_id, f.vec_id
+  FROM finaln f JOIN probed p ON f.cell = p.cell AND f.vec_id <> p.query_id
+)"""
+    )
+    ctes.append(
+        """pairs AS (
+  SELECT c.query_id, co.vec_id,
+         CAST(sum(d.d2_micro) AS BIGINT) AS adc_d2_micro
+  FROM cand c JOIN codes co ON co.vec_id = c.vec_id
+       JOIN dtab d ON d.query_id = c.query_id
+                  AND d.m = co.m AND d.cell = co.cell
+  GROUP BY c.query_id, co.vec_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, vec_id AS neighbor_id, adc_d2_micro, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_d2_micro ASC, vec_id) AS INT) AS rank
+  FROM pairs
+) WHERE rank <= {_TOP_K}
+"""
+    )
+
+
 QUERIES = {
     "ann_cosine_top5": QuerySpec(ann_cosine_top5, ANN_BRUTE_SQL),
     "ann_ivf_label_probe": QuerySpec(ann_ivf_label_probe, ANN_IVF_SQL),
@@ -1053,4 +1209,5 @@ QUERIES = {
     "embedding_pca_top1": QuerySpec(embedding_pca_top1, _pca_sql()),
     "ann_ivf_recall": QuerySpec(ann_ivf_recall, _recall_sql()),
     "ann_ivf_multiprobe": QuerySpec(ann_ivf_multiprobe, _multiprobe_sql()),
+    "ann_ivfpq_adc": QuerySpec(ann_ivfpq_adc, _ivfpq_sql()),
 }

@@ -106,3 +106,61 @@ def test_multiprobe_recall_monotone(spark, sf_dir):
     assert any(
         rec[_NPROBES[-1]] > rec[_NPROBES[0]] for rec in by_q.values()
     )
+
+
+def test_ivfpq_structure_and_candidate_discipline(spark, sf_dir):
+    """IVF-PQ: every reported neighbor must come from one of the
+    query's nprobe probed coarse cells (the pruning is real), ranks are
+    1..5 with ascending ADC distance, and the approximate index still
+    finds a usable fraction of the true neighbors."""
+    import numpy as np
+
+    from composable_logs_spark.queries import load
+    from composable_logs_spark.queries.similarity_q import (
+        _IVFPQ_NPROBE,
+        _km_assign,
+        _train_kmeans,
+        ann_ivfpq_adc,
+    )
+    from pyspark.sql import functions as F
+
+    rows = ann_ivfpq_adc(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["adc_d2_micro"] for r in rs]
+        assert dists == sorted(dists)
+
+    # candidate discipline: recompute assignments + probed cells
+    corpus, cents = _train_kmeans(spark, sf_dir)
+    assigned = {
+        r["vec_id"]: r["cell"] for r in _km_assign(corpus, cents).collect()
+    }
+    cvecs = {r["cell"]: np.array(r["cvec"]) for r in cents.collect()}
+    V = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    for q, rs in by_q.items():
+        d = sorted(
+            (round(float(np.sum((V[q] - cv) ** 2)), 6), c)
+            for c, cv in cvecs.items()
+        )
+        probed = {c for _, c in d[:_IVFPQ_NPROBE]}
+        for r in rs:
+            assert assigned[r["neighbor_id"]] in probed, (q, r)
+
+    # quality floor vs exact L2 top-5 (approximate, so modest)
+    recalls = []
+    for q, rs in by_q.items():
+        exact = {
+            i
+            for _, i in sorted(
+                (float(np.sum((V[q] - V[i]) ** 2)), i) for i in V if i != q
+            )[:5]
+        }
+        recalls.append(len(exact & {r["neighbor_id"] for r in rs}) / 5)
+    assert sum(recalls) / len(recalls) >= 0.1
