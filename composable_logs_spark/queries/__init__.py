@@ -63,17 +63,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # round: (1) every query that has never had a driver hash-green row,
 # (2) every query whose semantics or oracle changed this round,
 # (3) fill with the longest-unverified green block. Round 7 window:
-# the 8 queries ADDED this round (exact substring dedup + its cut
+# the 9 queries ADDED this round (exact substring dedup + its cut
 # stats + the composed dedup-then-cut recipe, OOV BPE encode,
 # multi-probe IVF — never driver-checked), the
 # 7 whose code or oracle changed this round (event_id tiebreaks,
 # integer half-step rounding, HLL-golden guard, BPE vocab-join
-# de-broadcast, shared-CTE refactors), then 35 of the 47 queries whose
+# de-broadcast, shared-CTE refactors), then 34 of the 47 queries whose
 # last driver-green row is round 4 — the stalest block — in name order
-# (the remaining 12 rotate in next round).
+# (the remaining 13 rotate in next round).
 _FRONT_WINDOW = [
     # (1) new this round
-    "dedup_exact_substring", "substr_cut_stats", "pipeline_dedup_then_cut",
+    "dedup_exact_substring", "substr_cut_stats", "substr_winnow_stats",
+    "pipeline_dedup_then_cut",
     "bpe_encode_oov", "ann_ivf_multiprobe", "ann_ivfpq_adc", "text_bigram_logprob",
     "dsir_select_topk",
     # (2) changed this round
@@ -94,7 +95,6 @@ _FRONT_WINDOW = [
     "spanlog_logged_values", "spanlog_roots", "spanlog_task_runs",
     "spanlog_task_trends", "spanlog_validation_errors",
     "spanlog_workflow_runs", "text_c4_filters", "text_char_entropy",
-    "text_fingerprint",
 ]
 
 

@@ -400,10 +400,146 @@ def _pipeline_cut_sql() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+# algorithm) — the SAMPLED-anchor scale path for substring dedup: when
+# even one 8-byte row per token position is too much (the exact
+# pipeline above), winnowing keeps only each w-window's minimum k-gram
+# hash, cutting the index ~w/2-fold while GUARANTEEING that any two
+# occurrences of a shared substring of length >= w + k - 1 (= _L here)
+# still share at least one selected fingerprint. This query reports
+# the per-doc selection (density + digest); the guarantee itself is
+# pytest-proven against dup_spans on the planted fixture.
+#
+# Cross-engine determinism: per-window argmin with leftmost tie-break,
+# encoded as ONE integer min — (40-bit hash) * 2^20 + position — so
+# both engines agree bit-for-bit with no struct-min semantics needed.
+# Scale shape: one gram pass, one per-doc window (frame of w rows), one
+# distinct — all partitioned by doc, never corpus-wide.
+_WK = 8                  # winnowing k-gram width
+_WW = _L - _WK + 1       # window size w: guarantee threshold == _L
+_POS_BITS = 1 << 20      # positions per doc bound (1M tokens)
+
+
+def winnow_anchors(docs: DataFrame, k: int = _WK, w: int = _WW) -> DataFrame:
+    """(doc_id, pos, h): the winnowed fingerprint positions per doc."""
+    from pyspark.sql import Window as W
+
+    g = _grams(docs, k).select(
+        "doc_id",
+        "n_tokens",
+        "pos",
+        (F.pmod(F.col("h"), F.lit(1 << 40)) * _POS_BITS + F.col("pos")).alias(
+            "hp"
+        ),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = (
+        g.withColumn("sel_hp", F.min("hp").over(win))
+        # only FULL windows define selections: the last w-1 start
+        # positions see a truncated frame
+        .withColumn(
+            "n_windows", (F.col("n_tokens") - k + 1 - w + 1).cast("long")
+        )
+        .where(F.col("pos") <= F.col("n_windows"))
+        .select("doc_id", "n_tokens", "sel_hp")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("sel_hp") % _POS_BITS).cast("int").alias("pos"),
+        # integer div, NOT /: sel_hp reaches 2^60, past double's 2^53
+        # exact range, so a float division could floor off-by-one
+        F.expr(f"sel_hp div {_POS_BITS}").alias("h"),
+    )
+
+
+def substr_winnow_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc winnowing report: gram count, selected-anchor count,
+    selection density (4dp, integer half-step), and a digest of the
+    selected positions — proves the SELECTION is identical
+    cross-engine, not just its size."""
+    anchors = winnow_anchors(load(spark, sf, "documents"))
+    return (
+        anchors.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_anchors"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("pos")),
+                        lambda p: p.cast("string"),
+                    ),
+                )
+            ).alias("anchor_digest"),
+        )
+        .withColumn(
+            "n_grams", (F.col("n_tokens") - _WK + 1).cast("long")
+        )
+        .withColumn(
+            "density",
+            F.expr(
+                "(n_anchors * 20000 + n_grams) div (n_grams * 2)"
+                " / CAST(10000 AS DOUBLE)"
+            ),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_grams", "n_anchors", "density",
+            "anchor_digest",
+        )
+        .orderBy("doc_id")
+    )
+
+
+WINNOW_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+g AS (
+  SELECT doc_id, len(tok) AS n_tokens, x AS pos,
+         (CAST('0x' || substring(
+            md5(array_to_string(tok[x : x + {_WK} - 1], ' ')), 1, 15)
+            AS BIGINT) % {1 << 40}) * {_POS_BITS} + x AS hp
+  FROM toks, UNNEST(generate_series(1, len(tok) - {_WK} + 1)) AS u(x)
+  WHERE len(tok) >= {_WK}
+),
+sel AS (
+  SELECT DISTINCT doc_id, n_tokens, sel_hp FROM (
+    SELECT doc_id, n_tokens, pos,
+           min(hp) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND {_WW - 1} FOLLOWING)
+             AS sel_hp
+    FROM g
+  )
+  WHERE pos <= n_tokens - {_WK} + 1 - {_WW} + 1
+),
+a AS (
+  SELECT doc_id, n_tokens,
+         CAST(sel_hp % {_POS_BITS} AS INT) AS pos
+  FROM sel
+)
+SELECT doc_id,
+       CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(max(n_tokens) - {_WK} + 1 AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       (count(*) * 20000 + (max(n_tokens) - {_WK} + 1))
+         // ((max(n_tokens) - {_WK} + 1) * 2) / 10000.0 AS density,
+       md5(array_to_string(list(CAST(pos AS VARCHAR) ORDER BY pos), ','))
+         AS anchor_digest
+FROM a
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_substring": QuerySpec(dedup_exact_substring, SUBSTR_SQL),
     "substr_cut_stats": QuerySpec(substr_cut_stats, CUT_STATS_SQL),
     "pipeline_dedup_then_cut": QuerySpec(
         pipeline_dedup_then_cut, _pipeline_cut_sql()
     ),
+    "substr_winnow_stats": QuerySpec(substr_winnow_stats, WINNOW_SQL),
 }

@@ -4,7 +4,7 @@ right. ``all_queries`` pins it explicitly by name; this test asserts the
 pin so an innocent module reorder can't silently change which queries
 the driver hash-checks.
 
-Round-7 window (see ``_FRONT_WINDOW``): the 8 queries ADDED this
+Round-7 window (see ``_FRONT_WINDOW``): the 9 queries ADDED this
 round (exact substring dedup, OOV BPE encode, multi-probe IVF), the 7
 whose code or oracle changed this round, then 40 of the 47 queries
 whose last driver-green row is round 4 — the stalest block.
@@ -29,7 +29,8 @@ def test_window_is_exactly_fifty_unique_names():
 
 def test_never_driver_checked_queries_lead_the_window():
     never_checked = {
-        "dedup_exact_substring", "substr_cut_stats", "pipeline_dedup_then_cut",
+        "dedup_exact_substring", "substr_cut_stats", "substr_winnow_stats",
+        "pipeline_dedup_then_cut",
         "bpe_encode_oov", "ann_ivf_multiprobe", "ann_ivfpq_adc", "text_bigram_logprob",
         "dsir_select_topk",
     }

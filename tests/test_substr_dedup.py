@@ -267,3 +267,56 @@ def test_dsir_prefers_target_like_docs(spark, sf_dir):
     # differ in marker-token frequency), so demand clear ENRICHMENT over
     # the base rate rather than near-pure selection
     assert sel_share >= 1.25 * base_share, (sel_share, base_share)
+
+
+def test_winnowing_guarantee_on_planted_spans(spark):
+    """The winnowing theorem, empirically: every pair of occurrences of
+    a shared substring of length >= w + k - 1 (= _L) must share at
+    least one selected fingerprint HASH. Checked on the planted fixture
+    against the exact span finder; plus the ~2/(w+1) selection density
+    and determinism of the selection."""
+    from composable_logs_spark.queries.substr_q import (
+        _WW,
+        dup_spans,
+        winnow_anchors,
+    )
+
+    docs = _mk_docs(spark)
+    anchors = {}
+    for r in winnow_anchors(docs).collect():
+        anchors.setdefault(r["doc_id"], []).append((r["pos"], r["h"]))
+
+    spans = {}
+    for r in dup_spans(docs).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    # cross-doc shared spans: (0,1) share shared_a, (0,3) share
+    # shared_c; within-doc: doc 2 repeats shared_b
+    def hashes_in(doc, lo, hi):
+        return {
+            h for p, h in anchors.get(doc, []) if lo <= p and p <= hi
+        }
+
+    assert hashes_in(0, 6, 40) & hashes_in(1, 12, 46)        # shared_a
+    assert hashes_in(0, 49, 73) & hashes_in(3, 4, 28)        # shared_c
+    d2 = spans[2]
+    assert hashes_in(2, *d2[0]) & hashes_in(2, *d2[1])       # self-repeat
+
+    # density: winnowing selects ~2/(w+1) of gram positions
+    for d, a in anchors.items():
+        n_tokens = len(
+            dict((r["doc_id"], r["text"]) for r in docs.collect())[d].split()
+        )
+        n_windows = n_tokens - 8 + 1 - _WW + 1
+        if n_windows >= 5:
+            assert len(a) <= n_windows  # can't exceed window count
+            assert len(a) >= max(1, n_windows // (_WW + 1))
+
+    # deterministic across recomputation
+    again = {}
+    for r in winnow_anchors(docs).collect():
+        again.setdefault(r["doc_id"], []).append((r["pos"], r["h"]))
+    assert {d: sorted(v) for d, v in anchors.items()} == {
+        d: sorted(v) for d, v in again.items()
+    }
