@@ -30,10 +30,17 @@ volume is one 8-byte hash per corpus token position; the only window
 runs per (doc_id) over that doc's duplicated positions — bounded by
 document length, never corpus length.
 
-Hash: md5 truncated to 60 bits, identical bytes in Spark and DuckDB, so
-the oracle reproduces the pipeline value-for-value at every scale
-factor. (At 60 bits a false collision needs ~2^30 DISTINCT grams for a
-50% birthday chance; a collision would merely flag one extra window.)
+Hash: each token is md5-hashed ONCE to a 60-bit integer; every L-token
+window key is then a pair of Horner-rule polynomial combinations of the
+per-token hashes mod two ~2^30 primes, packed into one < 2^60 integer.
+Exact 64-bit integer arithmetic at every step, so Spark and DuckDB
+agree bit-for-bit and the oracle reproduces the pipeline
+value-for-value at every scale factor. (At ~60 effective bits a false
+collision needs ~2^30 DISTINCT grams for a 50% birthday chance; a
+collision would merely flag one extra window.) Unlike the v1 scheme
+(md5 over an `array_join` of each window — ~L× the corpus in transient
+strings through the hash), the per-position work is L integer
+multiply-adds over an int sequence: no window string is ever built.
 
 ``cut_dup_spans`` is the removal half: re-emit each document with every
 duplicated-span token dropped (Lee et al. cut ALL occurrences, noting
@@ -51,41 +58,109 @@ from . import QuerySpec, load
 _L = 20  # minimum duplicated-span length in tokens (paper uses 50 BPE
 # tokens at web scale; testdata documents average ~56 words)
 
+# Polynomial window-hash constants. Two independent ladders mod ~2^30
+# primes give ~60 effective bits; every intermediate stays under 2^61
+# (Horner step: acc*B < 2^30 * 2^20 = 2^50, plus a 60-bit token hash),
+# so the arithmetic is exact signed-64 in BOTH engines — no ANSI
+# overflow, no wrap-around semantics to match.
+_P1 = 1073741789  # largest prime < 2^30
+_P2 = 1073741783
+_B1 = 1000003
+_B2 = 999983
+
+
+def _pow_list(b: int, p: int, l: int) -> list[int]:
+    """pw[j] = b^(l-1-j) mod p for j = 0..l-1 — the weight of the j-th
+    token in the window under the Horner fold."""
+    return [pow(b, l - 1 - j, p) for j in range(l)]
+
 
 def _grams(docs: DataFrame, l: int = _L) -> DataFrame:
-    """(doc_id, n_tokens, pos, h): 60-bit hash of the L-token window at
-    every start position. Docs shorter than L emit nothing (they cannot
-    contain a duplicated span)."""
+    """(doc_id, n_tokens, pos, h): 60-bit polynomial hash of the
+    L-token window at every start position, from ONE md5 per token.
+
+    Each token hashes once to a 60-bit integer (`th`); the window key
+    at position i is Horner-rule fold of th[i..i+L-1] mod _P1 and _P2,
+    packed as h1 * _P2 + h2 < 2^60. Per position this is L integer
+    multiply-adds over `sequence(i, i+L-1)` — no window string, no
+    slice copy, no per-window md5 (the v1 scheme md5-ed an
+    `array_join` of every window: ~L× the corpus through the hash).
+    Docs shorter than L emit nothing (they cannot contain a
+    duplicated span)."""
+    horner = [
+        f"aggregate(sequence(i, i + {l} - 1), cast(0 as bigint),"
+        f" (a, j) -> (a * {b} + element_at(th, j)) % {p})"
+        for b, p in ((_B1, _P1), (_B2, _P2))
+    ]
     return (
         docs.select("doc_id", F.split("text", " ").alias("tok"))
         .where(F.size("tok") >= l)
         .select(
             "doc_id",
             F.size("tok").alias("n_tokens"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(tok) - {l} + 1),"
-                    f" i -> struct(i AS pos,"
-                    f" array_join(slice(tok, i, {l}), ' ') AS gram))"
-                )
-            ).alias("g"),
+            F.expr(
+                "transform(tok, t ->"
+                " cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+            ).alias("th"),
         )
         .select(
             "doc_id",
             "n_tokens",
-            F.col("g.pos").alias("pos"),
-            F.conv(F.substring(F.md5("g.gram"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("h"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, n_tokens - {l} + 1),"
+                    f" i -> struct(i AS pos,"
+                    f" {horner[0]} * {_P2} + {horner[1]} AS h))"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id", "n_tokens", F.col("g.pos").alias("pos"),
+            F.col("g.h").alias("h"),
         )
     )
 
 
+def _gram_cte_sql(l: int) -> str:
+    """The DuckDB replica of ``_grams`` as a `g` CTE body over a `toks`
+    CTE of (doc_id, tok). Same math, different fold shape: DuckDB has
+    no seeded fold, so the Horner result is written as the equivalent
+    power-weighted sum sum_j (th[x+j-1] mod p) * b^(l-j) mod p — term
+    < 2^60, 20-term sum < 2^35, exact either way."""
+    ladders = []
+    for b, p in ((_B1, _P1), (_B2, _P2)):
+        pw = _pow_list(b, p, l)
+        ladders.append(
+            f"CAST(list_sum(list_transform(generate_series(1, {l}),"
+            f" j -> ((th[x + j - 1] % {p}) * ({pw})[j]) % {p})) % {p}"
+            f" AS BIGINT)"
+        )
+    return f"""
+  SELECT doc_id, len(tok) AS n_tokens, x AS pos,
+         {ladders[0]} * {_P2}
+         + {ladders[1]} AS h
+  FROM (SELECT doc_id, tok,
+               list_transform(tok, t ->
+                 CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS th
+        FROM toks) t,
+       UNNEST(generate_series(1, len(tok) - {l} + 1)) AS u(x)
+  WHERE len(tok) >= {l}
+"""
+
+
 def merge_windows(dup_positions: DataFrame, l: int = _L) -> DataFrame:
-    """Gaps-and-islands merge of duplicated L-windows into maximal
-    spans. Input: (doc_id, n_tokens, pos) start positions; output:
+    """Gaps-and-islands merge of duplicated L-windows into spans.
+    Input: (doc_id, n_tokens, pos) start positions; output:
     (doc_id, n_tokens, span_start, span_end), 1-based inclusive. The
-    window runs per doc over ONLY that doc's duplicated positions."""
+    window runs per doc over ONLY that doc's duplicated positions.
+
+    Merge rule: windows that overlap OR touch (start gap <= L) fuse
+    into one reported span. Overlap-merge alone yields exactly the
+    maximal duplicated spans; the additional touching-merge also fuses
+    two ADJACENT maximal spans into one report — identical token set
+    cut either way, identical output cross-engine (the oracle merges
+    the same way), but a reported span can cover two adjacent maximal
+    duplicates rather than one."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("doc_id").orderBy("pos")
@@ -126,12 +201,13 @@ def cut_dup_spans(docs: DataFrame, l: int = _L) -> DataFrame:
     )
     return (
         docs.join(spans, "doc_id", "left")
+        .withColumn("tok", F.split("text", " "))
         .withColumn(
             "clean_text",
             F.expr(
                 "array_join(transform(filter("
-                " transform(sequence(1, size(split(text, ' '))),"
-                "   i -> struct(i AS i, element_at(split(text, ' '), i) AS t)),"
+                " transform(sequence(1, size(tok)),"
+                "   i -> struct(i AS i, element_at(tok, i) AS t)),"
                 " s -> NOT exists(coalesce(spans, array()),"
                 "   sp -> s.i >= sp.span_start AND s.i <= sp.span_end)),"
                 " s -> s.t), ' ')"
@@ -195,14 +271,7 @@ SUBSTR_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS tok FROM documents
 ),
-g AS (
-  SELECT doc_id, len(tok) AS n_tokens, x AS pos,
-         CAST('0x' || substring(
-           md5(array_to_string(tok[x : x + {_L} - 1], ' ')), 1, 15)
-           AS BIGINT) AS h
-  FROM toks, UNNEST(generate_series(1, len(tok) - {_L} + 1)) AS u(x)
-  WHERE len(tok) >= {_L}
-),
+g AS ({_gram_cte_sql(_L)}),
 freq AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
 dup AS (SELECT doc_id, n_tokens, pos FROM g JOIN freq USING (h)),
 isl AS (
@@ -289,14 +358,7 @@ WITH src AS ({doc_source}),
 toks AS (
   SELECT doc_id, string_split(text, ' ') AS tok FROM src
 ),
-g AS (
-  SELECT doc_id, len(tok) AS n_tokens, x AS pos,
-         CAST('0x' || substring(
-           md5(array_to_string(tok[x : x + {_L} - 1], ' ')), 1, 15)
-           AS BIGINT) AS h
-  FROM toks, UNNEST(generate_series(1, len(tok) - {_L} + 1)) AS u(x)
-  WHERE len(tok) >= {_L}
-),
+g AS ({_gram_cte_sql(_L)}),
 freq AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
 dup AS (SELECT doc_id, n_tokens, pos FROM g JOIN freq USING (h)),
 isl AS (
@@ -498,13 +560,11 @@ WINNOW_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS tok FROM documents
 ),
+g0 AS ({_gram_cte_sql(_WK)}),
 g AS (
-  SELECT doc_id, len(tok) AS n_tokens, x AS pos,
-         (CAST('0x' || substring(
-            md5(array_to_string(tok[x : x + {_WK} - 1], ' ')), 1, 15)
-            AS BIGINT) % {1 << 40}) * {_POS_BITS} + x AS hp
-  FROM toks, UNNEST(generate_series(1, len(tok) - {_WK} + 1)) AS u(x)
-  WHERE len(tok) >= {_WK}
+  SELECT doc_id, n_tokens, pos,
+         (h % {1 << 40}) * {_POS_BITS} + pos AS hp
+  FROM g0
 ),
 sel AS (
   SELECT DISTINCT doc_id, n_tokens, sel_hp FROM (
