@@ -66,6 +66,8 @@ def _doc_buckets(d: DataFrame) -> DataFrame:
 
 
 def dsir_select_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # cached only while the bucket model is built, released below —
+    # a corpus-sized cache must not linger for the rest of the session
     b = _doc_buckets(load(spark, sf, "documents")).cache()
     tgt = b.where(F.col("lang") == _TARGET_LANG)
     # bucket counts for target and raw; totals as 1-row broadcasts
@@ -91,6 +93,13 @@ def dsir_select_topk(spark: SparkSession, sf: str) -> DataFrame:
             .alias("lw_micro"),
         )
     )
+    # pin the tiny (<= B rows) model and drop the corpus-sized bucket
+    # cache: the final scoring pass below recomputes the buckets once
+    # from source instead of holding one row per corpus bigram in
+    # executor memory for the remainder of the session
+    model = model.cache()
+    model.count()
+    b.unpersist()
     scored = (
         b.join(F.broadcast(model), "bucket")
         .groupBy("doc_id")

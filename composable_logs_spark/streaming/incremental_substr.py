@@ -1,30 +1,49 @@
 """Incremental EXACT-substring dedup: stream new documents against a
-persisted L-gram index — the always-on ingest side of the batch
-``queries.substr_q`` operator, mirroring ``incremental_dedup`` (minhash)
-for the verbatim-span modality.
+persisted WINNOWED anchor index — the always-on ingest side of the
+batch ``queries.substr_q`` operator, mirroring ``incremental_dedup``
+(minhash) for the verbatim-span modality.
 
 At 100 TB you do not re-run the corpus-wide L-gram frequency pass per
-crawl; you keep the corpus' gram hashes as an index table and check
-each arriving batch against it:
+crawl, and you cannot afford an index row per token position either
+(8 bytes x every token position rivals the compressed corpus). The
+index therefore stores only the winnowing-selected anchors
+(``substr_q.winnow_anchors``: ~2/(w+1) of k-gram positions, w+k-1 = L)
+as (corpus_doc_id, h) rows, and each micro-batch runs a two-phase
+probe:
 
-- the index is 8-byte gram hashes only (one column), not text — bytes
-  per token position, mergeable by plain append;
-- each micro-batch grams the NEW docs with the exact same
-  ``substr_q._grams`` code the batch query uses (work proportional to
-  the batch), so stream and batch span verdicts agree;
-- a position in a new doc is duplicated iff its gram is in the index OR
-  occurs >= 2 times within the batch itself (new-vs-old and
-  new-vs-new); the island merge is the shared
-  ``substr_q.merge_windows``;
-- with ``grow_index`` the batch's grams append to the index, so later
-  arrivals match earlier STREAM arrivals too, not just the initial
-  corpus.
+1. PRUNE — gram the incoming batch at full k-gram density (work
+   proportional to the batch) and equi-join against the anchor index.
+   The winnowing guarantee (substr_q, pytest-proven): any verbatim
+   span of length >= w + k - 1 = L shared with an indexed doc contains
+   a full winnow window in that doc, hence >= 1 selected anchor whose
+   k-gram the batch doc also contains — so the owning corpus doc
+   ALWAYS lands in the candidate set. Misses are impossible for
+   spans >= L; the phase only prunes.
+2. VERIFY — fetch just the candidate corpus docs' text and run the
+   exact L-gram comparison (the shared ``substr_q`` code) of the batch
+   against candidates + itself. Output spans are therefore EXACTLY the
+   spans the batch operator reports for the new docs against the
+   cumulative corpus — anchor sparsity affects cost, never results.
 
-Directionality note (inherent to ingest-time dedup, same as the minhash
-variant): only NEW docs are flagged; an old doc does not retroactively
-gain spans when a future duplicate of it arrives. For which-pairs-exist
-symmetry run the batch operator; this path answers "does this incoming
-doc duplicate anything we already have" at batch-sized cost.
+Within-batch duplication (new-vs-new) is caught by the batch's own
+L-gram frequencies; the island merge is the shared
+``substr_q.merge_windows``.
+
+Replay idempotence (foreachBatch is at-least-once): every write —
+flagged spans, grown anchors, grown corpus text — goes to a
+``batch_id=N`` partition directory with mode("overwrite"), so a
+replayed batch overwrites its own partition instead of appending
+twice; and the probe reads index/corpus with ``batch_id != N``, so a
+replayed batch can never match ITSELF through state its first attempt
+already persisted. The initial corpus state lives at ``batch_id=-1``
+(see ``init_substr_state``).
+
+Directionality note (inherent to ingest-time dedup, same as the
+minhash variant): only NEW docs are flagged; an old doc does not
+retroactively gain spans when a future duplicate of it arrives. For
+which-pairs-exist symmetry run the batch operator; this path answers
+"does this incoming doc duplicate anything we already have" at
+batch-plus-candidates cost.
 """
 
 from __future__ import annotations
@@ -32,39 +51,119 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..queries.substr_q import _L, _grams, merge_windows
+from ..queries.substr_q import _L, _WK, _WW, _grams, merge_windows, winnow_anchors
 
 _DOC_SCHEMA = "doc_id long, text string"
 
 
-def build_gram_index(docs: DataFrame, l: int = _L) -> DataFrame:
-    """Distinct gram hashes of the existing corpus. Callers persist
-    this; every micro-batch equi-joins against it."""
-    return _grams(docs, l).select("h").distinct()
+def build_anchor_index(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): winnowed k-gram anchors of the existing corpus —
+    ~2/(w+1) of the full gram density. Callers persist this; every
+    micro-batch equi-joins its full-density k-grams against it."""
+    return winnow_anchors(docs).select("doc_id", "h").distinct()
 
 
 def batch_dup_spans_against_index(
-    batch_docs: DataFrame, index: DataFrame, l: int = _L
+    batch_docs: DataFrame,
+    index: DataFrame,
+    corpus_docs: DataFrame,
+    l: int = _L,
 ) -> DataFrame:
-    """Duplicated spans in ``batch_docs``: positions whose gram is in
-    the index (new-vs-corpus) or repeats within the batch (new-vs-new).
+    """Exact duplicated spans (>= l tokens) in ``batch_docs`` against
+    the indexed corpus and the batch itself.
+
+    ``index`` is (doc_id, h) winnowed anchors over ``corpus_docs``;
+    ``corpus_docs`` is (doc_id, text) — only CANDIDATE rows (docs with
+    an anchor hit) are ever read in full. Exact for l >= w + k - 1
+    (= the module default); below that the winnowing guarantee does
+    not hold and the batch operator must be used instead.
+
     All joins are equi-joins on the 8-byte hash; a small batch against
-    a large index plans as a broadcast of the batch side under AQE."""
-    g = _grams(batch_docs, l)
-    batch_freq = g.groupBy("h").agg(F.count("*").alias("cnt"))
-    dup_h = (
-        batch_freq.where(F.col("cnt") >= 2)
-        .select("h")
-        .unionByName(index.select("h"))
+    a large index plans the batch side as the build side under AQE.
+    """
+    assert l >= _WK + _WW - 1, "anchor index only guarantees spans >= w+k-1"
+    # phase 1: full-density k-grams of the batch vs the anchor index.
+    # winnow_anchors stores the 40-bit reduced hash (h mod 2^40), so
+    # reduce the probe side identically; a 40-bit false hit merely adds
+    # one candidate doc to the verify phase, never a wrong span.
+    cand_ids = (
+        _grams(batch_docs, _WK)
+        .select(F.pmod(F.col("h"), F.lit(1 << 40)).alias("h"))
+        .join(index.select(F.col("doc_id").alias("cand_id"), "h"), "h")
+        .select(F.col("cand_id").alias("doc_id"))
         .distinct()
     )
-    dup = g.join(dup_h, "h").select("doc_id", "n_tokens", "pos")
+    cand = corpus_docs.join(cand_ids, "doc_id").select("doc_id", "text")
+    # phase 2: exact L-gram verify against candidates + the batch itself
+    g = _grams(batch_docs, l)
+    corpus_h = _grams(cand, l).select("h").distinct()
+    batch_dup_h = (
+        g.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("h")
+    )
+    dup = (
+        g.join(batch_dup_h.unionByName(corpus_h).distinct(), "h")
+        .select("doc_id", "n_tokens", "pos")
+    )
     return merge_windows(dup, l)
+
+
+def init_substr_state(
+    corpus: DataFrame, corpus_dir: str, index_dir: str
+) -> None:
+    """Write the initial corpus text + anchor index under the
+    ``batch_id=-1`` partition both stream-state dirs use."""
+    corpus.select("doc_id", "text").write.mode("overwrite").parquet(
+        f"{corpus_dir}/batch_id=-1"
+    )
+    build_anchor_index(corpus).write.mode("overwrite").parquet(
+        f"{index_dir}/batch_id=-1"
+    )
+
+
+def make_fold(
+    spark: SparkSession,
+    corpus_dir: str,
+    index_dir: str,
+    spans_out_dir: str,
+    l: int = _L,
+    grow_index: bool = True,
+):
+    """The foreachBatch body, exposed so replay behavior is directly
+    testable: calling fold(batch, N) twice must be a no-op the second
+    time (same outputs, no self-matching)."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        not_self = F.col("batch_id") != batch_id
+        index = (
+            spark.read.parquet(index_dir).where(not_self).select("doc_id", "h")
+        )
+        corpus = (
+            spark.read.parquet(corpus_dir)
+            .where(not_self)
+            .select("doc_id", "text")
+        )
+        spans = batch_dup_spans_against_index(batch_df, index, corpus, l)
+        spans.write.mode("overwrite").parquet(
+            f"{spans_out_dir}/batch_id={batch_id}"
+        )
+        if grow_index:
+            build_anchor_index(batch_df).write.mode("overwrite").parquet(
+                f"{index_dir}/batch_id={batch_id}"
+            )
+            batch_df.select("doc_id", "text").write.mode("overwrite").parquet(
+                f"{corpus_dir}/batch_id={batch_id}"
+            )
+
+    return fold
 
 
 def stream_substr_against_index(
     spark: SparkSession,
     docs_dir: str,
+    corpus_dir: str,
     index_dir: str,
     spans_out_dir: str,
     ckpt: str,
@@ -72,21 +171,12 @@ def stream_substr_against_index(
     grow_index: bool = True,
 ):
     """File-source stream of (doc_id, text) checked per micro-batch;
-    flagged spans append to ``spans_out_dir``; with ``grow_index`` the
-    batch's distinct grams append to ``index_dir`` AFTER matching (a
-    doc never matches itself through the index)."""
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        index = spark.read.parquet(index_dir).select("h")
-        spans = batch_dup_spans_against_index(batch_df, index, l)
-        spans.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(spans_out_dir)
-        if grow_index:
-            _grams(batch_df, l).select("h").distinct().write.mode(
-                "append"
-            ).parquet(index_dir)
-
+    flagged spans land under ``spans_out_dir/batch_id=N``; with
+    ``grow_index`` the batch's winnowed anchors and text join the
+    state dirs AFTER matching (a doc never matches itself: the probe
+    excludes the current batch_id partition, which also makes
+    at-least-once replays idempotent)."""
+    fold = make_fold(spark, corpus_dir, index_dir, spans_out_dir, l, grow_index)
     stream = spark.readStream.schema(_DOC_SCHEMA).parquet(docs_dir)
     return (
         stream.writeStream.foreachBatch(fold)

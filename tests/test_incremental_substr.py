@@ -1,13 +1,15 @@
 """Incremental exact-substring dedup (streaming/incremental_substr):
-new docs matched against a persisted gram index, batch==stream span
-agreement, growing-index semantics."""
+new docs matched against a persisted WINNOWED anchor index with exact
+candidate-verify, batch==stream span agreement, growing-index
+semantics, anchor-density bound, and at-least-once replay idempotence.
+"""
 
-from pyspark.sql import functions as F
-
-from composable_logs_spark.queries.substr_q import _L, dup_spans
+from composable_logs_spark.queries.substr_q import _L, _WW, _grams, dup_spans
 from composable_logs_spark.streaming.incremental_substr import (
     batch_dup_spans_against_index,
-    build_gram_index,
+    build_anchor_index,
+    init_substr_state,
+    make_fold,
     stream_substr_against_index,
 )
 
@@ -33,17 +35,28 @@ def _corpus(spark):
     ), shared
 
 
-def test_new_doc_matches_corpus_spans(spark):
+def _empty(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_new_doc_matches_corpus_spans_exactly(spark):
+    """Despite the anchor index holding only ~2/(w+1) of gram
+    positions, the two-phase probe (anchor prune -> exact L-gram
+    verify on candidate docs) reports EXACTLY the batch operator's
+    spans."""
     corpus, shared = _corpus(spark)
-    index = build_gram_index(corpus).cache()
+    index = build_anchor_index(corpus).cache()
     new = spark.createDataFrame(
         [
-            (10, " ".join(["n0"] * 0) + shared + " " + "nx ny nz"),  # dup vs corpus
-            (11, "totally unique words only here " + " ".join(f"u{i}" for i in range(30))),
+            (10, shared + " nx ny nz"),  # dup vs corpus
+            (11, "totally unique words only here "
+                 + " ".join(f"u{i}" for i in range(30))),
         ],
         "doc_id long, text string",
     )
-    got = _span_set(batch_dup_spans_against_index(new, index).collect())
+    got = _span_set(
+        batch_dup_spans_against_index(new, index, corpus).collect()
+    )
     assert 10 in got and 11 not in got
     ((s, e),) = got[10]
     assert s == 1 and e == 30  # the whole shared run, exactly
@@ -54,18 +67,34 @@ def test_new_doc_matches_corpus_spans(spark):
     assert got[10] == full[10]
 
 
+def test_anchor_index_density_bound(spark):
+    """The index must actually be the sampled path: anchor rows well
+    under full k-gram density — the point of winnowing (~2/(w+1)),
+    with the hard bound n_windows (one anchor per window)."""
+    corpus, _ = _corpus(spark)
+    big = spark.createDataFrame(
+        [(i, " ".join(f"d{i}_{j}" for j in range(200))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    n_anchors = build_anchor_index(big).count()
+    n_grams = _grams(big, 8).count()
+    assert n_anchors < n_grams / 3  # well under full density
+    assert n_anchors >= 5  # and not degenerate
+
+
 def test_within_batch_duplicates_caught(spark):
     """Two docs arriving in the SAME batch sharing a span: flagged even
     though the index has never seen either."""
-    empty_index = build_gram_index(
-        spark.createDataFrame([], "doc_id long, text string")
-    )
     shared = " ".join(f"wb{i}" for i in range(25))
     batch = spark.createDataFrame(
         [(20, shared + " tail0 tail1"), (21, "head0 head1 " + shared)],
         "doc_id long, text string",
     )
-    got = _span_set(batch_dup_spans_against_index(batch, empty_index).collect())
+    got = _span_set(
+        batch_dup_spans_against_index(
+            batch, build_anchor_index(_empty(spark)), _empty(spark)
+        ).collect()
+    )
     assert set(got) == {20, 21}
     assert got[20] == {(1, 25)} and got[21] == {(3, 27)}
 
@@ -74,8 +103,9 @@ def test_streaming_growing_index(spark, tmp_path):
     """Batch 2's doc must match batch 1's doc through the GROWN index
     (stream-internal duplication across micro-batches)."""
     corpus, shared = _corpus(spark)
+    corpus_dir = str(tmp_path / "corpus")
     index_dir = str(tmp_path / "gidx")
-    build_gram_index(corpus).write.parquet(index_dir)
+    init_substr_state(corpus, corpus_dir, index_dir)
 
     docs_dir = str(tmp_path / "docs")
     b1 = " ".join(f"s1_{i}" for i in range(28))  # unique vs corpus
@@ -85,7 +115,8 @@ def test_streaming_growing_index(spark, tmp_path):
 
     out_dir = str(tmp_path / "spans_out")
     q = stream_substr_against_index(
-        spark, docs_dir, index_dir, out_dir, str(tmp_path / "ckpt")
+        spark, docs_dir, corpus_dir, index_dir, out_dir,
+        str(tmp_path / "ckpt"),
     )
     try:
         q.processAllAvailable()
@@ -111,12 +142,52 @@ def test_streaming_growing_index(spark, tmp_path):
     assert set(range(29, 59)) <= covered     # shared via corpus index
 
 
-def test_empty_index_batch_unique_docs_flag_nothing(spark):
-    empty_index = build_gram_index(
-        spark.createDataFrame([], "doc_id long, text string")
+def test_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch (same
+    batch_id) must neither duplicate output rows nor let the batch
+    match ITSELF through the state its first attempt persisted."""
+    corpus, shared = _corpus(spark)
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "gidx")
+    out_dir = str(tmp_path / "spans_out")
+    init_substr_state(corpus, corpus_dir, index_dir)
+    fold = make_fold(spark, corpus_dir, index_dir, out_dir)
+
+    batch = spark.createDataFrame(
+        [
+            (50, shared + " r0 r1"),  # dup vs corpus
+            (51, " ".join(f"rp{i}" for i in range(40))),  # unique
+        ],
+        "doc_id long, text string",
     )
+    fold(batch, 0)
+    first = _span_set(spark.read.parquet(out_dir).collect())
+    # crash-after-write, replay the same batch
+    fold(batch, 0)
+    second = _span_set(spark.read.parquet(out_dir).collect())
+    assert first == second  # no appended duplicates
+    # the unique doc is still NOT flagged: its own grams, already in
+    # the index from attempt 1, were excluded by the batch_id filter
+    assert 51 not in second
+    assert 50 in second and second[50] == {(1, 30)}
+    # a later batch still sees batch 0's state (growth unaffected)
+    later = spark.createDataFrame(
+        [(60, " ".join(f"rp{i}" for i in range(40)) + " z0")],
+        "doc_id long, text string",
+    )
+    fold(later, 1)
+    final = _span_set(spark.read.parquet(out_dir).collect())
+    assert 60 in final  # matched doc 51 via the grown index
+
+
+def test_empty_index_batch_unique_docs_flag_nothing(spark):
     batch = spark.createDataFrame(
         [(40, " ".join(f"q{i}" for i in range(_L + 10)))],
         "doc_id long, text string",
     )
-    assert batch_dup_spans_against_index(batch, empty_index).count() == 0
+    assert (
+        batch_dup_spans_against_index(
+            batch, build_anchor_index(_empty(spark)), _empty(spark)
+        ).count()
+        == 0
+    )

@@ -4,10 +4,13 @@ right. ``all_queries`` pins it explicitly by name; this test asserts the
 pin so an innocent module reorder can't silently change which queries
 the driver hash-checks.
 
-Round-7 window (see ``_FRONT_WINDOW``): the 9 queries ADDED this
-round (exact substring dedup, OOV BPE encode, multi-probe IVF), the 7
-whose code or oracle changed this round, then 40 of the 47 queries
-whose last driver-green row is round 4 — the stalest block.
+Round-8 window (see ``_FRONT_WINDOW``): the queries ADDED this round
+(SemDeDup, BM25, residual IVF-PQ), the queries whose code or oracle
+changed this round (the substring family's new polynomial gram hash),
+then the 13 queries whose last driver-green row is round 4 — the
+final stale block, completing the rotation so every registry name has
+a driver row from round-5-or-later code — and the stalest-green
+filler block.
 """
 
 from composable_logs_spark.queries import _FRONT_WINDOW, all_queries
