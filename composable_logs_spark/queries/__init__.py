@@ -133,6 +133,7 @@ def all_queries() -> dict[str, QuerySpec]:
         drift_q,
         substr_q,
         dsir_q,
+        semdedup_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -170,6 +171,7 @@ def all_queries() -> dict[str, QuerySpec]:
         drift_q,
         substr_q,
         dsir_q,
+        semdedup_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]

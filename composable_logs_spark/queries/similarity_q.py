@@ -232,23 +232,35 @@ def ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return _topk_two_phase(scored, _TOP_K, extra_cols=["cell"])
 
 
-def _train_kmeans(spark: SparkSession, sf: str):
-    """Shared IVF training: unrolled Lloyd loop -> (corpus, centroids)."""
-    corpus = load(spark, sf, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("vec")
-    )
+def _train_kmeans_on(corpus: DataFrame) -> DataFrame:
+    """Unrolled deterministic Lloyd loop over any (vec_id, vec) corpus
+    (init: the _KM_K lowest vec_ids) -> final centroids."""
     cents = corpus.where(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("vec").alias("cvec")
     )
     for _ in range(_KM_ITERS):
         cents = _km_recompute(_km_assign(corpus, cents))
-    return corpus, cents
+    return cents
 
 
-def _km_cte_chain() -> tuple[list[str], str]:
+def _train_kmeans(spark: SparkSession, sf: str):
+    """Shared IVF training: unrolled Lloyd loop -> (corpus, centroids)."""
+    corpus = load(spark, sf, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    return corpus, _train_kmeans_on(corpus)
+
+
+_KM_CORPUS_SQL = (
+    "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings"
+)
+
+
+def _km_cte_chain(corpus_sql: str = _KM_CORPUS_SQL) -> tuple[list[str], str]:
     """The unrolled-Lloyd CTE chain through ``finaln`` (assigned +
     normed corpus); returns (ctes, name of the final centroid CTE) so
-    both the k-means probe and the multi-probe query share it."""
+    the k-means probe, the multi-probe query, and SemDeDup (which
+    trains over an AUGMENTED corpus, hence the parameter) share it."""
 
     def assign(cent_cte: str, src: str) -> str:
         return f"""(
@@ -274,7 +286,7 @@ def _km_cte_chain() -> tuple[list[str], str]:
 )"""
 
     ctes = [
-        "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)",
+        f"corpus AS ({corpus_sql})",
         f"cent0 AS (SELECT CAST(vec_id AS INT) AS cell, vec AS cvec FROM corpus WHERE vec_id < {_KM_K})",
     ]
     prev_cent = "cent0"
