@@ -134,6 +134,7 @@ def all_queries() -> dict[str, QuerySpec]:
         substr_q,
         dsir_q,
         semdedup_q,
+        bm25_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -172,6 +173,7 @@ def all_queries() -> dict[str, QuerySpec]:
         substr_q,
         dsir_q,
         semdedup_q,
+        bm25_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
