@@ -1162,6 +1162,291 @@ def ann_ivfpq_adc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Residual-encoded IVF-PQ with PER-CELL codebooks — the accuracy-
+# critical variant of the production index (FAISS IndexIVFPQ's
+# by_residual encoding, taken one step further with a codebook per
+# coarse cell): PQ codes quantize r = vec - coarse_centroid instead of
+# the raw vector. Residuals have far smaller per-cell variance than raw
+# vectors, and a per-cell codebook adapts to the local distribution, so
+# the same code budget buys materially lower quantization error.
+# Query-time ADC uses the identity ||q - (c + r_hat)||^2 =
+# ||(q - c) - r_hat||^2: one distance table PER PROBED CELL against
+# that cell's codebook (still tiny: nprobe x M x K rows per query,
+# broadcast). Plan shape is the raw-coded ``ann_ivfpq_adc`` with
+# (kcell) added to every PQ key — candidate restriction still happens
+# BEFORE the ADC join.
+
+
+def _rpq_assign(subvecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """_pq_assign with the coarse cell in the key: nearest codeword of
+    the vector's OWN cell's codebook per (vec_id, kcell, m)."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("svec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        subvecs.join(F.broadcast(cents), ["kcell", "m"])
+        .withColumn("dist_r", F.round(d2, 6))
+        .groupBy("vec_id", "kcell", "m")
+        .agg(F.min(F.struct("dist_r", "cell")).alias("_a"), F.first("svec").alias("svec"))
+        .select("vec_id", "kcell", "m", F.col("_a.cell").alias("cell"), "svec")
+    )
+
+
+def _rpq_recompute(assigned: DataFrame) -> DataFrame:
+    per_dim = (
+        assigned.select("kcell", "m", "cell", F.posexplode("svec").alias("dim", "val"))
+        .groupBy("kcell", "m", "cell", "dim")
+        .agg(F.round(F.avg("val"), 6).alias("mu"))
+    )
+    return per_dim.groupBy("kcell", "m", "cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+        ).alias("cvec")
+    )
+
+
+def _resid_subvectors(resid: DataFrame, vec_col: str) -> DataFrame:
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(F.col(vec_col), m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("svec"),
+            )
+            for m in range(_PQ_M)
+        ]
+    )
+    return resid.select("*", F.explode(slices).alias("s")).select(
+        *[c for c in resid.columns if c != vec_col], "s.m", "s.svec"
+    )
+
+
+def ann_ivfpq_residual(spark: SparkSession, sf: str) -> DataFrame:
+    corpus, kcents = _train_kmeans(spark, sf)
+    assigned = _km_assign(corpus, kcents)  # (vec_id, vec, cell)
+
+    resid = (
+        assigned.join(F.broadcast(kcents), "cell")
+        .select(
+            "vec_id",
+            F.col("cell").alias("kcell"),
+            F.zip_with("vec", "cvec", lambda x, y: x - y).alias("rvec"),
+        )
+    )
+    rsub = _resid_subvectors(resid, "rvec")  # (vec_id, kcell, m, svec)
+    # per-cell init: the _PQ_K lowest vec_ids WITHIN each coarse cell
+    rcents = (
+        rsub.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("kcell", "m").orderBy("vec_id")),
+        )
+        .where(F.col("rn") <= _PQ_K)
+        .select(
+            "kcell", "m", (F.col("rn") - 1).cast("int").alias("cell"),
+            F.col("svec").alias("cvec"),
+        )
+    )
+    for _ in range(_PQ_ITERS):
+        rcents = _rpq_recompute(_rpq_assign(rsub, rcents))
+    rcodes = _rpq_assign(rsub, rcents).select("vec_id", "kcell", "m", "cell")
+
+    queries = assigned.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(kcents))
+        .withColumn("dist_r", F.round(d2, 6))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("dist_r", "cell")
+            ),
+        )
+        .where(F.col("crank") <= _IVFPQ_NPROBE)
+        .select("query_id", "cell", "qvec")
+    )
+    # per-probed-cell query residual -> per-cell distance table
+    qresid = (
+        probed.join(F.broadcast(kcents), "cell")
+        .select(
+            "query_id",
+            F.col("cell").alias("kcell"),
+            F.zip_with("qvec", "cvec", lambda x, y: x - y).alias("qr"),
+        )
+    )
+    qrsub = _resid_subvectors(qresid, "qr").withColumnRenamed("svec", "qsvec")
+    pd2 = F.aggregate(
+        F.zip_with(F.col("qsvec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    dtab = qrsub.join(F.broadcast(rcents), ["kcell", "m"]).select(
+        "query_id", "kcell", "m", "cell",
+        F.round(pd2 * 1e6).cast("long").alias("d2_micro"),
+    )
+    cand = (
+        assigned.join(F.broadcast(probed.select("query_id", "cell")), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.col("cell").alias("kcell"))
+    )
+    # candidate restriction FIRST, as in the raw-coded variant
+    pairs = (
+        cand.join(rcodes, ["vec_id", "kcell"])
+        .join(F.broadcast(dtab), ["query_id", "kcell", "m", "cell"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2_micro").alias("adc_d2_micro"))
+    )
+    salted = pairs.withColumn(
+        "_salt", F.pmod(F.hash(F.col("vec_id")), F.lit(_SALT_BUCKETS))
+    )
+    order = [F.col("adc_d2_micro").asc(), F.col("vec_id")]
+    local = salted.withColumn(
+        "_lr",
+        F.row_number().over(W.partitionBy("query_id", "_salt").orderBy(*order)),
+    ).where(F.col("_lr") <= _TOP_K)
+    return (
+        local.withColumn(
+            "rank", F.row_number().over(W.partitionBy("query_id").orderBy(*order))
+        )
+        .where(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "adc_d2_micro", "rank"
+        )
+    )
+
+
+def _rpq_sql() -> str:
+    ctes, final_cent = _km_cte_chain()
+    ctes.append(
+        f"""resid AS (
+  SELECT f.vec_id, f.cell AS kcell,
+         list_transform(range(1, 65), j -> f.vec[j] - k.cvec[j]) AS rvec
+  FROM finaln f JOIN {final_cent} k ON f.cell = k.cell
+)"""
+    )
+    ctes.append(
+        f"""rsub AS (
+  SELECT vec_id, kcell, m,
+         list_slice(rvec, m * {_PQ_SUBDIM} + 1, (m + 1) * {_PQ_SUBDIM}) AS svec
+  FROM resid CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m)
+)"""
+    )
+    ctes.append(
+        f"""rcent0 AS (
+  SELECT kcell, m, CAST(rn - 1 AS INT) AS cell, svec AS cvec FROM (
+    SELECT kcell, m, svec,
+           row_number() OVER (PARTITION BY kcell, m ORDER BY vec_id) AS rn
+    FROM rsub
+  ) WHERE rn <= {_PQ_K}
+)"""
+    )
+
+    def assign(cent_cte: str) -> str:
+        return f"""(
+  SELECT vec_id, kcell, m, cell, svec FROM (
+    SELECT s.vec_id, s.kcell, s.m, c.cell, s.svec,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.kcell, s.m
+             ORDER BY round(list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
+                        j -> (s.svec[j] - c.cvec[j]) * (s.svec[j] - c.cvec[j]))), 6),
+                      c.cell) AS rn
+    FROM rsub s JOIN {cent_cte} c ON s.kcell = c.kcell AND s.m = c.m
+  ) WHERE rn = 1
+)"""
+
+    def recompute(assign_cte: str) -> str:
+        return f"""(
+  SELECT kcell, m, cell, list(mu ORDER BY dim) AS cvec FROM (
+    SELECT kcell, m, cell, dim, round(avg(val), 6) AS mu
+    FROM (SELECT kcell, m, cell, unnest(svec) AS val,
+                 generate_subscripts(svec, 1) AS dim
+          FROM {assign_cte})
+    GROUP BY kcell, m, cell, dim
+  ) GROUP BY kcell, m, cell
+)"""
+
+    prev = "rcent0"
+    for i in range(1, _PQ_ITERS + 1):
+        ctes.append(f"rassign{i} AS {assign(prev)}")
+        ctes.append(f"rcent{i} AS {recompute(f'rassign{i}')}")
+        prev = f"rcent{i}"
+    ctes.append(
+        f"rcodes AS (SELECT vec_id, kcell, m, cell FROM {assign(prev)})"
+    )
+    ctes.append(
+        f"""ivfq AS (SELECT vec_id AS query_id, vec AS qvec
+      FROM finaln WHERE vec_id < {_N_QUERIES})"""
+    )
+    ctes.append(
+        f"""probed AS (
+  SELECT query_id, cell, qvec FROM (
+    SELECT q.query_id, ct.cell, q.qvec,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_sum(list_transform(range(1, 65),
+                        j -> (q.qvec[j] - ct.cvec[j]) * (q.qvec[j] - ct.cvec[j]))), 6),
+                      ct.cell) AS crank
+    FROM ivfq q CROSS JOIN {final_cent} ct
+  ) WHERE crank <= {_IVFPQ_NPROBE}
+)"""
+    )
+    ctes.append(
+        f"""qrsub AS (
+  SELECT query_id, kcell, m,
+         list_slice(qr, m * {_PQ_SUBDIM} + 1, (m + 1) * {_PQ_SUBDIM}) AS qsvec
+  FROM (
+    SELECT p.query_id, p.cell AS kcell,
+           list_transform(range(1, 65), j -> p.qvec[j] - k.cvec[j]) AS qr
+    FROM probed p JOIN {final_cent} k ON k.cell = p.cell
+  ) CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m)
+)"""
+    )
+    ctes.append(
+        f"""dtab AS (
+  SELECT q.query_id, q.kcell, q.m, c.cell,
+         CAST(round(list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
+                j -> (q.qsvec[j] - c.cvec[j]) * (q.qsvec[j] - c.cvec[j]))) * 1000000, 0)
+              AS BIGINT) AS d2_micro
+  FROM qrsub q JOIN {prev} c ON q.kcell = c.kcell AND q.m = c.m
+)"""
+    )
+    ctes.append(
+        """cand AS (
+  SELECT p.query_id, f.vec_id, p.cell AS kcell
+  FROM finaln f JOIN probed p ON f.cell = p.cell AND f.vec_id <> p.query_id
+)"""
+    )
+    ctes.append(
+        """pairs AS (
+  SELECT c.query_id, c.vec_id,
+         CAST(sum(d.d2_micro) AS BIGINT) AS adc_d2_micro
+  FROM cand c
+  JOIN rcodes co ON co.vec_id = c.vec_id AND co.kcell = c.kcell
+  JOIN dtab d ON d.query_id = c.query_id AND d.kcell = co.kcell
+             AND d.m = co.m AND d.cell = co.cell
+  GROUP BY c.query_id, c.vec_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, vec_id AS neighbor_id, adc_d2_micro, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_d2_micro ASC, vec_id) AS INT) AS rank
+  FROM pairs
+) WHERE rank <= {_TOP_K}
+"""
+    )
+
+
 def _ivfpq_sql() -> str:
     ctes, final_cent = _km_cte_chain()
     ctes += _pq_cte_chain(include_corpus=False)
@@ -1222,4 +1507,5 @@ QUERIES = {
     "ann_ivf_recall": QuerySpec(ann_ivf_recall, _recall_sql()),
     "ann_ivf_multiprobe": QuerySpec(ann_ivf_multiprobe, _multiprobe_sql()),
     "ann_ivfpq_adc": QuerySpec(ann_ivfpq_adc, _ivfpq_sql()),
+    "ann_ivfpq_residual": QuerySpec(ann_ivfpq_residual, _rpq_sql()),
 }

@@ -164,3 +164,61 @@ def test_ivfpq_structure_and_candidate_discipline(spark, sf_dir):
         }
         recalls.append(len(exact & {r["neighbor_id"] for r in rs}) / 5)
     assert sum(recalls) / len(recalls) >= 0.1
+
+
+def test_ivfpq_residual_beats_raw_coded(spark, sf_dir):
+    """Residual encoding with per-cell codebooks must not lose recall
+    vs the raw-coded IVF-PQ at the same nprobe (it exists to GAIN
+    accuracy from the same code budget), and structural invariants
+    hold: contiguous ranks, ascending ADC distance, candidate
+    discipline shared with the raw variant (same coarse probe)."""
+    import numpy as np
+
+    from composable_logs_spark.queries import load
+    from composable_logs_spark.queries.similarity_q import (
+        _N_QUERIES,
+        _TOP_K,
+        ann_ivfpq_adc,
+        ann_ivfpq_residual,
+    )
+
+    V = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+
+    def exact_top5(q):
+        d = sorted(
+            (float(np.sum((V[q] - v) ** 2)), i)
+            for i, v in V.items()
+            if i != q
+        )
+        return {i for _, i in d[:_TOP_K]}
+
+    exact = {q: exact_top5(q) for q in range(_N_QUERIES)}
+
+    def collect(df):
+        by_q = {}
+        for r in df.collect():
+            by_q.setdefault(r["query_id"], []).append(r)
+        return by_q
+
+    res = collect(ann_ivfpq_residual(spark, sf_dir))
+    raw = collect(ann_ivfpq_adc(spark, sf_dir))
+    for q, rs in res.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["adc_d2_micro"] for r in rs]
+        assert dists == sorted(dists)
+
+    def recall(by_q):
+        hit = tot = 0
+        for q in range(_N_QUERIES):
+            got = {r["neighbor_id"] for r in by_q.get(q, [])}
+            hit += len(got & exact[q])
+            tot += _TOP_K
+        return hit / tot
+
+    r_res, r_raw = recall(res), recall(raw)
+    assert r_res >= r_raw, (r_res, r_raw)
+    assert r_res > 0  # the index actually retrieves true neighbors
