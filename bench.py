@@ -139,6 +139,39 @@ def main() -> None:
         "spanlog_big_tasks_per_run": big_tasks,
     }
 
+    # hash-proof the big-fixture summarisation (untimed; reuses the warm
+    # cache the last run_big left): the generator is deterministic, so
+    # every summary table has exactly one correct content — pinned
+    # multiset digests (spanlog/digest.py) catch closure/aggregation
+    # regressions at 10^5..10^6-span scale every bench run.
+    _BIG_GOLDEN = {
+        (32, 100): {
+            "task_runs": (3200, 1772011136668887, 1772192363614803),
+            "workflow_runs": (32, 16124174784924, 16125803295432),
+            "deps": (3848, 2129654982555042, 2129875436790186),
+            "logged_values": (320, 178437722863588, 178456483666708),
+        },
+        (256, 800): {
+            "task_runs": (204800, 112360635184656918, 112364542080687119),
+            "workflow_runs": (256, 140349831811029, 140365571198589),
+            "deps": (254784, 140134401279133058, 140129032624503752),
+            "logged_values": (20480, 11221897439570005, 11220860827261727),
+        },
+    }
+    from composable_logs_spark.plans import summarize_spans
+    from composable_logs_spark.spanlog.archive import read_span_archive
+    from composable_logs_spark.spanlog.digest import summaries_digest
+
+    got_digest = summaries_digest(
+        summarize_spans(read_span_archive(spark, arch))
+    )
+    extra["spanlog_big_digest_ok"] = (
+        got_digest == _BIG_GOLDEN[(big_runs, big_tasks)]
+    )
+    extra["spanlog_big_digest"] = {
+        k: list(v) for k, v in got_digest.items()
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

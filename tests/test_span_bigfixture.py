@@ -77,3 +77,18 @@ def test_big_fixture_invariants(spark, tmp_path):
     assert s.deps.count() == n_dep_edges
     # no validation errors planted
     assert s.validation_errors.count() == 0
+
+    # HASH-proof, not just invariants: the generator is
+    # counter-deterministic, so every summary table has exactly one
+    # correct content. Pinned multiset digests (order/partition/
+    # session-shape-insensitive: see spanlog/digest.py) over all four
+    # outputs — any closure or aggregation regression at 10^3-task
+    # scale flips at least one of these.
+    from composable_logs_spark.spanlog.digest import summaries_digest
+
+    assert summaries_digest(s) == {
+        "task_runs": (960, 531825139526520, 531878920131972),
+        "workflow_runs": (8, 4183629561367, 4184192716567),
+        "deps": (1162, 638295125182874, 638361574161218),
+        "logged_values": (96, 49670163058122, 49676072725782),
+    }
