@@ -62,39 +62,41 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # name (tests/test_registry_window.py guards it). Rotation policy per
 # round: (1) every query that has never had a driver hash-green row,
 # (2) every query whose semantics or oracle changed this round,
-# (3) fill with the longest-unverified green block. Round 7 window:
-# the 9 queries ADDED this round (exact substring dedup + its cut
-# stats + the composed dedup-then-cut recipe, OOV BPE encode,
-# multi-probe IVF — never driver-checked), the
-# 7 whose code or oracle changed this round (event_id tiebreaks,
-# integer half-step rounding, HLL-golden guard, BPE vocab-join
-# de-broadcast, shared-CTE refactors), then 34 of the 47 queries whose
-# last driver-green row is round 4 — the stalest block — in name order
-# (the remaining 13 rotate in next round).
+# (3) fill with the longest-unverified green block. Round 8 window:
+# the 3 queries ADDED this round (SemDeDup, BM25, residual IVF-PQ —
+# never driver-checked), the 5 whose code or oracle changed this
+# round (the 4 substring-family queries: new per-token polynomial
+# gram hash on both engines; dsir_select_topk: cache lifecycle), then
+# the 13 remaining queries whose last driver-green row is round 4 —
+# completing the r4-stale rotation, so after this round every
+# registry name has a driver row from round-5-or-later code — and 29
+# of the 45 next-stalest (r5) queries in name order (16 rotate in
+# next round).
 _FRONT_WINDOW = [
     # (1) new this round
-    "dedup_exact_substring", "substr_cut_stats", "substr_winnow_stats",
-    "pipeline_dedup_then_cut",
-    "bpe_encode_oov", "ann_ivf_multiprobe", "ann_ivfpq_adc", "text_bigram_logprob",
-    "dsir_select_topk",
+    "dedup_semantic", "text_bm25_topk", "ann_ivfpq_residual",
     # (2) changed this round
-    "session_path_topk", "cusum_changepoint_events", "approx_sketch_stats",
-    "bpe_encode_stats", "bpe_train_merges", "mv_incremental_merge",
-    "ann_ivf_kmeans",
-    # (3) stalest driver-green (r4), name order
-    "agg_cube_events", "agg_distinct_parts_per_nation", "agg_grouping_sets",
-    "agg_rollup_returns", "ann_cosine_top5", "ann_ivf_label_probe",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "embedding_centroids", "join_anti_idle_customers",
-    "join_semi_heavy_orders", "json_extract_events", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "range_join_error_attribution", "scalar_functions_orders",
-    "sessionize_user_events", "set_ops_segments", "spanlog_artifacts",
-    "spanlog_attr_union", "spanlog_deps", "spanlog_descendant_counts",
-    "spanlog_exceptions", "spanlog_last_value_wins",
-    "spanlog_logged_values", "spanlog_roots", "spanlog_task_runs",
-    "spanlog_task_trends", "spanlog_validation_errors",
-    "spanlog_workflow_runs", "text_c4_filters", "text_char_entropy",
+    "dedup_exact_substring", "substr_cut_stats", "substr_winnow_stats",
+    "pipeline_dedup_then_cut", "dsir_select_topk",
+    # (3a) the final r4-stale block, name order
+    "text_fingerprint", "text_lang_id", "text_quality_scores",
+    "text_repetition", "text_tfidf_top3", "text_token_stats",
+    "text_vocab_topk", "unpivot_part_metrics", "window_ntile_customers",
+    "window_order_gaps", "window_rolling_week_spend",
+    "window_running_customer_spend", "window_top3_parts_per_supplier",
+    # (3b) stalest-green filler (r5), name order
+    "agg_percentiles_events", "asof_join_purchase_click",
+    "asof_join_with_tolerance", "bloom_pruned_urgent_revenue",
+    "decontaminate_against_benchmark", "dedup_chunks",
+    "dedup_cluster_assign", "dedup_corpus_keep", "dedup_srp_lsh",
+    "dq_check_customers", "event_transitions", "events_rate_anomaly",
+    "funnel_conversion", "gapfill_hourly_locf", "media_byte_histogram",
+    "media_checksums", "media_frame_sample", "pagerank_purchase_graph",
+    "pii_scrub_customers", "pipeline_clean_corpus", "q11_important_stock",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_qty_revenue",
+    "q18_large_volume_customers", "q19_bracket_revenue",
+    "q20_potential_promotion",
 ]
 
 

@@ -32,9 +32,6 @@ def test_window_is_exactly_fifty_unique_names():
 
 def test_never_driver_checked_queries_lead_the_window():
     never_checked = {
-        "dedup_exact_substring", "substr_cut_stats", "substr_winnow_stats",
-        "pipeline_dedup_then_cut",
-        "bpe_encode_oov", "ann_ivf_multiprobe", "ann_ivfpq_adc", "text_bigram_logprob",
-        "dsir_select_topk",
+        "dedup_semantic", "text_bm25_topk", "ann_ivfpq_residual",
     }
     assert never_checked <= set(_FRONT_WINDOW[: len(never_checked)])
