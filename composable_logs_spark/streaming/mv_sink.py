@@ -25,6 +25,7 @@ keep this container-testable with identical semantics.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,11 +38,22 @@ _STATE_SCHEMA = (
 
 
 class MVMergeSink:
-    """foreachBatch target maintaining the MV state table."""
+    """foreachBatch target maintaining the MV state table.
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    ``retain`` bounds state growth: a long-running stream would
+    otherwise accumulate one immutable version directory per
+    micro-batch forever. After each successful fold, versions older
+    than the ``retain`` newest are deleted. ``retain`` must be >= 2 so
+    the predecessor of the newest version always survives — that is
+    the version a restart-replay of the last batch folds from (Spark
+    commits source offsets only after the fold completes, so at most
+    the final batch ever replays)."""
+
+    def __init__(self, spark: SparkSession, state_dir: str, retain: int = 3):
+        assert retain >= 2, "replay needs the newest version's predecessor"
         self.spark = spark
         self.state_dir = state_dir
+        self.retain = retain
         os.makedirs(state_dir, exist_ok=True)
 
     def _versions(self) -> list[int]:
@@ -68,6 +80,11 @@ class MVMergeSink:
         delta = _segment(batch_df)
         out = f"{self.state_dir}/v={batch_id}"
         merge_partials(state, delta).write.mode("overwrite").parquet(out)
+        # retention AFTER the new version is durable: drop everything
+        # older than the retain newest (replay folds only from the
+        # newest version's predecessor, which retain >= 2 preserves)
+        for v in self._versions()[: -self.retain]:
+            shutil.rmtree(f"{self.state_dir}/v={v}", ignore_errors=True)
 
     def view(self) -> DataFrame:
         """The finished MV (derived columns from merged state only)."""

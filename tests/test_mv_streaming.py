@@ -145,3 +145,47 @@ def test_merge_sink_batch_replay_is_idempotent(spark, tmp_path, sf_dir):
     sink.fold(half2, 1)  # replay of batch 1
     twice = sorted(map(tuple, sink.current_state().collect()))
     assert once == twice
+
+
+def test_merge_sink_retention_prunes_old_versions(spark, tmp_path, sf_dir):
+    """A long-running stream must not accumulate one state directory
+    per micro-batch forever: after each fold, only the `retain` newest
+    versions survive, the view still equals the full fold, and a replay
+    of the LAST batch still works from the surviving predecessor."""
+    import os
+
+    from composable_logs_spark.streaming.mv_sink import MVMergeSink
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "ts", "value")
+        .limit(300)
+        .cache()
+    )
+    state_dir = str(tmp_path / "prstate")
+    sink = MVMergeSink(spark, state_dir, retain=2)
+    part = F.pmod(F.hash("event_type", "ts", "value"), F.lit(5))
+    slices = [ev.where(part == i) for i in range(5)]
+    for i, s in enumerate(slices):
+        sink.fold(s, i)
+    # only the retain newest versions remain on disk
+    assert sorted(os.listdir(state_dir)) == ["v=3", "v=4"]
+    full = {
+        (r["event_type"], r["day"]): (r["cnt"], r["sum_micro"])
+        for r in sink.current_state().collect()
+    }
+    # == one-shot aggregation of everything (retention lost no counts)
+    from composable_logs_spark.queries.mv_q import _segment
+
+    flat = {
+        (r["event_type"], r["day"]): (r["cnt"], r["sum_micro"])
+        for r in _segment(ev).collect()
+    }
+    assert full == flat
+    # replay of the last batch folds from v=3, still present
+    sink.fold(slices[4], 4)
+    again = {
+        (r["event_type"], r["day"]): (r["cnt"], r["sum_micro"])
+        for r in sink.current_state().collect()
+    }
+    assert again == full
