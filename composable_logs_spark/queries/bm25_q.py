@@ -68,8 +68,16 @@ def _postings(docs: DataFrame) -> DataFrame:
     )
 
 
-def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
-    tf = _postings(load(spark, sf, "documents"))
+def bm25_topk(
+    spark: SparkSession,
+    tf: DataFrame,
+    queries: list[tuple[int, str]] | None = None,
+    k: int = _TOP_K,
+) -> DataFrame:
+    """Rank any (doc_id, term, tf, dl) postings frame against the query
+    workload — shared verbatim by the batch registry query and the
+    streaming incremental index, so the two cannot drift."""
+    queries = _BM25_QUERIES if queries is None else queries
     totals = tf.groupBy("doc_id").agg(F.max("dl").alias("dl")).agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
@@ -92,7 +100,7 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     qterms = spark.createDataFrame(
-        [(qid, q, t) for qid, q in _BM25_QUERIES for t in sorted(set(q.split()))],
+        [(qid, q, t) for qid, q in queries for t in sorted(set(q.split()))],
         "query_id int, query string, term string",
     )
     scored = (
@@ -119,19 +127,23 @@ def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     local = salted.withColumn(
         "_lr",
         F.row_number().over(W.partitionBy("query_id", "_salt").orderBy(*order)),
-    ).where(F.col("_lr") <= _TOP_K)
+    ).where(F.col("_lr") <= k)
     return (
         local.withColumn(
             "rank",
             F.row_number().over(W.partitionBy("query_id").orderBy(*order)).cast("int"),
         )
-        .where(F.col("rank") <= _TOP_K)
+        .where(F.col("rank") <= k)
         .select(
             "query_id", "query", "doc_id", "n_terms_matched",
             "score_micro", "rank",
         )
         .orderBy("query_id", "rank")
     )
+
+
+def text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return bm25_topk(spark, _postings(load(spark, sf, "documents")))
 
 
 def _bm25_sql() -> str:
