@@ -757,8 +757,130 @@ GROUP BY b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Table A1) — the third named
+# quality-filter family next to the C4 line rules (c4_stats) and the
+# stopword/diversity scores (quality_stats): document-level bounds on
+# word count, mean word length, symbol ratio, bullet/ellipsis line
+# fractions, alphabetic-word fraction, and a stop-word floor. Per-doc
+# report with every rule's measurement plus the composite keep flag —
+# the numbers a data team tunes before a pretraining run.
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_stats(d: DataFrame) -> DataFrame:
+    """Frame-based core (see quality_stats)."""
+    toks = _tokens(F.col("text"))
+    lines = F.split(F.col("text"), "\n")
+    base = d.select("doc_id", "text", toks.alias("toks"), lines.alias("lines"))
+    n_words = F.size("toks")
+    sum_len = F.aggregate(
+        F.transform(F.col("toks"), lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    n_alpha = F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-zA-Z]")))
+    n_bullet = F.size(
+        F.filter(F.col("lines"), lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    n_ell_lines = F.size(
+        F.filter(
+            F.col("lines"),
+            lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"),
+        )
+    )
+    low = F.array_distinct(F.transform(F.col("toks"), F.lower))
+    n_stops = F.size(
+        F.filter(low, lambda t: t.isin(*_GOPHER_STOPS))
+    )
+    m = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(sum_len / n_words, 4).alias("mean_word_len"),
+        F.round((n_hash + n_ellipsis) / n_words, 4).alias("symbol_word_ratio"),
+        F.round(n_alpha / n_words, 4).alias("alpha_word_frac"),
+        F.round(n_bullet / F.size("lines"), 4).alias("bullet_line_frac"),
+        F.round(n_ell_lines / F.size("lines"), 4).alias("ellipsis_line_frac"),
+        n_stops.cast("int").alias("n_gopher_stops"),
+    )
+    rules = [
+        m["n_words"].between(50, 100000),
+        m["mean_word_len"].between(3, 10),
+        m["symbol_word_ratio"] <= 0.1,
+        m["alpha_word_frac"] >= 0.8,
+        m["bullet_line_frac"] <= 0.9,
+        m["ellipsis_line_frac"] <= 0.3,
+        m["n_gopher_stops"] >= 2,
+    ]
+    n_failed = sum(
+        (F.when(r, 0).otherwise(1) for r in rules), start=F.lit(0)
+    ).cast("int")
+    keep = rules[0]
+    for r in rules[1:]:
+        keep = keep & r
+    # n_rules_failed keeps the report discriminating even on a corpus
+    # where one rule fails uniformly (the synthetic vocabulary contains
+    # only one of the eight Gopher stop words, so the stop-word floor
+    # rejects every doc — the composite flag honestly says so)
+    return m.withColumn("n_rules_failed", n_failed).withColumn("keep_doc", keep)
+
+
+def text_gopher_filters(spark: SparkSession, sf: str) -> DataFrame:
+    return gopher_stats(load(spark, sf, "documents"))
+
+
+GOPHER_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_words,
+         round(CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+               / len(toks), 4) AS mean_word_len,
+         round((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                + (length(text) - length(replace(text, '...', ''))) / 3.0)
+               / len(toks), 4) AS symbol_word_ratio,
+         round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+               / len(toks), 4) AS alpha_word_frac,
+         round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+               / len(lines), 4) AS bullet_line_frac,
+         round(CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS DOUBLE)
+               / len(lines), 4) AS ellipsis_line_frac,
+         CAST(len(list_filter(list_distinct(list_transform(toks, x -> lower(x))),
+                  x -> x IN ('the','be','to','of','and','that','have','with'))) AS INT)
+           AS n_gopher_stops
+  FROM t
+)
+SELECT *,
+       CAST((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
+          + (CASE WHEN mean_word_len BETWEEN 3 AND 10 THEN 0 ELSE 1 END)
+          + (CASE WHEN symbol_word_ratio <= 0.1 THEN 0 ELSE 1 END)
+          + (CASE WHEN alpha_word_frac >= 0.8 THEN 0 ELSE 1 END)
+          + (CASE WHEN bullet_line_frac <= 0.9 THEN 0 ELSE 1 END)
+          + (CASE WHEN ellipsis_line_frac <= 0.3 THEN 0 ELSE 1 END)
+          + (CASE WHEN n_gopher_stops >= 2 THEN 0 ELSE 1 END) AS INT)
+         AS n_rules_failed,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND symbol_word_ratio <= 0.1
+        AND alpha_word_frac >= 0.8
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND n_gopher_stops >= 2) AS keep_doc
+FROM m
+"""
+
+
 QUERIES = {
     "text_token_stats": QuerySpec(text_token_stats, TOKEN_SQL),
+    "text_gopher_filters": QuerySpec(text_gopher_filters, GOPHER_SQL),
     "text_char_entropy": QuerySpec(text_char_entropy, ENTROPY_SQL),
     "text_quality_scores": QuerySpec(text_quality_scores, QUALITY_SQL),
     "text_lang_id": QuerySpec(text_lang_id, _lang_sql()),
