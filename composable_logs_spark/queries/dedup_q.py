@@ -154,17 +154,18 @@ _B = [1915941032, 1171165722, 186699713, 1268073012, 906070220, 68252793,
       63989047, 201209005, 469521477, 499635468, 1085242216, 1292825378]
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) -> (doc_id, hashes, band0..band{B-1}).
+def minhash_mh(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, hashes, mh0..mh{K-1}).
 
     All K minhashes in ONE pass over the shingle array: hash each
     shingle once (md5 -> 31-bit int), then fold an element-wise min of
     the K universal hashes. (K separate array_min(transform(...))
     columns would re-scan — and re-hash — the array K times.)
 
-    Reused by the batch query below and by
-    ``streaming.incremental_dedup`` (same signatures on both the static
-    index and each streamed micro-batch, so verdicts agree).
+    Reused by ``minhash_signatures`` (production banding), the
+    band-parameter sweep below, and — via the signatures —
+    ``streaming.incremental_dedup`` (same signatures on both the
+    static index and each streamed micro-batch, so verdicts agree).
     """
 
     shingled = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
@@ -200,6 +201,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         "hashes",
         *[F.col("mh").getItem(s).alias(f"mh{s}") for s in range(_K)],
     )
+    return sig
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, hashes, band0..band{B-1}) at the
+    production (b=4, r=3) banding."""
+    sig = minhash_mh(docs)
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -785,8 +793,211 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
 """
 
 
+# ---------------------------------------------------------------------------
+# LSH band-parameter sweep — the tuning curve a data team reads before
+# fixing (b, r): for every banding of the SAME K=12 minhashes, how many
+# candidate pairs the buckets emit, how many survive the exact-Jaccard
+# verify, the resulting precision, recall relative to the sweep's union
+# of verified pairs (every verified set is a subset of the true >= tau
+# pairs, so the union is the tightest available exact reference without
+# an all-pairs pass), and the textbook S-curve detection probability
+# 1-(1-t^r)^b at t = threshold for comparison. More bands/shorter rows
+# -> more candidates, lower precision, higher recall — the knob this
+# query quantifies on the actual corpus instead of the idealised curve.
+_SWEEP_CONFIGS = [(12, 1), (6, 2), (4, 3), (3, 4), (2, 6)]  # b * r = K
+
+
+def dedup_minhash_bandsweep(spark: SparkSession, sf: str) -> DataFrame:
+    sig = minhash_mh(_near_dup_corpus(spark, sf)).cache()
+    entries = []
+    for b, r in _SWEEP_CONFIGS:
+        for j in range(b):
+            entries.append(
+                F.struct(
+                    F.lit(b).alias("n_bands"),
+                    F.lit(j).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{j * r + i}").cast("string")
+                                for i in range(r)
+                            ],
+                        )
+                    ).alias("band_hash"),
+                )
+            )
+    long = sig.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.n_bands", "e.band_idx", "e.band_hash")
+    cand = (
+        long.alias("a")
+        .join(long.alias("b"), ["n_bands", "band_idx", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            "n_bands",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ha = sig.select(F.col("doc_id").alias("doc_a"), F.col("hashes").alias("hs_a"))
+    hb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hashes").alias("hs_b"))
+    verified = (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .where(jaccard_col("hs_a", "hs_b") >= _JACCARD_THRESHOLD)
+        .select("n_bands", "doc_a", "doc_b")
+    )
+    union_n = verified.select("doc_a", "doc_b").distinct().agg(
+        F.count("*").alias("n_union")
+    )
+    counts = (
+        cand.groupBy("n_bands")
+        .agg(F.count("*").alias("n_candidates"))
+        .join(
+            verified.groupBy("n_bands").agg(F.count("*").alias("n_verified")),
+            "n_bands",
+            "left",
+        )
+        .na.fill({"n_verified": 0})
+        .crossJoin(F.broadcast(union_n))
+    )
+    theo = spark.createDataFrame(
+        [
+            (
+                b,
+                r,
+                round(1 - (1 - _JACCARD_THRESHOLD**r) ** b, 4),
+            )
+            for b, r in _SWEEP_CONFIGS
+        ],
+        "n_bands int, n_rows int, theo_p_at_tau double",
+    )
+    return (
+        theo.join(counts, "n_bands", "left")
+        .na.fill({"n_candidates": 0, "n_verified": 0})
+        .select(
+            "n_bands",
+            "n_rows",
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_verified").cast("long").alias("n_verified"),
+            # integer half-step at 4dp (house convention for ratio ties)
+            F.when(
+                F.col("n_candidates") > 0,
+                F.expr(
+                    "(n_verified * 20000 + n_candidates)"
+                    " div (n_candidates * 2) / CAST(10000 AS DOUBLE)"
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("precision"),
+            F.when(
+                F.col("n_union") > 0,
+                F.expr(
+                    "(n_verified * 20000 + n_union)"
+                    " div (n_union * 2) / CAST(10000 AS DOUBLE)"
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rel_recall"),
+            "theo_p_at_tau",
+        )
+        .orderBy(F.col("n_bands").desc())
+    )
+
+
+def _bandsweep_sql() -> str:
+    mh_cols = ",\n         ".join(
+        f"list_min(list_transform(hs, h -> (h * {_A[s]} + {_B[s]}) % {_M})) AS mh{s}"
+        for s in range(_K)
+    )
+    band_union = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS n_bands, {j} AS band_idx, md5("
+        + " || '|' || ".join(
+            f"CAST(mh{j * r + i} AS VARCHAR)" for i in range(r)
+        )
+        + ") AS band_hash FROM mh"
+        for b, r in _SWEEP_CONFIGS
+        for j in range(b)
+    )
+    theo_vals = ", ".join(
+        f"({b}, {r}, {round(1 - (1 - _JACCARD_THRESHOLD**r) ** b, 4)})"
+        for b, r in _SWEEP_CONFIGS
+    )
+    return f"""
+WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+docs AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus
+),
+hashed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+                        sh -> CAST('0x' || substring(md5(sh), 1, 15) AS BIGINT) % {_M})) AS hs
+  FROM docs
+),
+mh AS (
+  SELECT doc_id, hs,
+         {mh_cols}
+  FROM hashed
+),
+bands_long AS (
+  {band_union}
+),
+cand AS (
+  SELECT DISTINCT a.n_bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_long a JOIN bands_long b
+    ON a.n_bands = b.n_bands AND a.band_idx = b.band_idx
+   AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.n_bands, c.doc_a, c.doc_b
+  FROM cand c
+  JOIN mh sa ON sa.doc_id = c.doc_a
+  JOIN mh sb ON sb.doc_id = c.doc_b
+  WHERE round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.hs, sb.hs))), 4)
+        >= {_JACCARD_THRESHOLD}
+),
+un AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_union
+  FROM (SELECT DISTINCT doc_a, doc_b FROM verified)
+),
+counts AS (
+  SELECT c.n_bands,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(coalesce(max(v.n_verified), 0) AS BIGINT) AS n_verified
+  FROM cand c
+  LEFT JOIN (SELECT n_bands, count(*) AS n_verified FROM verified
+             GROUP BY n_bands) v ON v.n_bands = c.n_bands
+  GROUP BY c.n_bands
+),
+theo(n_bands, n_rows, theo_p_at_tau) AS (VALUES {theo_vals})
+SELECT t.n_bands, t.n_rows,
+       CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(coalesce(c.n_verified, 0) AS BIGINT) AS n_verified,
+       CASE WHEN coalesce(c.n_candidates, 0) > 0
+            THEN (c.n_verified * 20000 + c.n_candidates)
+                 // (c.n_candidates * 2) / 10000.0
+            ELSE 0.0 END AS precision,
+       CASE WHEN u.n_union > 0
+            THEN (coalesce(c.n_verified, 0) * 20000 + u.n_union)
+                 // (u.n_union * 2) / 10000.0
+            ELSE 0.0 END AS rel_recall,
+       CAST(t.theo_p_at_tau AS DOUBLE) AS theo_p_at_tau
+FROM theo t
+LEFT JOIN counts c ON c.n_bands = t.n_bands
+CROSS JOIN un u
+ORDER BY t.n_bands DESC
+"""
+
+
 QUERIES = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_bandsweep": QuerySpec(
+        dedup_minhash_bandsweep, _bandsweep_sql()
+    ),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _minhash_sql()),
     "dedup_simhash": QuerySpec(dedup_simhash, _simhash_sql()),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_SQL),

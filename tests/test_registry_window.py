@@ -33,6 +33,6 @@ def test_window_is_exactly_fifty_unique_names():
 def test_never_driver_checked_queries_lead_the_window():
     never_checked = {
         "dedup_semantic", "text_bm25_topk", "ann_ivfpq_residual",
-        "text_gopher_filters",
+        "text_gopher_filters", "dedup_minhash_bandsweep",
     }
     assert never_checked <= set(_FRONT_WINDOW[: len(never_checked)])
