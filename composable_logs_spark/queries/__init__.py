@@ -63,19 +63,20 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # round: (1) every query that has never had a driver hash-green row,
 # (2) every query whose semantics or oracle changed this round,
 # (3) fill with the longest-unverified green block. Round 8 window:
-# the 5 queries ADDED this round (SemDeDup, BM25, residual IVF-PQ,
-# Gopher rules, LSH band sweep — never driver-checked), the 5 whose
-# code or oracle changed this round (the 4 substring-family queries:
-# new per-token polynomial gram hash on both engines; dsir_select_topk:
-# cache lifecycle), then the 13 remaining queries whose last
-# driver-green row is round 4 — completing the r4-stale rotation, so
-# after this round every registry name has a driver row from
-# round-5-or-later code — and 27 of the 45 next-stalest (r5) queries
-# in name order (18 rotate in next round).
+# the 6 queries ADDED this round (SemDeDup, BM25, residual IVF-PQ,
+# Gopher rules, LSH band sweep, hash-proven substring cut — never
+# driver-checked), the 5 whose code or oracle changed this round
+# (the 4 substring-family queries: new per-token polynomial gram
+# hash on both engines; dsir_select_topk: cache lifecycle), then the
+# 13 remaining queries whose last driver-green row is round 4 —
+# completing the r4-stale rotation, so after this round every
+# registry name has a driver row from round-5-or-later code — and 26
+# of the 45 next-stalest (r5) queries in name order (19 rotate in
+# next round).
 _FRONT_WINDOW = [
     # (1) new this round
     "dedup_semantic", "text_bm25_topk", "ann_ivfpq_residual",
-    "text_gopher_filters", "dedup_minhash_bandsweep",
+    "text_gopher_filters", "dedup_minhash_bandsweep", "substr_cut_docs",
     # (2) changed this round
     "dedup_exact_substring", "substr_cut_stats", "substr_winnow_stats",
     "pipeline_dedup_then_cut", "dsir_select_topk",
@@ -96,7 +97,6 @@ _FRONT_WINDOW = [
     "pii_scrub_customers", "pipeline_clean_corpus", "q11_important_stock",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q16_supplier_part_counts", "q17_small_qty_revenue",
-    "q18_large_volume_customers",
 ]
 
 

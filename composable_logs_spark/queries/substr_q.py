@@ -217,6 +217,80 @@ def cut_dup_spans(docs: DataFrame, l: int = _L) -> DataFrame:
     )
 
 
+def substr_cut_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-proof the CUT itself, not just its stats: per document,
+    token counts before/after the cut and an md5 of the cleaned text —
+    a value match proves both engines dropped EXACTLY the same token
+    positions from every document (the planted-fixture pytest proves
+    the positions are the right ones; this proves them cross-engine at
+    corpus scale)."""
+    cut = cut_dup_spans(load(spark, sf, "documents"))
+    return (
+        cut.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            F.when(F.col("clean_text") == "", 0)
+            .otherwise(F.size(F.split("clean_text", " ")))
+            .cast("long")
+            .alias("n_clean_tokens"),
+            F.md5("clean_text").alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CUT_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+g AS ({_gram_cte_sql(_L)}),
+freq AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+dup AS (SELECT doc_id, pos FROM g JOIN freq USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER w <= {_L} THEN 0 ELSE 1 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sid AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {_L} - 1 AS e
+  FROM sid GROUP BY doc_id, sid
+),
+doc_spans AS (
+  SELECT doc_id, list({{'s': s, 'e': e}}) AS spans FROM spans GROUP BY doc_id
+),
+cut AS (
+  SELECT t.doc_id, t.tok,
+         -- array_to_string([]) is NULL in DuckDB (Spark's array_join
+         -- gives ''): coalesce for the whole-document-cut case
+         coalesce(array_to_string(
+           list_transform(
+             list_filter(
+               list_transform(range(1, len(t.tok) + 1),
+                              i -> {{'i': i, 't': t.tok[i]}}),
+               x -> len(list_filter(coalesce(d.spans, []),
+                        sp -> x.i >= sp.s AND x.i <= sp.e)) = 0),
+             x -> x.t),
+           ' '), '') AS clean_text
+  FROM toks t LEFT JOIN doc_spans d USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(tok) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN clean_text = '' THEN 0
+                 ELSE len(string_split(clean_text, ' ')) END AS BIGINT)
+         AS n_clean_tokens,
+       md5(clean_text) AS clean_md5
+FROM cut
+ORDER BY doc_id
+"""
+
+
 def dedup_exact_substring(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document duplicated-span report over the raw documents table:
     every doc holding at least one verbatim >=L-token span that occurs
@@ -597,6 +671,7 @@ ORDER BY doc_id
 
 QUERIES = {
     "dedup_exact_substring": QuerySpec(dedup_exact_substring, SUBSTR_SQL),
+    "substr_cut_docs": QuerySpec(substr_cut_docs, CUT_DOCS_SQL),
     "substr_cut_stats": QuerySpec(substr_cut_stats, CUT_STATS_SQL),
     "pipeline_dedup_then_cut": QuerySpec(
         pipeline_dedup_then_cut, _pipeline_cut_sql()
