@@ -63,20 +63,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # round: (1) every query that has never had a driver hash-green row,
 # (2) every query whose semantics or oracle changed this round,
 # (3) fill with the longest-unverified green block. Round 8 window:
-# the 6 queries ADDED this round (SemDeDup, BM25, residual IVF-PQ,
-# Gopher rules, LSH band sweep, hash-proven substring cut — never
-# driver-checked), the 5 whose code or oracle changed this round
+# the 7 queries ADDED this round (SemDeDup, BM25, residual IVF-PQ,
+# Gopher rules, LSH band sweep, hash-proven substring cut, hashed-BoW
+# document clustering — never driver-checked), the 5 whose code or
+# oracle changed this round
 # (the 4 substring-family queries: new per-token polynomial gram
 # hash on both engines; dsir_select_topk: cache lifecycle), then the
 # 13 remaining queries whose last driver-green row is round 4 —
 # completing the r4-stale rotation, so after this round every
-# registry name has a driver row from round-5-or-later code — and 26
-# of the 45 next-stalest (r5) queries in name order (19 rotate in
+# registry name has a driver row from round-5-or-later code — and 25
+# of the 45 next-stalest (r5) queries in name order (20 rotate in
 # next round).
 _FRONT_WINDOW = [
     # (1) new this round
     "dedup_semantic", "text_bm25_topk", "ann_ivfpq_residual",
     "text_gopher_filters", "dedup_minhash_bandsweep", "substr_cut_docs",
+    "cluster_docs_hashed_tf",
     # (2) changed this round
     "dedup_exact_substring", "substr_cut_stats", "substr_winnow_stats",
     "pipeline_dedup_then_cut", "dsir_select_topk",
@@ -96,7 +98,7 @@ _FRONT_WINDOW = [
     "media_checksums", "media_frame_sample", "pagerank_purchase_graph",
     "pii_scrub_customers", "pipeline_clean_corpus", "q11_important_stock",
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_qty_revenue",
+    "q16_supplier_part_counts",
 ]
 
 
@@ -137,6 +139,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dsir_q,
         semdedup_q,
         bm25_q,
+        cluster_docs_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -176,6 +179,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dsir_q,
         semdedup_q,
         bm25_q,
+        cluster_docs_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]

@@ -34,6 +34,6 @@ def test_never_driver_checked_queries_lead_the_window():
     never_checked = {
         "dedup_semantic", "text_bm25_topk", "ann_ivfpq_residual",
         "text_gopher_filters", "dedup_minhash_bandsweep",
-        "substr_cut_docs",
+        "substr_cut_docs", "cluster_docs_hashed_tf",
     }
     assert never_checked <= set(_FRONT_WINDOW[: len(never_checked)])
