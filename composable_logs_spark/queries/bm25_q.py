@@ -103,9 +103,13 @@ def bm25_topk(
         [(qid, q, t) for qid, q in queries for t in sorted(set(q.split()))],
         "query_id int, query string, term string",
     )
+    # NO broadcast hint on idf: it is VOCAB-sized (10^8+ rows at web
+    # scale — the same boundary the BPE vocab join documents); joining
+    # after the query filter keeps it query-vocab-sized anyway, and
+    # AQE's runtime size gate upgrades to broadcast when it fits
     scored = (
         tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(idf), "term")
+        .join(idf, "term")
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "contrib",

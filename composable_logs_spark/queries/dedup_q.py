@@ -804,6 +804,12 @@ WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
 # 1-(1-t^r)^b at t = threshold for comparison. More bands/shorter rows
 # -> more candidates, lower precision, higher recall — the knob this
 # query quantifies on the actual corpus instead of the idealised curve.
+#
+# 100 TB note: this is a measurement harness — at corpus scale you run
+# it on a uniform doc_id SAMPLE (the curve is a property of the data
+# distribution, not the row count), because the permissive r=1 config
+# deliberately floods candidates (that is the data point it exists to
+# record).
 _SWEEP_CONFIGS = [(12, 1), (6, 2), (4, 3), (3, 4), (2, 6)]  # b * r = K
 
 
