@@ -41,6 +41,16 @@ QUERIES = [
     "ann_cosine_top5",
     "text_token_stats",
     "stream_tumbling_counts",
+    # round-8 additions. NOT dedup_semantic: with K fixed at 8 its
+    # within-cell pair stage is quadratic BY DESIGN at this harness's
+    # parameters (production grows K with N — see SCALE.md), so a
+    # fixed-K scaling curve would measure the wrong thing.
+    "dedup_exact_substring",
+    "substr_winnow_stats",
+    "substr_cut_docs",
+    "text_bm25_topk",
+    "text_gopher_filters",
+    "cluster_docs_hashed_tf",
 ]
 
 
