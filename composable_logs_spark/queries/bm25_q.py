@@ -18,11 +18,16 @@ Cross-engine exactness: idf is frozen to integer micro-nats (the
 cleared of doubles entirely by multiplying through by 10 * sum_dl —
     num = 22 * tf * sum_dl
     den = 10 * tf * sum_dl + 3 * sum_dl + 9 * dl * N
-(both exact int64: idf_micro < 2^24, num < 2^40 at these corpus
-sizes — re-scale the micro-nat unit before sum_dl approaches 2^38) —
 so each term contributes the integer (idf_micro * num) div den and
 per-document scores are exact bigint sums, no float summation order
-anywhere.
+anywhere. Overflow envelope: the full PRODUCT must fit int64 —
+    idf_micro * 22 * tf * sum_dl < 2^63
+(idf_micro < 2^25 for any N, so the headroom lever is tf * sum_dl:
+at idf_micro ~ 2^24 the corpus must keep tf * sum_dl < ~2^34.5;
+past that, re-scale the micro-nat unit DOWN, because Spark's
+non-ANSI mode would wrap silently while DuckDB raises, silently
+breaking the cross-engine gate). The scoring expression carries a
+per-row guard (one double compare) that raises instead of wrapping.
 
 100 TB design: the postings (tf) table is the only corpus-sized
 relation; queries, per-term idf, and the (N, sum_dl) totals are
@@ -113,9 +118,20 @@ def bm25_topk(
         .crossJoin(F.broadcast(totals))
         .withColumn(
             "contrib",
+            # guard BEFORE multiplying: Spark (non-ANSI) wraps int64
+            # silently where DuckDB raises, so an overflow would break
+            # the cross-engine gate with a plausible-looking wrong
+            # score. The double-precision compare is conservative
+            # (9.0e18 < 2^63-1 ~ 9.22e18) and costs one fused compare
+            # per posting row.
             F.expr(
-                "(idf_micro * (22 * tf * sum_dl))"
-                " div (10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"
+                "CASE WHEN CAST(idf_micro AS DOUBLE) * 22 * tf * sum_dl"
+                "          >= 9.0e18"
+                " THEN raise_error('bm25: idf_micro*22*tf*sum_dl exceeds"
+                " int64 — re-scale the micro-nat unit down')"
+                " ELSE (idf_micro * (22 * tf * sum_dl))"
+                "      div (10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"
+                " END"
             ),
         )
     )

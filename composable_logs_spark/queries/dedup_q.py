@@ -869,6 +869,14 @@ def dedup_minhash_bandsweep(spark: SparkSession, sf: str) -> DataFrame:
         .na.fill({"n_verified": 0})
         .crossJoin(F.broadcast(union_n))
     )
+    # dsir_q cache discipline: pin the tiny per-config counts (one row
+    # per banding), then drop the corpus-sized signature cache — the
+    # sweep is the only consumer, so leaving `sig` pinned would hold a
+    # K-minhash array per document in executor memory for the rest of
+    # the session.
+    counts = counts.cache()
+    counts.count()
+    sig.unpersist()
     theo = spark.createDataFrame(
         [
             (

@@ -64,8 +64,25 @@ _VARIANT_OFFSET = 100000
 
 
 def _augmented(base: DataFrame) -> DataFrame:
+    # guard the id-space split: a base vec_id >= _VARIANT_OFFSET would
+    # collide with a variant id, corrupting the pair logic and
+    # kept_digest IDENTICALLY on both engines (the oracle replicates
+    # the same arithmetic, so it could not catch it) — fail loudly
+    # instead of deduping silently-wrong.
     variant = base.select(
-        (F.col("vec_id") + _VARIANT_OFFSET).alias("vec_id"),
+        F.when(
+            F.col("vec_id") < _VARIANT_OFFSET,
+            F.col("vec_id") + _VARIANT_OFFSET,
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "semdedup: base vec_id >= variant offset "
+                    f"{_VARIANT_OFFSET} — raise _VARIANT_OFFSET"
+                )
+            )
+        )
+        .alias("vec_id"),
         F.transform(
             F.col("vec"), lambda x, i: F.when(i == 0, x * 1.01).otherwise(x)
         ).alias("vec"),
