@@ -140,6 +140,7 @@ def all_queries() -> dict[str, QuerySpec]:
         semdedup_q,
         bm25_q,
         cluster_docs_q,
+        media_dedup_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -180,6 +181,7 @@ def all_queries() -> dict[str, QuerySpec]:
         semdedup_q,
         bm25_q,
         cluster_docs_q,
+        media_dedup_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]

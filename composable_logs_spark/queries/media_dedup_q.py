@@ -1,0 +1,259 @@
+"""Image perceptual near-dup (aHash): the multimodal dedup modality.
+
+The text dedup family (``dedup_q``) has seven modalities; none sees a
+re-encoded or slightly-retouched IMAGE. The canonical cheap answer is
+average-hash (aHash): downsample the raster to 8x8, threshold each
+pixel against the mean, pack the 64 bits, and treat small Hamming
+distance as "same picture" — the same band-then-verify shape as
+SimHash (``dedup_q.dedup_simhash``), just with pixels instead of
+shingle hashes.
+
+The reference has no media surface at all (binary artifacts flow
+through its span log as opaque base64, task_opentelemetry_logging.py:
+124-143) — north-star scope.
+
+Pipeline (everything byte-real, nothing mocked):
+
+1. Corpus: one 16x16 P5 (grayscale PNM) image per document, pixels
+   derived deterministically from the text bytes (pixel[i] =
+   byte(text[i mod len])), ENCODED with ``codecs.encode_pnm`` inside
+   ``mapInPandas`` — plus one planted variant per image (media_id +
+   offset, pixel[0] nudged by +3): perceptual near-dups exist by
+   construction, exactly the ``semdedup_q``/``dedup_embedding_cosine``
+   augmentation device.
+2. aHash: ``codecs.decode_pnm`` (the real header parse + raster
+   reader), ``codecs._resize_nearest`` to 8x8, bit_j = pixel_j * 64 >
+   sum(pixels) (integer-exact mean compare, no doubles), bits packed
+   into two 32-bit halves like the SimHash signature.
+3. Candidates: 8x 8-bit band buckets — a pair within Hamming<=6 flips
+   at most 6 of the 8 bands, so >=2 full bytes still agree
+   (pigeonhole; identical to the SimHash guarantee).
+4. Verify: exact Hamming via bit_count over the XOR'd halves, <= 6.
+
+Cross-engine exactness: the oracle recomputes the SAMPLED pixels
+straight from the text with the same integer arithmetic (the 8x8
+nearest-neighbour grid over a 16x16 image is the even (row, col)
+lattice, so sampled pixel j reads text byte (32*(j div 8) + 2*(j mod 8))
+mod len) — the PNM encode/decode round-trip on the Spark side is
+byte-real and the comparison proves it lossless.
+
+100 TB design: the hash pass is ONE Arrow-batched ``mapInPandas`` over
+payload bytes (media never hits the driver, no shuffle before the
+per-image 16-byte signature); everything after the signature is the
+SimHash plan — band equi-join on 8-bit buckets, no CartesianProduct,
+candidate count bounded by bucket occupancy exactly like
+``dedup_q.dedup_simhash`` at web scale.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import QuerySpec, load
+from ..operators.codecs import _resize_nearest, decode_pnm, encode_pnm
+
+_SIDE = 16  # source raster is _SIDE x _SIDE grayscale
+_HASH_SIDE = 8  # aHash grid
+_HAMMING_MAX = 6
+_VARIANT_OFFSET = 100000
+_PERTURB_STEP = 251  # prime > 16*16: nudges pixel[0] only
+
+
+def pnm_corpus_from_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (media_id, payload) PNM images: one base image
+    per document plus one planted perturbed variant (media_id + offset).
+
+    Real ``encode_pnm`` bytes — downstream consumers must parse an
+    actual P5 header, not trust a convention."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_px = _SIDE * _SIDE
+        idx = np.arange(n_px)
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id >= _VARIANT_OFFSET:
+                    # same guard as semdedup_q: an id collision would
+                    # corrupt pairs identically on both engines
+                    raise ValueError(
+                        f"media_phash: doc_id {doc_id} >= variant offset"
+                    )
+                data = text.encode("utf-8")  # documents are pure ASCII
+                base = np.frombuffer(data, np.uint8)[idx % len(data)]
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "payload": encode_pnm(base.reshape(_SIDE, _SIDE)),
+                    }
+                )
+                var = base.copy()
+                var[idx % _PERTURB_STEP == 0] += 3  # ASCII <= 127: no wrap
+                rows.append(
+                    {
+                        "media_id": doc_id + _VARIANT_OFFSET,
+                        "payload": encode_pnm(var.reshape(_SIDE, _SIDE)),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+
+
+def ahash_signatures(media: DataFrame) -> DataFrame:
+    """(media_id, payload[PNM]) -> (media_id, sim_lo, sim_hi): the
+    64-bit aHash as two 32-bit halves (1<<63 overflows signed BIGINT
+    identically awkwardly in both engines — the SimHash convention).
+
+    bit_j = pixel_j * 64 > sum(sampled pixels): the mean compare kept
+    in exact integers so no float mean can differ cross-engine."""
+
+    weights = 1 << np.arange(32, dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr, _ = decode_pnm(bytes(payload))
+                small = (
+                    _resize_nearest(arr[:, :, 0], _HASH_SIDE, _HASH_SIDE)
+                    .astype(np.int64)
+                    .reshape(-1)
+                )
+                bits = (small * small.size > int(small.sum())).astype(np.int64)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "sim_lo": int((bits[:32] * weights).sum()),
+                        "sim_hi": int((bits[32:] * weights).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "sim_lo", "sim_hi"])
+
+    return media.mapInPandas(run, "media_id long, sim_lo long, sim_hi long")
+
+
+def phash_neardup_pairs(sig: DataFrame, hamming_max: int = _HAMMING_MAX) -> DataFrame:
+    """Band-then-verify over any (media_id, sim_lo, sim_hi) signature
+    frame — the dedup_simhash candidate plan verbatim."""
+    buckets = sig.select(
+        "media_id",
+        "sim_lo",
+        "sim_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("probe"),
+                        F.shiftright(
+                            F.col("sim_lo" if b < 4 else "sim_hi"), 8 * (b % 4)
+                        )
+                        .bitwiseAND(F.lit(255))
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "sim_lo", "sim_hi", "bk.probe", "bk.bucket")
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["probe", "bucket"])
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.sim_lo").alias("lo_a"),
+            F.col("a.sim_hi").alias("hi_a"),
+            F.col("b.sim_lo").alias("lo_b"),
+            F.col("b.sim_hi").alias("hi_b"),
+        )
+        .distinct()
+    )
+    hamming = (
+        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    ).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= hamming_max)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
+def media_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    media = pnm_corpus_from_documents(docs)
+    sig = ahash_signatures(media)
+    return phash_neardup_pairs(sig).orderBy("media_a", "media_b")
+
+
+def _phash_sql() -> str:
+    # sampled pixel j of the 8x8 nearest-neighbour grid over the 16x16
+    # raster reads source index 32*(j div 8) + 2*(j mod 8); the raster
+    # tiles the text, so the byte is text[(idx mod len) + 1] (1-indexed)
+    src = "(32 * (j // 8) + 2 * (j % 8))"
+    pixel = f"ascii(substring(text, CAST(({src} % n) + 1 AS INT), 1))"
+    perturb = f"CASE WHEN {src} % {_PERTURB_STEP} = 0 THEN 3 ELSE 0 END"
+
+    def half_expr(lo_bit: int) -> str:
+        return " + ".join(
+            f"CASE WHEN bv[{lo_bit + j + 1}] = 1 THEN {1 << j} ELSE 0 END"
+            for j in range(32)
+        )
+
+    bucket_union = "\n  UNION ALL\n  ".join(
+        f"SELECT media_id, sim_lo, sim_hi, {b} AS probe, "
+        f"({'sim_lo' if b < 4 else 'sim_hi'} // {256 ** (b % 4)}) % 256 AS bucket FROM sig"
+        for b in range(8)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+px AS (
+  SELECT doc_id AS media_id, j, {pixel} AS pixel
+  FROM docs, range(0, 64) t(j)
+  UNION ALL
+  SELECT doc_id + {_VARIANT_OFFSET}, j, {pixel} + {perturb}
+  FROM docs, range(0, 64) t(j)
+),
+bits AS (
+  SELECT media_id, j,
+         CASE WHEN pixel * 64 > sum(pixel) OVER (PARTITION BY media_id)
+              THEN 1 ELSE 0 END AS bit
+  FROM px
+),
+bv AS (SELECT media_id, list(bit ORDER BY j) AS bv FROM bits GROUP BY media_id),
+sig AS (
+  SELECT media_id,
+         CAST({half_expr(0)} AS BIGINT) AS sim_lo,
+         CAST({half_expr(32)} AS BIGINT) AS sim_hi
+  FROM bv
+),
+buckets AS (
+  {bucket_union}
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                  a.sim_lo AS lo_a, a.sim_hi AS hi_a,
+                  b.sim_lo AS lo_b, b.sim_hi AS hi_b
+  FROM buckets a JOIN buckets b ON a.probe = b.probe AND a.bucket = b.bucket
+  WHERE a.media_id < b.media_id
+)
+SELECT media_a, media_b,
+       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= {_HAMMING_MAX}
+ORDER BY media_a, media_b
+"""
+
+
+QUERIES = {
+    "media_phash_neardup": QuerySpec(media_phash_neardup, _phash_sql()),
+}
