@@ -141,6 +141,7 @@ def all_queries() -> dict[str, QuerySpec]:
         bm25_q,
         cluster_docs_q,
         media_dedup_q,
+        text_classifier_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -182,6 +183,7 @@ def all_queries() -> dict[str, QuerySpec]:
         bm25_q,
         cluster_docs_q,
         media_dedup_q,
+        text_classifier_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
