@@ -142,6 +142,7 @@ def all_queries() -> dict[str, QuerySpec]:
         cluster_docs_q,
         media_dedup_q,
         text_classifier_q,
+        doremi_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -184,6 +185,7 @@ def all_queries() -> dict[str, QuerySpec]:
         cluster_docs_q,
         media_dedup_q,
         text_classifier_q,
+        doremi_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]

@@ -71,16 +71,20 @@ def _doc_vectors(docs: DataFrame) -> DataFrame:
     )
 
 
+def assign_doc_clusters(d: DataFrame) -> DataFrame:
+    """(doc_id, cell): the trained cluster assignment — shared by the
+    cluster report and the DoReMi reweighting composition (doremi_q)."""
+    vecs = _doc_vectors(d)
+    cents = _train_kmeans_on(vecs)
+    return _km_assign(vecs, cents).select(F.col("vec_id").alias("doc_id"), "cell")
+
+
 def cluster_docs_hashed_tf(spark: SparkSession, sf: str) -> DataFrame:
     """Per-cluster report: size, language/source composition (dominant
     source with lexicographic tie-break), and a digest of exactly
     WHICH docs each cluster holds."""
     d = load(spark, sf, "documents")
-    vecs = _doc_vectors(d)
-    cents = _train_kmeans_on(vecs)
-    assigned = _km_assign(vecs, cents).select(
-        F.col("vec_id").alias("doc_id"), "cell"
-    )
+    assigned = assign_doc_clusters(d)
     joined = assigned.join(d.select("doc_id", "lang", "source"), "doc_id")
     src = (
         joined.groupBy("cell", "source")
@@ -115,24 +119,25 @@ def cluster_docs_hashed_tf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _cluster_docs_sql() -> str:
-    feature_ctes = [
-        """t AS (
+# hashed-BoW feature CTEs, shared with the DoReMi reweighting oracle
+# (doremi_q) so the two compositions cannot drift
+FEATURE_CTES = [
+    """t AS (
   SELECT doc_id,
          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
   FROM documents
 )""",
-        f"""cnts AS (
+    f"""cnts AS (
   SELECT doc_id,
          CAST(CAST('0x' || substring(md5(term), 1, 15) AS BIGINT)
               % {_TC_B} AS INT) AS bucket,
          CAST(count(*) AS BIGINT) AS cnt
   FROM t GROUP BY doc_id, bucket
 )""",
-        """dpairs AS (
+    """dpairs AS (
   SELECT doc_id, list({'b': bucket, 'c': cnt}) AS ps FROM cnts GROUP BY doc_id
 )""",
-        f"""corpus0 AS (
+    f"""corpus0 AS (
   SELECT doc_id AS vec_id,
          list_transform(range(0, {_TC_B}),
            j -> CAST(coalesce(list_sum(list_transform(
@@ -140,7 +145,11 @@ def _cluster_docs_sql() -> str:
            AS vec
   FROM dpairs
 )""",
-    ]
+]
+
+
+def _cluster_docs_sql() -> str:
+    feature_ctes = FEATURE_CTES
     km_ctes, _ = _km_cte_chain("SELECT vec_id, vec FROM corpus0")
     return (
         "WITH "
