@@ -143,6 +143,7 @@ def all_queries() -> dict[str, QuerySpec]:
         media_dedup_q,
         text_classifier_q,
         doremi_q,
+        ccnet_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -186,6 +187,7 @@ def all_queries() -> dict[str, QuerySpec]:
         media_dedup_q,
         text_classifier_q,
         doremi_q,
+        ccnet_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]

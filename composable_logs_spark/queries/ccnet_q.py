@@ -1,0 +1,372 @@
+"""The CCNet-style full corpus recipe (Wenzek et al. 2020, "CCNet:
+Extracting High Quality Monolingual Datasets from Web Crawl Data",
+with the Lee et al. 2022 exact-substring cut as the dedup stage and
+GPT-3-style decontamination): SIX stages, each reusing its standalone
+implementation VERBATIM, gated as one query whose value hash proves
+the end-to-end composition (the ``pipeline_dedup_then_cut`` device).
+
+CCNet's actual order puts DEDUP FIRST (paragraph-hash dedup before
+LID and LM filtering — Wenzek et al. §3), and that order is what makes
+every stage here demonstrably active on this corpus: run the other way
+(doc dedup before the substring cut) the near-dup keeper removes every
+span-sharing document and the cut stage provably no-ops at all three
+scale factors — verified while building this query.
+
+    1. boilerplate cut     — ``substr_q.cut_dup_spans`` over the RAW
+                             corpus with min_freq = 3 (the paragraph-
+                             dedup stand-in; every later stage sees CUT
+                             text). The frequency floor is the division
+                             of labor: spans repeated 3+ times are
+                             template chrome and get cut here; PAIRWISE
+                             verbatim twins are deliberately left for
+                             the document-level near-dup stage (4) —
+                             with the Lee et al. freq>=2 cut, stage 1
+                             hollows out every twin, quality then drops
+                             both, and stage 4 provably no-ops
+                             (verified at all three scale factors
+                             while building this query)
+    2. language ID         — ``text_ops.lang_scores`` on cut text;
+                             keep marker score >= 2 (the LID-confidence
+                             floor; CCNet drops low-confidence pages)
+    3. quality             — rules (``text_ops.quality_stats`` keep
+                             flag) AND the bigram-LM score
+                             (``text_ops.bigram_logprob``, model
+                             trained on the cut corpus) above the fixed
+                             head+middle bucket boundary (CCNet's
+                             KenLM-perplexity bucketing; avg_logprob
+                             >= -3.43 keeps roughly the best 2/3)
+    4. doc-level dedup     — ``pipeline_q.neardup_keepers`` (minhash
+                             pairs -> components -> keep longest); the
+                             pair oracle runs over exactly the same
+                             survivor frame via the ``_minhash_sql``
+                             corpus override
+    5. decontamination     — drop survivors sharing any word 8-gram
+                             (``pipeline_q._ngram_hashes``) with the
+                             raw benchmark slice (doc_id < 20)
+    6. target mixture      — per-language quotas realising
+                             ``mix_q._MIX_TARGET`` over the final pool,
+                             with the DoReMi integer-quota device
+                             (quota_k = min_j((n_j*w_k) div w_j); the
+                             shares are /100 rationals so w is exact
+                             int) and content-hash draw order
+
+Output: one row per language with the cut stage's token removal, every
+later stage's survivor count, and a digest of exactly WHICH docs the
+final mixture samples — a hash match is a proof of the six-stage
+COMPOSITION, not of any one stage.
+
+The reference's pipeline surface is span-DAG orchestration
+(wrappers.py run_dag); this is north-star corpus scope.
+
+100 TB design: union of its parts, each documented at its definition —
+the gram frequency pass (stage 1), per-doc narrow maps (stages 2-3),
+banded LSH + sparse components (stage 4), a broadcast benchmark join
+(stage 5: benchmarks are KBs against a TB corpus), and one window per
+language (stage 6). No stage introduces a new shuffle class. Oracle
+note: the reused CTEs are MATERIALIZED — DuckDB otherwise inlines each
+reference, re-evaluating the whole upstream chain once per consumer
+(measured 30x on this 6-stage chain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from . import QuerySpec, load
+from .mix_q import _MIX_TARGET
+
+_LID_MIN_SCORE = 2
+_LM_FLOOR = -3.43  # head+middle perplexity-bucket boundary
+_BENCH_DOCS = 20
+_BOILER_FREQ = 3  # stage-1 span-frequency floor (see docstring)
+
+
+def pipeline_ccnet_recipe(spark: SparkSession, sf: str) -> DataFrame:
+    from .pipeline_q import _ngram_hashes, neardup_keepers
+    from .substr_q import cut_dup_spans
+    from .text_ops import bigram_logprob, lang_scores, quality_stats
+
+    d = load(spark, sf, "documents")
+
+    # 1: boilerplate cut over the raw corpus; every later stage reads
+    # the cut text
+    cut = cut_dup_spans(d.select("doc_id", "text"), min_freq=_BOILER_FREQ)
+    cutd = (
+        cut.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_raw_tokens"),
+            F.when(F.col("clean_text") == "", 0)
+            .otherwise(F.size(F.split("clean_text", " ")))
+            .cast("long")
+            .alias("n_cut_tokens"),
+            F.col("clean_text").alias("text"),
+        )
+        .join(d.select("doc_id", "lang"), "doc_id")
+    )
+
+    # 2-3: per-doc filters on the cut text, composed by doc_id
+    # semi-joins (each predicate evaluated once — the
+    # pipeline_clean_corpus discipline)
+    lid = (
+        lang_scores(cutd)
+        .where(F.col("score") >= _LID_MIN_SCORE)
+        .select("doc_id")
+    )
+    qual = quality_stats(cutd).where("passes_quality").select("doc_id")
+    lm = (
+        bigram_logprob(cutd)
+        .where(F.col("avg_logprob") >= _LM_FLOOR)
+        .select("doc_id")
+    )
+    s2 = cutd.join(lid, "doc_id", "semi")
+    s3 = s2.join(qual, "doc_id", "semi").join(lm, "doc_id", "semi")
+
+    # 4: near-dup dedup over the stage-3 survivors (n_chars of the cut
+    # text as the keep-longest key, computed identically in the oracle)
+    keep4 = neardup_keepers(
+        s3.select("doc_id", "text", F.length("text").alias("n_chars"))
+    )
+    s4 = s3.join(keep4, "doc_id", "semi")
+
+    # 5: decontaminate the survivors' cut text against the raw benchmark
+    bench_grams = (
+        d.where(F.col("doc_id") < _BENCH_DOCS)
+        .select(F.explode(_ngram_hashes(F.col("text"))).alias("g"))
+        .distinct()
+    )
+    hits = (
+        s4.select("doc_id", F.explode(_ngram_hashes(F.col("text"))).alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    s5 = s4.join(hits, "doc_id", "anti")
+
+    # 6: realise the target language mixture over the final pool with
+    # exact-integer quotas (shares are /100 rationals)
+    share = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(int(v * 100))) for k, v in _MIX_TARGET.items()]
+    )
+    counts = s5.groupBy("lang").agg(
+        F.count("*").alias("n_final")
+    ).withColumn("w_int", share)
+    other = F.broadcast(
+        counts.select(F.col("n_final").alias("n_j"), F.col("w_int").alias("w_j"))
+    )
+    quota = (
+        counts.crossJoin(other)
+        .groupBy("lang", "n_final", "w_int")
+        .agg(F.min(F.expr("(n_j * w_int) div w_j")).cast("long").alias("n_quota"))
+    )
+    ranked = s5.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        ),
+    )
+    sampled = (
+        ranked.join(F.broadcast(quota.select("lang", "n_quota")), "lang")
+        .where(F.col("rn") <= F.col("n_quota"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_sampled"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("sampled_digest"),
+        )
+    )
+
+    # per-language report: cut-stage token removal over the whole
+    # corpus, then each stage's survivor count
+    cut_stats = cutd.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_input"),
+        F.sum("n_raw_tokens").cast("long").alias("tokens_before"),
+        F.sum("n_cut_tokens").cast("long").alias("tokens_after"),
+    )
+
+    def _by_lang(frame: DataFrame, name: str) -> DataFrame:
+        return (
+            frame.select("doc_id")
+            .join(d.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    return (
+        cut_stats.join(_by_lang(s2, "n_lid"), "lang")
+        .join(_by_lang(s3, "n_quality"), "lang")
+        .join(_by_lang(s4, "n_dedup"), "lang")
+        .join(quota.select("lang", F.col("n_final").cast("long").alias("n_final")), "lang")
+        .join(sampled, "lang")
+        .select(
+            "lang", "n_input", "tokens_before", "tokens_after",
+            "n_lid", "n_quality", "n_dedup", "n_final",
+            "n_sampled", "sampled_digest",
+        )
+        .orderBy("lang")
+    )
+
+
+def _ccnet_sql() -> str:
+    from .dedup_q import _minhash_sql
+    from .pipeline_q import _NGRAM_SQL_EXPR
+    from .substr_q import _L, _gram_cte_sql
+    from .text_ops import _bigram_sql, _lang_sql, _quality_sql
+
+    share_case = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {int(v * 100)}" for k, v in _MIX_TARGET.items()
+    ) + " END"
+    return f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+g AS ({_gram_cte_sql(_L)}),
+freq AS (SELECT h FROM g GROUP BY h HAVING count(*) >= {_BOILER_FREQ}),
+dup AS (SELECT doc_id, pos FROM g JOIN freq USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER w <= {_L} THEN 0 ELSE 1 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sid AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {_L} - 1 AS e
+  FROM sid GROUP BY doc_id, sid
+),
+doc_spans AS (
+  SELECT doc_id, list({{'s': s, 'e': e}}) AS spans FROM spans GROUP BY doc_id
+),
+cut AS MATERIALIZED (
+  SELECT t.doc_id, len(t.tok) AS n_raw_tokens,
+         coalesce(array_to_string(
+           list_transform(
+             list_filter(
+               list_transform(range(1, len(t.tok) + 1),
+                              i -> {{'i': i, 't': t.tok[i]}}),
+               x -> len(list_filter(coalesce(d.spans, []),
+                        sp -> x.i >= sp.s AND x.i <= sp.e)) = 0),
+             x -> x.t),
+           ' '), '') AS clean_text
+  FROM toks t LEFT JOIN doc_spans d USING (doc_id)
+),
+cutdocs AS MATERIALIZED (
+  SELECT c.doc_id,
+         CAST(c.n_raw_tokens AS BIGINT) AS n_raw_tokens,
+         CAST(CASE WHEN c.clean_text = '' THEN 0
+                   ELSE len(string_split(c.clean_text, ' ')) END AS BIGINT)
+           AS n_cut_tokens,
+         c.clean_text AS text,
+         d.lang
+  FROM cut c JOIN documents d USING (doc_id)
+),
+lid AS MATERIALIZED (
+  SELECT doc_id FROM ({_lang_sql("cutdocs")}) x WHERE score >= {_LID_MIN_SCORE}
+),
+qkeep AS MATERIALIZED (
+  SELECT doc_id FROM ({_quality_sql("cutdocs")}) y WHERE passes_quality
+),
+lm AS MATERIALIZED (
+  SELECT doc_id FROM ({_bigram_sql("cutdocs")}) z WHERE avg_logprob >= {_LM_FLOOR}
+),
+s2 AS MATERIALIZED (SELECT c.* FROM cutdocs c JOIN lid USING (doc_id)),
+s3 AS MATERIALIZED (
+  SELECT s.* FROM s2 s JOIN qkeep USING (doc_id) JOIN lm USING (doc_id)
+),
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b
+  FROM ({_minhash_sql("SELECT doc_id, text FROM s3")}) mh_pairs
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(id, anc) AS (
+  SELECT doc_id, doc_id FROM s3
+  UNION
+  SELECT e.dst AS id, r.anc FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, min(anc) AS cluster_id FROM reach GROUP BY id),
+keep4 AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY length(s.text) DESC, c.doc_id) AS rn
+    FROM comp c JOIN s3 s USING (doc_id)
+  ) WHERE rn = 1
+),
+s4 AS MATERIALIZED (SELECT s.* FROM s3 s JOIN keep4 USING (doc_id)),
+bench AS (
+  SELECT DISTINCT unnest({_NGRAM_SQL_EXPR}) AS bg
+  FROM documents WHERE doc_id < {_BENCH_DOCS}
+),
+cg AS (SELECT doc_id, unnest({_NGRAM_SQL_EXPR}) AS bg FROM s4),
+hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bench USING (bg)),
+s5 AS MATERIALIZED (
+  SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+),
+counts AS (
+  SELECT lang, count(*) AS n_final, {share_case} AS w_int
+  FROM s5 GROUP BY lang
+),
+quota AS (
+  SELECT a.lang, a.n_final,
+         CAST(min((b.n_final * a.w_int) // b.w_int) AS BIGINT) AS n_quota
+  FROM counts a CROSS JOIN counts b
+  GROUP BY a.lang, a.n_final, a.w_int
+),
+ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM s5
+),
+sampled AS (
+  SELECT r.lang,
+         CAST(count(*) AS BIGINT) AS n_sampled,
+         md5(array_to_string(
+               list(CAST(r.doc_id AS VARCHAR) ORDER BY r.doc_id), ','))
+           AS sampled_digest
+  FROM ranked r JOIN quota q USING (lang)
+  WHERE r.rn <= q.n_quota
+  GROUP BY r.lang
+),
+cutstats AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_input,
+         CAST(sum(n_raw_tokens) AS BIGINT) AS tokens_before,
+         CAST(sum(n_cut_tokens) AS BIGINT) AS tokens_after
+  FROM cutdocs GROUP BY lang
+),
+s2c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lid FROM s2 GROUP BY lang),
+s3c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_quality FROM s3 GROUP BY lang),
+s4c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_dedup FROM s4 GROUP BY lang)
+SELECT cs.lang, cs.n_input, cs.tokens_before, cs.tokens_after,
+       s2c.n_lid, s3c.n_quality, s4c.n_dedup,
+       CAST(q.n_final AS BIGINT) AS n_final,
+       s.n_sampled, s.sampled_digest
+FROM cutstats cs
+JOIN s2c USING (lang)
+JOIN s3c USING (lang)
+JOIN s4c USING (lang)
+JOIN quota q ON q.lang = cs.lang
+JOIN sampled s ON s.lang = cs.lang
+ORDER BY cs.lang
+"""
+
+
+QUERIES = {
+    "pipeline_ccnet_recipe": QuerySpec(pipeline_ccnet_recipe, _ccnet_sql()),
+}

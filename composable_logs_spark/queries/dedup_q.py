@@ -279,7 +279,12 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     return verified
 
 
-def _minhash_sql() -> str:
+def _minhash_sql(corpus_sql: str | None = None) -> str:
+    """The LSH pair oracle over any (doc_id, text) corpus source —
+    defaults to the planted near-dup corpus; compositions (ccnet_q)
+    pass their own survivor CTE so the oracle's pair stage runs over
+    exactly the frame the Spark side hands minhash_pairs."""
+    corpus_sql = _NEAR_DUP_CORPUS_SQL if corpus_sql is None else corpus_sql
     mh_cols = ",\n         ".join(
         f"list_min(list_transform(hs, h -> (h * {_A[s]} + {_B[s]}) % {_M})) AS mh{s}"
         for s in range(_K)
@@ -297,7 +302,7 @@ def _minhash_sql() -> str:
         f"SELECT doc_id, {b} AS band_idx, band{b} AS band_hash FROM sig" for b in range(_BANDS)
     )
     return f"""
-WITH corpus AS ({_NEAR_DUP_CORPUS_SQL}),
+WITH corpus AS ({corpus_sql}),
 docs AS (
   SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM corpus
 ),

@@ -317,19 +317,22 @@ GROUP BY source
 # definition): LSH equi-joins + sparse-edge components + one arg-max
 # hash-agg + three narrow-map filters joined on doc_id. Nothing here
 # adds a new shuffle class.
-def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+def neardup_keepers(d: DataFrame) -> DataFrame:
+    """Document-level near-dup dedup over any (doc_id, text, n_chars)
+    frame: minhash-LSH pairs -> connected components -> keep the
+    longest doc per cluster (doc_id tie-break). Shared by the clean-
+    corpus pipeline and the CCNet recipe (ccnet_q) so the stage cannot
+    drift between compositions."""
     from ..operators.components import connected_components
     from .dedup_q import minhash_pairs
-    from .text_ops import text_c4_filters, text_quality_scores, text_repetition
 
-    d = load(spark, sf, "documents")
     pairs = minhash_pairs(d.select("doc_id", "text")).select("doc_a", "doc_b")
     comp = connected_components(
         d.select(F.col("doc_id").alias("id")),
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
     ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
     labeled = comp.join(d.select("doc_id", "n_chars"), "doc_id")
-    keepers = (
+    return (
         labeled.groupBy("cluster_id")
         .agg(
             F.max(
@@ -338,6 +341,13 @@ def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select((-F.col("best.neg_id")).alias("doc_id"))
     )
+
+
+def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    from .text_ops import text_c4_filters, text_quality_scores, text_repetition
+
+    d = load(spark, sf, "documents")
+    keepers = neardup_keepers(d)
     # of the C4 rules, only the boilerplate markers discriminate on this
     # corpus (single-line synthetic text: the line-level terminal-punct /
     # min-words rules are vacuously false for every doc, real or junk);

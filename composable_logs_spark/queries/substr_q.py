@@ -180,23 +180,28 @@ def merge_windows(dup_positions: DataFrame, l: int = _L) -> DataFrame:
     ).drop("sid")
 
 
-def dup_spans(docs: DataFrame, l: int = _L) -> DataFrame:
+def dup_spans(docs: DataFrame, l: int = _L, min_freq: int = 2) -> DataFrame:
     """Maximal duplicated spans per doc: (doc_id, n_tokens, span_start,
-    span_end) in 1-based inclusive token indices."""
+    span_end) in 1-based inclusive token indices.
+
+    ``min_freq`` is the corpus-frequency floor for a window to count as
+    duplicated: 2 (default) is the Lee et al. cut; 3+ restricts the cut
+    to BOILERPLATE spans, leaving pairwise twins to document-level
+    dedup (the CCNet recipe's division of labor, ``ccnet_q``)."""
     g = _grams(docs, l)
     freq = g.groupBy("h").agg(F.count("*").alias("cnt"))
     dup = (
-        g.join(freq.where(F.col("cnt") >= 2), "h")
+        g.join(freq.where(F.col("cnt") >= min_freq), "h")
         .select("doc_id", "n_tokens", "pos")
     )
     return merge_windows(dup, l)
 
 
-def cut_dup_spans(docs: DataFrame, l: int = _L) -> DataFrame:
+def cut_dup_spans(docs: DataFrame, l: int = _L, min_freq: int = 2) -> DataFrame:
     """(doc_id, text, clean_text): every duplicated-span token removed.
     One left join of docs against their collected span list (vast
     majority of docs have none), then a zero-shuffle array filter."""
-    spans = dup_spans(docs, l).groupBy("doc_id").agg(
+    spans = dup_spans(docs, l, min_freq).groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("spans")
     )
     return (

@@ -81,9 +81,10 @@ def quality_stats(d: DataFrame) -> DataFrame:
     )
 
 
-QUALITY_SQL = """
+def _quality_sql(src: str = "documents") -> str:
+    return f"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM {src}
 ), m AS (
   SELECT doc_id,
          len(toks)                                                          AS n_tokens,
@@ -105,6 +106,9 @@ FROM m
 """
 
 
+QUALITY_SQL = _quality_sql()
+
+
 # ---------------------------------------------------------------------------
 # Language-ID heuristic: marker-token scoring (n-gram heuristic family).
 # The same scoring runs in both engines; prediction = argmax score with a
@@ -119,7 +123,12 @@ _LANG_MARKERS = {
 
 
 def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
+    return lang_scores(load(spark, sf, "documents"))
+
+
+def lang_scores(d: DataFrame) -> DataFrame:
+    """Frame-based core over any (doc_id, lang, text) frame (see
+    quality_stats) — the CCNet recipe runs it on CUT text."""
     toks = _tokens(F.col("text"))
     scored = d.select(
         "doc_id",
@@ -143,7 +152,7 @@ def text_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _lang_sql() -> str:
+def _lang_sql(src: str = "documents") -> str:
     score_cols = ",\n         ".join(
         "len(list_filter(toks, x -> x IN ({}))) AS score_{}".format(
             ", ".join(f"'{m}'" for m in markers), lang
@@ -158,7 +167,7 @@ def _lang_sql() -> str:
         best = f"CASE WHEN score_{lang} > {best} THEN score_{lang} ELSE {best} END"
     return f"""
 WITH t AS (
-  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM {src}
 ), s AS (
   SELECT doc_id, lang AS actual_lang,
          {score_cols}
@@ -681,7 +690,14 @@ FROM documents
 # table. Cross-engine exactness: ln() rounded to integer micro-nats per
 # bigram type (the unigram query's proven recipe), summed exactly.
 def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents").select("doc_id", "text")
+    return bigram_logprob(load(spark, sf, "documents"))
+
+
+def bigram_logprob(d: DataFrame) -> DataFrame:
+    """Frame-based core over any (doc_id, text) frame: the bigram model
+    is trained on the GIVEN frame (the CCNet recipe scores cut text
+    against a cut-corpus model)."""
+    d = d.select("doc_id", "text")
     toks = d.select("doc_id", _tokens(F.lower(F.col("text"))).alias("arr"))
     big = toks.where(F.size("arr") >= 2).select(
         "doc_id",
@@ -726,10 +742,11 @@ def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-BIGRAM_SQL = """
+def _bigram_sql(src: str = "documents") -> str:
+    return f"""
 WITH arrs AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
-  FROM documents
+  FROM {src}
 ),
 big AS (
   SELECT doc_id, arr[x] AS w1, arr[x + 1] AS w2
@@ -755,6 +772,9 @@ SELECT b.doc_id,
 FROM big b JOIN lp USING (w1, w2)
 GROUP BY b.doc_id
 """
+
+
+BIGRAM_SQL = _bigram_sql()
 
 
 # ---------------------------------------------------------------------------
