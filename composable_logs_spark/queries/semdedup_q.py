@@ -90,10 +90,20 @@ def _augmented(base: DataFrame) -> DataFrame:
     return base.unionByName(variant)
 
 
-def semdedup_frame(corpus: DataFrame, tau: float = _TAU) -> DataFrame:
+def semdedup_frame(
+    corpus: DataFrame, tau: float = _TAU, k: int | None = None
+) -> DataFrame:
     """Core operator over any (vec_id, vec) frame: one row per vector
-    with (vec_id, cell, csim, dropped)."""
-    cents = _train_kmeans_on(corpus)
+    with (vec_id, cell, csim, dropped).
+
+    ``k`` is the cell count — the paper's scale lever (K ~ sqrt(N); 50k
+    cells for LAION): the pair stage's candidate count is bounded by
+    sum(cell_i^2), so doubling K roughly quarters the per-cell pair
+    work while the only K-cost is the broadcast centroid table.
+    Defaults to the shared trainer's _KM_K."""
+    from .similarity_q import _KM_K
+
+    cents = _train_kmeans_on(corpus, _KM_K if k is None else k)
     assigned = _km_assign(corpus, cents)
     cmeta = cents.withColumn("cnrm", _norm(F.col("cvec")))
     r = (
@@ -137,14 +147,14 @@ def semdedup_frame(corpus: DataFrame, tau: float = _TAU) -> DataFrame:
     )
 
 
-def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+def dedup_semantic(spark: SparkSession, sf: str, k: int | None = None) -> DataFrame:
     """Per-cell SemDeDup report over the augmented embeddings corpus:
     how many vectors each cell holds, how many survive, and a digest
     of exactly WHICH ids survive."""
     base = load(spark, sf, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("vec")
     )
-    flags = semdedup_frame(_augmented(base))
+    flags = semdedup_frame(_augmented(base), k=k)
     return (
         flags.groupBy("cell")
         .agg(
@@ -181,8 +191,10 @@ _AUG_CORPUS_SQL = f"""{_KM_CORPUS_SQL}
   FROM embeddings"""
 
 
-def _semdedup_sql() -> str:
-    ctes, last_cent = _km_cte_chain(_AUG_CORPUS_SQL)
+def _semdedup_sql(k: int | None = None) -> str:
+    from .similarity_q import _KM_K
+
+    ctes, last_cent = _km_cte_chain(_AUG_CORPUS_SQL, _KM_K if k is None else k)
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -222,6 +234,23 @@ ORDER BY cell
     )
 
 
+# The K scale knob, exercised in the registry: same operator, doubled
+# cell count — at the paper's K ~ sqrt(N) the augmented sf0.01 corpus
+# (1000 vectors) sits near K=32; K=16 demonstrates the lever while
+# keeping >= 2 planted duplicates per expected cell. The oracle
+# replicates the doubled Lloyd chain exactly, so the gate proves cell
+# assignment AND the within-cell pair stage at a second operating
+# point.
+_K_SCALED = 16
+
+
+def dedup_semantic_k16(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup_semantic(spark, sf, k=_K_SCALED)
+
+
 QUERIES = {
     "dedup_semantic": QuerySpec(dedup_semantic, _semdedup_sql()),
+    "dedup_semantic_k16": QuerySpec(
+        dedup_semantic_k16, _semdedup_sql(_K_SCALED)
+    ),
 }

@@ -232,10 +232,15 @@ def ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return _topk_two_phase(scored, _TOP_K, extra_cols=["cell"])
 
 
-def _train_kmeans_on(corpus: DataFrame) -> DataFrame:
+def _train_kmeans_on(corpus: DataFrame, k: int = _KM_K) -> DataFrame:
     """Unrolled deterministic Lloyd loop over any (vec_id, vec) corpus
-    (init: the _KM_K lowest vec_ids) -> final centroids."""
-    cents = corpus.where(F.col("vec_id") < _KM_K).select(
+    (init: the k lowest vec_ids) -> final centroids.
+
+    k is THE scale lever for every consumer (IVF cell count, SemDeDup
+    cell bound — the paper's K ~ sqrt(N)): cell-bounded pair/probe
+    stages shrink quadratically as k grows, while the only k-costs are
+    the broadcast centroid table (k x dim doubles) and the argmin."""
+    cents = corpus.where(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cell"), F.col("vec").alias("cvec")
     )
     for _ in range(_KM_ITERS):
@@ -256,11 +261,14 @@ _KM_CORPUS_SQL = (
 )
 
 
-def _km_cte_chain(corpus_sql: str = _KM_CORPUS_SQL) -> tuple[list[str], str]:
+def _km_cte_chain(
+    corpus_sql: str = _KM_CORPUS_SQL, k: int = _KM_K
+) -> tuple[list[str], str]:
     """The unrolled-Lloyd CTE chain through ``finaln`` (assigned +
     normed corpus); returns (ctes, name of the final centroid CTE) so
     the k-means probe, the multi-probe query, and SemDeDup (which
-    trains over an AUGMENTED corpus, hence the parameter) share it."""
+    trains over an AUGMENTED corpus with its own cell count, hence the
+    parameters) share it."""
 
     def assign(cent_cte: str, src: str) -> str:
         return f"""(
@@ -287,7 +295,7 @@ def _km_cte_chain(corpus_sql: str = _KM_CORPUS_SQL) -> tuple[list[str], str]:
 
     ctes = [
         f"corpus AS ({corpus_sql})",
-        f"cent0 AS (SELECT CAST(vec_id AS INT) AS cell, vec AS cvec FROM corpus WHERE vec_id < {_KM_K})",
+        f"cent0 AS (SELECT CAST(vec_id AS INT) AS cell, vec AS cvec FROM corpus WHERE vec_id < {k})",
     ]
     prev_cent = "cent0"
     for i in range(1, _KM_ITERS + 1):

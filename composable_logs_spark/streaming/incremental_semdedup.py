@@ -36,6 +36,15 @@ Replay idempotence: flags and kept-vector writes land under
 index with ``batch_id != N`` — an at-least-once redelivery rewrites
 its own partition and cannot drop the whole batch against its own
 first attempt.
+
+Drift: centroids trained once go stale as stream content drifts — new
+content far from every initial cell piles into whichever cell is
+nearest, inflating that cell's pair stage and weakening the dedup
+(near-identical drifted vectors still meet in the one cell, but its
+bound degrades toward corpus-sized). ``refresh_centroids`` is the
+version boundary: retrain on the CURRENT kept index, reassign every
+kept vector, rewrite the index under the same batch_id partitioning
+(so replay idempotence survives the refresh untouched).
 """
 
 from __future__ import annotations
@@ -130,6 +139,69 @@ def _flag_batch(
             F.coalesce("dropped", F.lit(False)).alias("dropped"),
         )
     )
+
+
+def refresh_centroids(
+    spark: SparkSession, cents_dir: str, kept_dir: str, k: int | None = None
+) -> None:
+    """Retrain the coarse centroids on the CURRENT kept index and
+    reassign every kept vector — run on a version boundary (every N
+    batches / on a drift alarm), between micro-batches.
+
+    Seeding: the k NEWEST kept ids, re-labelled 0..k-1. Drift is the
+    reason a refresh runs, and Lloyd iterations can only move cells,
+    never split one — seeding from the oldest ids re-picks the stale
+    directions and leaves the whole drifted region in a single cell
+    (observed while building the test); the newest keepers ARE the
+    drifted region. Dedup correctness never depends on seeding (near-
+    identical vectors share a nearest centroid under any centroids);
+    seeding only controls how tight the cell BOUNDS stay. The kept
+    index is rewritten under its existing batch_id partitioning, so
+    the ``batch_id != N`` replay guard keeps working across the
+    refresh."""
+    from ..queries.similarity_q import _KM_ITERS, _KM_K, _km_recompute
+
+    k = _KM_K if k is None else k
+    kept = spark.read.parquet(kept_dir).select("batch_id", "vec_id", "vec")
+    corpus = kept.select("vec_id", "vec")
+    # k seed rows: newest ids present, labelled 0..k-1 (window over a
+    # k-row frame — TakeOrdered k, never corpus-sized)
+    from pyspark.sql import Window as W
+
+    seeds = (
+        corpus.orderBy(F.col("vec_id").desc())
+        .limit(k)
+        .withColumn(
+            "cell",
+            (F.row_number().over(W.orderBy(F.col("vec_id").desc())) - 1).cast(
+                "int"
+            ),
+        )
+        .select("cell", F.col("vec").alias("cvec"))
+    )
+    cents = seeds
+    for _ in range(_KM_ITERS):
+        cents = _km_recompute(_km_assign(corpus, cents))
+    # write-aside then swap (the mv_sink version-dir pattern): the new
+    # index's lineage READS the old files, so an in-place overwrite
+    # would consume its own input — and a driver-side collect to break
+    # lineage would pull the corpus-sized index through the driver
+    import shutil
+
+    cents_tmp, kept_tmp = cents_dir + "__refresh", kept_dir + "__refresh"
+    cents.write.mode("overwrite").parquet(cents_tmp)
+    new_cents = spark.read.parquet(cents_tmp)
+    (
+        _km_assign(corpus, new_cents)
+        .join(kept.select("batch_id", "vec_id"), "vec_id")
+        .select("batch_id", "vec_id", "vec", "cell")
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(kept_tmp)
+    )
+    for src, dst in ((cents_tmp, cents_dir), (kept_tmp, kept_dir)):
+        shutil.rmtree(dst, ignore_errors=True)
+        shutil.move(src, dst)
 
 
 def make_fold(

@@ -123,3 +123,72 @@ def test_streaming_end_to_end(spark, tmp_path):
         q.stop()
     f = _flags(spark, out_dir)
     assert f == {600: True, 601: True}  # both dup the initial keepers
+
+
+def test_refresh_centroids_handles_drift(spark, tmp_path):
+    """Drifted content: before a refresh, vectors in a novel direction
+    all pile into one stale cell; after refresh_centroids the retrained
+    cells separate them, the kept set is preserved exactly, and a
+    duplicate of a drifted keeper is still dropped (replay guard
+    intact across the refresh)."""
+    from composable_logs_spark.streaming.incremental_semdedup import (
+        refresh_centroids,
+    )
+
+    cents_dir = str(tmp_path / "cents")
+    kept_dir = str(tmp_path / "kept")
+    out_dir = str(tmp_path / "flags")
+    init_semdedup_state(_corpus(spark), cents_dir, kept_dir)
+    fold = make_fold(spark, cents_dir, kept_dir, out_dir)
+
+    # drifted batch: 4 mutually-distant vectors in directions the
+    # initial centroids never saw (high dims), all below tau pairwise
+    def drifted(i):
+        v = [0.0] * 64
+        v[48 + 2 * i] = 1.0
+        v[49 + 2 * i] = 0.3
+        return v
+
+    b0 = spark.createDataFrame(
+        [(700 + i, drifted(i)) for i in range(4)],
+        "vec_id long, vec array<double>",
+    )
+    fold(b0, 0)
+    f0 = _flags(spark, out_dir)
+    assert all(f0[700 + i] is False for i in range(4))  # novel: all kept
+    stale_cells = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(kept_dir).collect()
+    }
+    # the drifted keepers piled into few stale cells
+    n_stale = len({stale_cells[700 + i] for i in range(4)})
+
+    before_ids = sorted(stale_cells)
+    refresh_centroids(spark, cents_dir, kept_dir)
+    refreshed = {
+        r["vec_id"]: r["cell"]
+        for r in spark.read.parquet(kept_dir).collect()
+    }
+    assert sorted(refreshed) == before_ids  # no keeper lost or added
+    n_fresh = len({refreshed[700 + i] for i in range(4)})
+    assert n_fresh >= n_stale  # retrained cells separate the drift
+    assert n_fresh > 1
+
+    # dedup still works across the refresh: a near-copy of a drifted
+    # keeper must be dropped, a new novel direction kept
+    novel = [0.0] * 64
+    novel[11], novel[42] = 1.0, 1.0
+    b1 = spark.createDataFrame(
+        [(800, [x * 1.001 for x in drifted(2)]), (801, novel)],
+        "vec_id long, vec array<double>",
+    )
+    fold(b1, 1)
+    f1 = _flags(spark, out_dir)
+    assert f1[800] is True and f1[801] is False
+
+    # replay idempotence across the refresh boundary
+    fold(b1, 1)
+    assert _flags(spark, out_dir)[800] is True
+    assert (
+        spark.read.parquet(kept_dir).where(F.col("vec_id") == 801).count() == 1
+    )

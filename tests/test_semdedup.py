@@ -107,3 +107,32 @@ def test_variant_pairs_collapse_exactly(spark, sf_dir):
         vid = r["vec_id"]
         if vid < _VARIANT_OFFSET:
             assert (vid in dropped) != (vid + _VARIANT_OFFSET in dropped)
+
+
+def test_cell_bound_shrinks_with_k(spark, sf_dir):
+    """The K scale lever: the pair stage's candidate count is bounded
+    by sum(c_i choose 2) over cell sizes; doubling K must shrink that
+    bound (and both operating points are registry-gated)."""
+    from composable_logs_spark.queries import load
+    from composable_logs_spark.queries.semdedup_q import _augmented
+    from composable_logs_spark.queries.similarity_q import _as_double
+
+    base = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("vec")
+    )
+    corpus = _augmented(base)
+    n = corpus.count()
+
+    def pair_bound(k):
+        sizes = [
+            r["c"]
+            for r in semdedup_frame(corpus, k=k)
+            .groupBy("cell")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ]
+        assert sum(sizes) == n  # every vector assigned exactly once
+        return sum(c * (c - 1) // 2 for c in sizes)
+
+    b8, b16 = pair_bound(8), pair_bound(16)
+    assert b16 < b8 < n * (n - 1) // 2  # lever works; never all-pairs
