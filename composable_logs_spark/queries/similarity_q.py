@@ -1231,7 +1231,12 @@ def _resid_subvectors(resid: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
-def ann_ivfpq_residual(spark: SparkSession, sf: str) -> DataFrame:
+def _residual_adc_pairs(spark: SparkSession, sf: str):
+    """The shared residual-IVF-PQ candidate scorer: returns
+    (pairs, assigned) where pairs = (query_id, vec_id, adc_d2_micro)
+    over the probed cells — consumed by ann_ivfpq_residual (top-k on
+    the ADC estimate) and ann_ivfpq_rerank (exact re-rank of the ADC
+    shortlist)."""
     corpus, kcents = _train_kmeans(spark, sf)
     assigned = _km_assign(corpus, kcents)  # (vec_id, vec, cell)
 
@@ -1311,26 +1316,73 @@ def ann_ivfpq_residual(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg(F.sum("d2_micro").alias("adc_d2_micro"))
     )
-    salted = pairs.withColumn(
+    return pairs, assigned
+
+
+def _salted_topk(scored: DataFrame, order, k: int) -> DataFrame:
+    """Salted two-phase per-query top-k (the house pattern), returning
+    rows with a final `rank` column."""
+    salted = scored.withColumn(
         "_salt", F.pmod(F.hash(F.col("vec_id")), F.lit(_SALT_BUCKETS))
     )
-    order = [F.col("adc_d2_micro").asc(), F.col("vec_id")]
     local = salted.withColumn(
         "_lr",
         F.row_number().over(W.partitionBy("query_id", "_salt").orderBy(*order)),
-    ).where(F.col("_lr") <= _TOP_K)
-    return (
-        local.withColumn(
-            "rank", F.row_number().over(W.partitionBy("query_id").orderBy(*order))
-        )
-        .where(F.col("rank") <= _TOP_K)
-        .select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), "adc_d2_micro", "rank"
-        )
+    ).where(F.col("_lr") <= k)
+    return local.withColumn(
+        "rank", F.row_number().over(W.partitionBy("query_id").orderBy(*order))
+    ).where(F.col("rank") <= k)
+
+
+def ann_ivfpq_residual(spark: SparkSession, sf: str) -> DataFrame:
+    pairs, _ = _residual_adc_pairs(spark, sf)
+    order = [F.col("adc_d2_micro").asc(), F.col("vec_id")]
+    return _salted_topk(pairs, order, _TOP_K).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "adc_d2_micro", "rank"
     )
 
 
-def _rpq_sql() -> str:
+# Re-ranking (the standard IVF-PQ accuracy tail, e.g. FAISS's
+# IndexRefineFlat): the ADC estimate orders a SHORTLIST of R
+# candidates per query; their exact vectors are then fetched by
+# equi-join and the final top-k uses true distances. Costs one extra
+# join of |queries| x R rows against the corpus — R is a constant
+# (4x k here), so the refinement stage's size is independent of
+# corpus scale while recall strictly improves on the ADC ranking
+# (test-asserted monotone in R and above the unrefined recall).
+_RERANK_R = 4 * _TOP_K
+
+
+def ann_ivfpq_rerank(spark: SparkSession, sf: str, r: int = _RERANK_R) -> DataFrame:
+    pairs, assigned = _residual_adc_pairs(spark, sf)
+    adc_order = [F.col("adc_d2_micro").asc(), F.col("vec_id")]
+    shortlist = _salted_topk(pairs, adc_order, r).select("query_id", "vec_id")
+    qv = assigned.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qvec"), F.col("vec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    exact = (
+        shortlist.join(assigned.select("vec_id", "vec"), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(d2 * 1e6).cast("long").alias("d2_micro"),
+        )
+    )
+    order = [F.col("d2_micro").asc(), F.col("vec_id")]
+    return _salted_topk(exact, order, _TOP_K).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "d2_micro", "rank"
+    )
+
+
+def _rpq_cte_list() -> list[str]:
+    """The residual-IVF-PQ oracle CTE chain through ``pairs`` — shared
+    by the ADC-ranked query and the exact-rerank query."""
     ctes, final_cent = _km_cte_chain()
     ctes.append(
         f"""resid AS (
@@ -1442,14 +1494,53 @@ def _rpq_sql() -> str:
   GROUP BY c.query_id, c.vec_id
 )"""
     )
+    return ctes
+
+
+def _rpq_sql() -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_rpq_cte_list())
         + f"""
 SELECT query_id, vec_id AS neighbor_id, adc_d2_micro, rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                                     ORDER BY adc_d2_micro ASC, vec_id) AS INT) AS rank
   FROM pairs
+) WHERE rank <= {_TOP_K}
+"""
+    )
+
+
+def _rerank_sql(r: int = _RERANK_R) -> str:
+    ctes = _rpq_cte_list()
+    ctes.append(
+        f"""shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_d2_micro ASC, vec_id) AS arank
+    FROM pairs
+  ) WHERE arank <= {r}
+)"""
+    )
+    ctes.append(
+        """exact AS (
+  SELECT s.query_id, s.vec_id,
+         CAST(round(list_sum(list_transform(range(1, 65),
+                j -> (q.vec[j] - f.vec[j]) * (q.vec[j] - f.vec[j]))) * 1000000, 0)
+              AS BIGINT) AS d2_micro
+  FROM shortlist s
+  JOIN finaln f ON f.vec_id = s.vec_id
+  JOIN finaln q ON q.vec_id = s.query_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, vec_id AS neighbor_id, d2_micro, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY d2_micro ASC, vec_id) AS INT) AS rank
+  FROM exact
 ) WHERE rank <= {_TOP_K}
 """
     )
@@ -1516,4 +1607,5 @@ QUERIES = {
     "ann_ivf_multiprobe": QuerySpec(ann_ivf_multiprobe, _multiprobe_sql()),
     "ann_ivfpq_adc": QuerySpec(ann_ivfpq_adc, _ivfpq_sql()),
     "ann_ivfpq_residual": QuerySpec(ann_ivfpq_residual, _rpq_sql()),
+    "ann_ivfpq_rerank": QuerySpec(ann_ivfpq_rerank, _rerank_sql()),
 }

@@ -222,3 +222,54 @@ def test_ivfpq_residual_beats_raw_coded(spark, sf_dir):
     r_res, r_raw = recall(res), recall(raw)
     assert r_res >= r_raw, (r_res, r_raw)
     assert r_res > 0  # the index actually retrieves true neighbors
+
+
+def test_ivfpq_rerank_recall_monotone_and_beats_adc(spark, sf_dir):
+    """Exact re-ranking of the ADC shortlist (FAISS refine pattern):
+    recall@5 must (a) beat the unrefined ADC ranking at equal nprobe —
+    the accuracy the refinement stage exists to buy — and (b) be
+    monotone in the shortlist depth R (a deeper shortlist is a
+    superset, and exact ordering of a superset can only improve the
+    exact top-k)."""
+    import numpy as np
+
+    from composable_logs_spark.queries import load
+    from composable_logs_spark.queries.similarity_q import (
+        _N_QUERIES,
+        _RERANK_R,
+        _TOP_K,
+        ann_ivfpq_rerank,
+        ann_ivfpq_residual,
+    )
+
+    V = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+
+    def exact_top5(q):
+        d = sorted(
+            (float(np.sum((V[q] - v) ** 2)), i)
+            for i, v in V.items()
+            if i != q
+        )
+        return {i for _, i in d[:_TOP_K]}
+
+    exact = {q: exact_top5(q) for q in range(_N_QUERIES)}
+
+    def recall(df):
+        by_q = {}
+        for r in df.collect():
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(by_q.get(q, set()) & exact[q]) for q in range(_N_QUERIES)
+        ) / (_N_QUERIES * _TOP_K)
+
+    r_adc = recall(ann_ivfpq_residual(spark, sf_dir))
+    r_shallow = recall(ann_ivfpq_rerank(spark, sf_dir, r=_TOP_K))
+    r_deep = recall(ann_ivfpq_rerank(spark, sf_dir, r=_RERANK_R))
+    # R = k re-ranks exactly the ADC winners: same set, so same recall
+    assert r_shallow == r_adc, (r_shallow, r_adc)
+    # the default depth must strictly beat the unrefined ranking here
+    # (the ADC estimate misorders true neighbors into ranks k..R)
+    assert r_deep > r_adc, (r_deep, r_adc)
