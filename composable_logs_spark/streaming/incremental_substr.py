@@ -123,6 +123,57 @@ def init_substr_state(
     )
 
 
+def _batch_ids(state_dir: str) -> list[int]:
+    import os
+
+    return sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(state_dir)
+        if name.startswith("batch_id=")
+    )
+
+
+def compact_state(
+    spark: SparkSession, index_dir: str, corpus_dir: str, retain: int = 2
+) -> None:
+    """Fold all but the newest ``retain`` batch partitions into the
+    consolidated base (``batch_id=-1``) — the ``mv_sink`` retention
+    pattern. Without it the index grows one partition directory per
+    micro-batch FOREVER: thousands of small files, and every probe
+    pays the partition listing.
+
+    Replay safety: the ``batch_id != N`` probe guard only matters for
+    batches that can still be REDELIVERED, and Structured Streaming
+    redelivers at most the batches not yet committed to the
+    checkpoint — always the newest. Keeping the newest ``retain``
+    (>= 2, the mv_sink margin) partitions un-folded preserves the
+    guard for every redeliverable batch; folded batches are final.
+
+    Runs BETWEEN micro-batches (same contract as
+    ``incremental_semdedup.refresh_centroids``); write-aside then swap
+    so the merge never reads a directory it is overwriting."""
+    import shutil
+
+    if retain < 2:
+        raise ValueError("retain must be >= 2 (replay margin)")
+    for state_dir in (index_dir, corpus_dir):
+        ids = _batch_ids(state_dir)
+        live = [i for i in ids if i >= 0]
+        protected = set(live[-retain:])
+        fold = [i for i in ids if i not in protected and i != -1]
+        if not fold:
+            continue
+        src = ([-1] if -1 in ids else []) + fold
+        merged = spark.read.parquet(
+            *[f"{state_dir}/batch_id={i}" for i in src]
+        )
+        tmp = f"{state_dir}/__compact_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        for i in src:
+            shutil.rmtree(f"{state_dir}/batch_id={i}")
+        shutil.move(tmp, f"{state_dir}/batch_id=-1")
+
+
 def make_fold(
     spark: SparkSession,
     corpus_dir: str,

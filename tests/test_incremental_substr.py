@@ -191,3 +191,68 @@ def test_empty_index_batch_unique_docs_flag_nothing(spark):
         ).count()
         == 0
     )
+
+
+def test_compaction_preserves_probe_and_replay(spark, tmp_path):
+    """compact_state folds old batch partitions into the batch_id=-1
+    base: probe results are identical pre/post compaction, the newest
+    `retain` partitions survive (so the replay guard still covers
+    every redeliverable batch), replaying the newest batch after
+    compaction stays idempotent, and a second compaction is a no-op."""
+    from composable_logs_spark.streaming.incremental_substr import (
+        _batch_ids,
+        compact_state,
+    )
+
+    corpus, shared = _corpus(spark)
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "gidx")
+    out_dir = str(tmp_path / "spans_out")
+    init_substr_state(corpus, corpus_dir, index_dir)
+    fold = make_fold(spark, corpus_dir, index_dir, out_dir)
+
+    runs = {}
+    for b in range(5):
+        runs[b] = " ".join(f"b{b}_{i}" for i in range(25))
+        fold(
+            spark.createDataFrame(
+                [(100 + b, runs[b])], "doc_id long, text string"
+            ),
+            b,
+        )
+    assert _batch_ids(index_dir) == [-1, 0, 1, 2, 3, 4]
+
+    # reference probe BEFORE compaction: a doc repeating batch 1's run
+    # (which will be folded) and the initial corpus' shared run
+    probe = spark.createDataFrame(
+        [(200, runs[1] + " " + shared)], "doc_id long, text string"
+    )
+
+    def probe_spans():
+        index = spark.read.parquet(index_dir).select("doc_id", "h")
+        cdocs = spark.read.parquet(corpus_dir).select("doc_id", "text")
+        return _span_set(
+            batch_dup_spans_against_index(probe, index, cdocs).collect()
+        )
+
+    before = probe_spans()
+    compact_state(spark, index_dir, corpus_dir, retain=2)
+    assert _batch_ids(index_dir) == [-1, 3, 4]
+    assert _batch_ids(corpus_dir) == [-1, 3, 4]
+    after = probe_spans()
+    assert before == after and 200 in after  # folded state still probes
+
+    # replaying the NEWEST batch after compaction: still idempotent
+    # (its partition was protected, so it cannot match itself)
+    fold(
+        spark.createDataFrame(
+            [(104, runs[4])], "doc_id long, text string"
+        ),
+        4,
+    )
+    assert 104 not in _span_set(spark.read.parquet(out_dir).collect())
+
+    # second compaction: nothing older than the protected tail -> no-op
+    compact_state(spark, index_dir, corpus_dir, retain=2)
+    assert _batch_ids(index_dir) == [-1, 3, 4]
+    assert probe_spans() == after
