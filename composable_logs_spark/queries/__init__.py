@@ -62,43 +62,48 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # name (tests/test_registry_window.py guards it). Rotation policy per
 # round: (1) every query that has never had a driver hash-green row,
 # (2) every query whose semantics or oracle changed this round,
-# (3) fill with the longest-unverified green block. Round 8 window:
-# the 7 queries ADDED this round (SemDeDup, BM25, residual IVF-PQ,
-# Gopher rules, LSH band sweep, hash-proven substring cut, hashed-BoW
-# document clustering — never driver-checked), the 5 whose code or
-# oracle changed this round
-# (the 4 substring-family queries: new per-token polynomial gram
-# hash on both engines; dsir_select_topk: cache lifecycle), then the
-# 13 remaining queries whose last driver-green row is round 4 —
-# completing the r4-stale rotation, so after this round every
-# registry name has a driver row from round-5-or-later code — and 25
-# of the 45 next-stalest (r5) queries in name order (20 rotate in
-# next round).
+# (3) fill with the longest-unverified green block. Round 9 window:
+# the 6 queries ADDED this round (image aHash near-dup, fastText-shape
+# quality classifier, DoReMi domain reweighting, CCNet six-stage
+# recipe, SemDeDup K=16 operating point, IVF-PQ exact re-rank — never
+# driver-checked), the 4 whose scoring expression or cache lifecycle
+# changed this round (text_bm25_topk: overflow guard in the contrib
+# expression; dedup_semantic: id-collision guard; dedup_minhash_
+# bandsweep: signature-cache release; ann_ivfpq_residual: pair stage
+# extracted into the helper the re-rank shares — pure-refactor queries
+# whose oracle SQL is byte-identical, e.g. the text_ops frame-core
+# split, are NOT counted as changed; verified by string equality
+# against the prior tree), then the 20 remaining r5-stale queries —
+# COMPLETING the rotation policy: after this round every registry name
+# has a driver row from round-6-or-later code — and the 20 stalest-
+# green (r6) queries in name order as filler.
 _FRONT_WINDOW = [
     # (1) new this round
-    "dedup_semantic", "text_bm25_topk", "ann_ivfpq_residual",
-    "text_gopher_filters", "dedup_minhash_bandsweep", "substr_cut_docs",
-    "cluster_docs_hashed_tf",
+    "media_phash_neardup", "text_quality_classifier",
+    "domain_reweight_doremi", "pipeline_ccnet_recipe",
+    "dedup_semantic_k16", "ann_ivfpq_rerank",
     # (2) changed this round
-    "dedup_exact_substring", "substr_cut_stats", "substr_winnow_stats",
-    "pipeline_dedup_then_cut", "dsir_select_topk",
-    # (3a) the final r4-stale block, name order
-    "text_fingerprint", "text_lang_id", "text_quality_scores",
-    "text_repetition", "text_tfidf_top3", "text_token_stats",
-    "text_vocab_topk", "unpivot_part_metrics", "window_ntile_customers",
-    "window_order_gaps", "window_rolling_week_spend",
-    "window_running_customer_spend", "window_top3_parts_per_supplier",
-    # (3b) stalest-green filler (r5), name order
-    "agg_percentiles_events", "asof_join_purchase_click",
-    "asof_join_with_tolerance", "bloom_pruned_urgent_revenue",
-    "decontaminate_against_benchmark", "dedup_chunks",
-    "dedup_cluster_assign", "dedup_corpus_keep", "dedup_srp_lsh",
-    "dq_check_customers", "event_transitions", "events_rate_anomaly",
-    "funnel_conversion", "gapfill_hourly_locf", "media_byte_histogram",
-    "media_checksums", "media_frame_sample", "pagerank_purchase_graph",
-    "pii_scrub_customers", "pipeline_clean_corpus", "q11_important_stock",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_counts",
+    "text_bm25_topk", "dedup_semantic", "dedup_minhash_bandsweep",
+    "ann_ivfpq_residual",
+    # (3a) the final r5-stale block, name order — completes the policy
+    "q17_small_qty_revenue", "q18_large_volume_customers",
+    "q19_bracket_revenue", "q20_potential_promotion",
+    "q21_waiting_suppliers", "q22_idle_rich_customers",
+    "q2_min_cost_supplier", "q4_late_order_priority",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "retention_cohorts", "sample_quality_weighted",
+    "sample_stratified_hash", "session_window_stats",
+    "stream_dedup_events", "stream_sliding_counts",
+    "stream_tumbling_counts", "time_weighted_avg",
+    # (3b) stalest-green filler (r6), name order
+    "ann_ivf_recall", "ann_pq_adc", "asof_join_nearest",
+    "bfs_purchase_distance", "cheapest_path_copurchase",
+    "chunk_overlap_windows", "cms_heavy_hitters", "copurchase_pmi_topk",
+    "corpus_line_dedup", "crossdoc_ngram_overlap",
+    "dedup_embedding_cosine", "dedup_jaccard_prefix",
+    "dedup_ngram_jaccard", "domain_cap_sample", "drift_psi_events",
+    "embedding_int8_quant", "embedding_pca_top1", "fk_integrity_audit",
+    "forecast_linear_events", "frequent_item_pairs",
 ]
 
 

@@ -4,13 +4,13 @@ right. ``all_queries`` pins it explicitly by name; this test asserts the
 pin so an innocent module reorder can't silently change which queries
 the driver hash-checks.
 
-Round-8 window (see ``_FRONT_WINDOW``): the queries ADDED this round
-(SemDeDup, BM25, residual IVF-PQ), the queries whose code or oracle
-changed this round (the substring family's new polynomial gram hash),
-then the 13 queries whose last driver-green row is round 4 — the
-final stale block, completing the rotation so every registry name has
-a driver row from round-5-or-later code — and the stalest-green
-filler block.
+Round-9 window (see ``_FRONT_WINDOW``): the queries ADDED this round
+(image aHash near-dup, quality classifier, DoReMi reweighting, CCNet
+recipe, SemDeDup K=16, IVF-PQ re-rank), the queries whose scoring
+expression or cache lifecycle changed this round, then the 20
+remaining r5-stale queries — completing the rotation so every registry
+name has a driver row from round-6-or-later code — and the stalest-
+green (r6) filler block.
 """
 
 from composable_logs_spark.queries import _FRONT_WINDOW, all_queries
@@ -32,8 +32,8 @@ def test_window_is_exactly_fifty_unique_names():
 
 def test_never_driver_checked_queries_lead_the_window():
     never_checked = {
-        "dedup_semantic", "text_bm25_topk", "ann_ivfpq_residual",
-        "text_gopher_filters", "dedup_minhash_bandsweep",
-        "substr_cut_docs", "cluster_docs_hashed_tf",
+        "media_phash_neardup", "text_quality_classifier",
+        "domain_reweight_doremi", "pipeline_ccnet_recipe",
+        "dedup_semantic_k16", "ann_ivfpq_rerank",
     }
     assert never_checked <= set(_FRONT_WINDOW[: len(never_checked)])
