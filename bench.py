@@ -29,6 +29,32 @@ from composable_logs_spark.queries import all_queries
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _prev_round_value(key: str):
+    """The newest recorded BENCH_r*.json's queries_extra[key], if any —
+    the round-over-round reference for the outlier guard. Only
+    comparable at the driver's sf (0.1): smaller SFs use a smaller
+    big-span fixture."""
+    import glob
+    import re
+
+    if not SF_DIR.rstrip("/").endswith("sf0.1"):
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    recs = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    for p in reversed(recs):
+        try:
+            with open(p) as f:
+                v = json.load(f).get("queries_extra", {}).get(key)
+            if isinstance(v, (int, float)):
+                return float(v)
+        except (OSError, ValueError):
+            continue
+    return None
+
 # Headline set: one per operator family (scan-agg, join, window, sessionize,
 # near-dup LSH, ANN, text, streaming-window, span-summarisation).
 HEADLINE = [
@@ -128,6 +154,24 @@ def main() -> None:
     big_passes = [run_big(cold=True) for _ in range(2)]
     if max(big_passes) > 2 * min(big_passes):
         big_passes.append(run_big(cold=True))
+
+    # Round-over-round outlier guard (round-8 lesson: the driver box
+    # recorded a 31.2s big-summarize that was pure box load — 2.2x the
+    # r7 value with zero code change; the builder's record should have
+    # caught it). If this run is >2x away from the last recorded round,
+    # take up to 3 more cold passes: min-of-5 rides out multi-second
+    # CPU-steal spikes, and the note makes any residual outlier
+    # self-explaining in the record instead of silently alarming.
+    prev = _prev_round_value("spanlog_big_summarize")
+    outlier_note = None
+    if prev and not (prev / 2 <= min(big_passes) <= prev * 2):
+        reruns = [run_big(cold=True) for _ in range(3)]
+        outlier_note = (
+            f"first passes {[round(p, 2) for p in big_passes]}s vs prev "
+            f"round {prev}s (>2x): re-ran 3x "
+            f"{[round(p, 2) for p in reruns]}s, reporting the min"
+        )
+        big_passes += reruns
     # reported under queries_extra, NOT in the headline total: the
     # headline set and its total are the round-over-round comparable
     # series (BASELINE.md); the million-span summarisation is new
@@ -138,6 +182,8 @@ def main() -> None:
         "spanlog_big_runs": big_runs,
         "spanlog_big_tasks_per_run": big_tasks,
     }
+    if outlier_note:
+        extra["spanlog_big_outlier_note"] = outlier_note
 
     # hash-proof the big-fixture summarisation (untimed; reuses the warm
     # cache the last run_big left): the generator is deterministic, so
