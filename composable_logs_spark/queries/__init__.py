@@ -63,9 +63,10 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # round: (1) every query that has never had a driver hash-green row,
 # (2) every query whose semantics or oracle changed this round,
 # (3) fill with the longest-unverified green block. Round 9 window:
-# the 6 queries ADDED this round (image aHash near-dup, fastText-shape
+# the 8 queries ADDED this round (image aHash near-dup, fastText-shape
 # quality classifier, DoReMi domain reweighting, CCNet six-stage
-# recipe, SemDeDup K=16 operating point, IVF-PQ exact re-rank — never
+# recipe, SemDeDup K=16 operating point, IVF-PQ exact re-rank, WAV
+# audio fingerprint, multiclass NB language classifier — never
 # driver-checked), the 4 whose scoring expression or cache lifecycle
 # changed this round (text_bm25_topk: overflow guard in the contrib
 # expression; dedup_semantic: id-collision guard; dedup_minhash_
@@ -75,13 +76,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # split, are NOT counted as changed; verified by string equality
 # against the prior tree), then the 20 remaining r5-stale queries —
 # COMPLETING the rotation policy: after this round every registry name
-# has a driver row from round-6-or-later code — and the 20 stalest-
+# has a driver row from round-6-or-later code — and the 18 stalest-
 # green (r6) queries in name order as filler.
 _FRONT_WINDOW = [
     # (1) new this round
     "media_phash_neardup", "text_quality_classifier",
     "domain_reweight_doremi", "pipeline_ccnet_recipe",
     "dedup_semantic_k16", "ann_ivfpq_rerank",
+    "media_audio_fingerprint", "text_lang_classifier",
     # (2) changed this round
     "text_bm25_topk", "dedup_semantic", "dedup_minhash_bandsweep",
     "ann_ivfpq_residual",
@@ -103,7 +105,6 @@ _FRONT_WINDOW = [
     "dedup_embedding_cosine", "dedup_jaccard_prefix",
     "dedup_ngram_jaccard", "domain_cap_sample", "drift_psi_events",
     "embedding_int8_quant", "embedding_pca_top1", "fk_integrity_audit",
-    "forecast_linear_events", "frequent_item_pairs",
 ]
 
 
@@ -149,6 +150,8 @@ def all_queries() -> dict[str, QuerySpec]:
         text_classifier_q,
         doremi_q,
         ccnet_q,
+        media_audio_q,
+        lang_classifier_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -193,6 +196,8 @@ def all_queries() -> dict[str, QuerySpec]:
         text_classifier_q,
         doremi_q,
         ccnet_q,
+        media_audio_q,
+        lang_classifier_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]

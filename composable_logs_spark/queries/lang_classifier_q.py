@@ -1,0 +1,180 @@
+"""Learned language identification (multiclass naive Bayes over hashed
+features) — the trained companion to the marker-token heuristic
+``text_ops.text_lang_id``, completing the learned-filter family next
+to the binary quality classifier (``text_classifier_q``): fastText's
+lang-id model is exactly this shape (hashed n-gram features, linear
+multiclass scores), and the engine's job is the distributed
+train+score plumbing, which is identical for the real weights.
+
+Model, closed-form multinomial NB with add-1 smoothing:
+
+    score(d, c) = ln P(c) + sum over doc features of ln P(bucket | c)
+
+with word-unigram features hashed into B = 4096 buckets (the
+``dsir_q``/``text_classifier_q`` hash), trained on the corpus' own
+``lang`` labels and scored back over it. Every log term is rounded
+ONCE to integer micro-nats; per-doc sums are exact integer adds;
+argmax ties break on language code order (the ``text_lang_id``
+convention) — so both engines agree bit-for-bit.
+
+Per-doc output (actual, predicted, margin, correct) lets the gate
+hash-prove the entire confusion surface, and the pytest asserts the
+trained model beats the 4-marker heuristic's accuracy — the reason a
+pipeline replaces rules with a classifier. (Honesty note: the
+synthetic corpus's lang labels are only weakly text-derivable —
+unigram, uni+bigram and char-3-gram feature probes all ceiling near
+0.39 accuracy, vs the heuristic's 0.22; the model wins by the margin
+the data permits.)
+
+100 TB design: the model is <= B x |classes| rows BY CONSTRUCTION
+(hashing trick) — broadcast-safe at any corpus size; training is one
+hash agg over the feature stream; scoring is one broadcast join + one
+integer sum per (doc, class); the per-doc argmax window is over
+|classes| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from . import QuerySpec, load
+
+_B = 4096
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _doc_features(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket): one row per word-unigram occurrence."""
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    return toks.select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long") % _B).alias(
+            "bucket"
+        ),
+    )
+
+
+def text_lang_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    feats = _doc_features(d)
+    # class-conditional bucket model: <= B x |classes| rows
+    cls = spark.createDataFrame([(c,) for c in _LANGS], "cls string")
+    cnt = feats.groupBy("bucket", F.col("lang").alias("cls")).agg(
+        F.count("*").alias("c")
+    )
+    nc = feats.groupBy(F.col("lang").alias("cls")).agg(F.count("*").alias("n_c"))
+    grid = feats.select("bucket").distinct().crossJoin(F.broadcast(cls))
+    model = (
+        grid.join(cnt, ["bucket", "cls"], "left")
+        .na.fill({"c": 0})
+        .join(F.broadcast(nc), "cls")
+        .select(
+            "bucket",
+            "cls",
+            F.round(F.log((F.col("c") + 1) / (F.col("n_c") + F.lit(_B))) * 1e6)
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    # log priors from document counts
+    ndocs = d.groupBy(F.col("lang").alias("cls")).agg(F.count("*").alias("n_docs"))
+    ntot = d.agg(F.count("*").alias("n_tot"))
+    prior = (
+        ndocs.crossJoin(F.broadcast(ntot))
+        .select(
+            "cls",
+            F.round(F.log(F.col("n_docs") / F.col("n_tot")) * 1e6)
+            .cast("long")
+            .alias("prior_micro"),
+        )
+    )
+    scores = (
+        feats.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id", F.col("lang").alias("actual_lang"), "cls")
+        .agg(F.sum("lp_micro").alias("ll_micro"), F.count("*").alias("n_feats"))
+        .join(F.broadcast(prior), "cls")
+        .withColumn("score_micro", F.col("ll_micro") + F.col("prior_micro"))
+    )
+    # argmax with the text_lang_id tie-break: highest score, earliest
+    # language code — window over |classes| rows per doc
+    ranked = scores.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("score_micro").desc(), "cls")
+        ),
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "actual_lang",
+            F.col("cls").alias("predicted_lang"),
+            F.round(F.col("score_micro") / (F.col("n_feats") * 1e6), 4).alias(
+                "avg_score"
+            ),
+            (F.col("cls") == F.col("actual_lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_nb_sql() -> str:
+    cls_values = " UNION ALL SELECT ".join(f"'{c}' AS cls" for c in _LANGS)
+    return f"""
+WITH cls AS (SELECT {cls_values}),
+feats AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substring(md5(unnest(
+           string_split_regex(trim(lower(text)), '\\s+'))), 1, 15) AS BIGINT)
+           % {_B} AS bucket
+  FROM documents
+),
+cnt AS (
+  SELECT bucket, lang AS cls, count(*) AS c FROM feats GROUP BY bucket, lang
+),
+nc AS (SELECT lang AS cls, count(*) AS n_c FROM feats GROUP BY lang),
+grid AS (SELECT DISTINCT f.bucket, c.cls FROM feats f CROSS JOIN cls c),
+model AS (
+  SELECT g.bucket, g.cls,
+         CAST(round(ln((coalesce(cnt.c, 0) + 1)
+                       / CAST(nc.n_c + {_B} AS DOUBLE)) * 1000000, 0)
+              AS BIGINT) AS lp_micro
+  FROM grid g
+  LEFT JOIN cnt ON cnt.bucket = g.bucket AND cnt.cls = g.cls
+  JOIN nc ON nc.cls = g.cls
+),
+prior AS (
+  SELECT lang AS cls,
+         CAST(round(ln(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE))
+                    * 1000000, 0) AS BIGINT) AS prior_micro
+  FROM documents GROUP BY lang
+),
+scores AS (
+  SELECT f.doc_id, f.lang AS actual_lang, m.cls,
+         CAST(sum(m.lp_micro) AS BIGINT) + max(p.prior_micro) AS score_micro,
+         count(*) AS n_feats
+  FROM feats f
+  JOIN model m USING (bucket)
+  JOIN prior p ON p.cls = m.cls
+  GROUP BY f.doc_id, f.lang, m.cls
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_micro DESC, cls) AS rn
+  FROM scores
+)
+SELECT doc_id, actual_lang, cls AS predicted_lang,
+       round(score_micro / (n_feats * 1000000.0), 4) AS avg_score,
+       cls = actual_lang AS correct
+FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_lang_classifier": QuerySpec(text_lang_classifier, _lang_nb_sql()),
+}

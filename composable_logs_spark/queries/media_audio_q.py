@@ -1,0 +1,169 @@
+"""Audio fingerprinting over real WAV payloads — the audio modality's
+gated counterpart to the image aHash (``media_dedup_q``): until now the
+WAV codec path (``codecs.stdlib_codec``: RIFF parse, PCM decode, frame
+chunking) was pytest-only; this query runs it under the cross-engine
+oracle.
+
+The fingerprint is the energy-delta shape every practical audio
+fingerprinter reduces to (Haitsma-Kalker 2002 "A highly robust audio
+fingerprint", stripped of the FFT: per-frame energies, one bit per
+adjacent-frame comparison):
+
+1. Corpus: one 8-bit mono 8 kHz WAV per document, PCM samples derived
+   deterministically from the text bytes (sample[i] = byte(text[i mod
+   len]))  — ENCODED with ``codecs.encode_wav`` inside ``mapInPandas``
+   (the semdedup/phash augmentation device, without variants: this
+   query gates the DECODE+FRAME pipeline, not a dedup).
+2. Frames: the REAL codec's ``op="frames"`` path chops the PCM into
+   4 ms chunks (32 samples at 8 kHz — the frame-alignment logic under
+   test).
+3. Per frame, integer energy sum((s - 128)^2) over the unsigned
+   samples; fingerprint bit f = energy_f > energy_{f+1}, packed
+   little-endian into one BIGINT.
+
+Cross-engine exactness: everything is integer arithmetic on byte
+values, so DuckDB recomputes the identical fingerprint straight from
+the text — which proves the WAV round-trip (header + PCM + chunking)
+byte-lossless.
+
+100 TB design: one Arrow-batched ``mapInPandas`` per stage, payload
+bytes never shuffle (the output row is ~24 bytes/track); zero joins,
+zero windows — a narrow map end to end.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from . import QuerySpec, load
+from ..operators.codecs import encode_wav, stdlib_codec
+
+_RATE = 8000
+_N_SAMPLES = 1024  # 128 ms per track
+_FRAME_MS = 4      # -> 32 samples per frame, 32 frames, 31 bits
+
+
+def wav_corpus_from_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (media_id, payload) real RIFF/PCM WAV bytes."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(_N_SAMPLES)
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                pcm = np.frombuffer(data, np.uint8)[idx % len(data)].tobytes()
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "payload": encode_wav(
+                            pcm, rate=_RATE, n_channels=1, sample_width=1
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, payload[WAV]) -> (media_id, n_frames, energy_total,
+    fingerprint): real codec decode + frame chunking, integer energy
+    deltas packed as bits."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                out = stdlib_codec(
+                    bytes(payload), "audio", op="frames", every_ms=_FRAME_MS
+                )
+                energies = [
+                    int(
+                        (
+                            (
+                                np.frombuffer(fb, np.uint8).astype(np.int64)
+                                - 128
+                            )
+                            ** 2
+                        ).sum()
+                    )
+                    for _idx, _ms, fb in out["frames"]
+                ]
+                fp = sum(
+                    1 << f
+                    for f in range(len(energies) - 1)
+                    if energies[f] > energies[f + 1]
+                )
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "n_frames": len(energies),
+                        "energy_total": sum(energies),
+                        "fingerprint": fp,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_frames", "energy_total", "fingerprint"],
+            )
+
+    return media.mapInPandas(
+        run,
+        "media_id long, n_frames int, energy_total long, fingerprint long",
+    )
+
+
+def media_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return audio_fingerprints(wav_corpus_from_documents(docs)).orderBy(
+        "media_id"
+    )
+
+
+_SPF = _RATE * _FRAME_MS // 1000  # samples per frame
+_N_FRAMES = _N_SAMPLES // _SPF
+
+
+def _audio_sql() -> str:
+    # sample i of frame f reads text byte ((f*SPF + i) mod len) + 1
+    sample = (
+        "ascii(substring(text,"
+        f" CAST(((f * {_SPF} + i) % n) + 1 AS INT), 1))"
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+fe AS (
+  SELECT doc_id AS media_id, f,
+         CAST(sum(({sample} - 128) * ({sample} - 128)) AS BIGINT) AS energy
+  FROM docs, range(0, {_N_FRAMES}) t(f), range(0, {_SPF}) u(i)
+  GROUP BY doc_id, f
+),
+bits AS (
+  SELECT media_id, f,
+         CASE WHEN energy > lead(energy) OVER (PARTITION BY media_id ORDER BY f)
+              THEN 1 ELSE 0 END AS bit
+  FROM fe
+)
+SELECT fe.media_id,
+       CAST({_N_FRAMES} AS INT) AS n_frames,
+       CAST(sum(fe.energy) AS BIGINT) AS energy_total,
+       CAST((SELECT sum(b.bit * (1::BIGINT << b.f))
+             FROM bits b
+             WHERE b.media_id = fe.media_id AND b.f < {_N_FRAMES - 1})
+            AS BIGINT) AS fingerprint
+FROM fe
+GROUP BY fe.media_id
+ORDER BY fe.media_id
+"""
+
+
+QUERIES = {
+    "media_audio_fingerprint": QuerySpec(media_audio_fingerprint, _audio_sql()),
+}

@@ -35,5 +35,6 @@ def test_never_driver_checked_queries_lead_the_window():
         "media_phash_neardup", "text_quality_classifier",
         "domain_reweight_doremi", "pipeline_ccnet_recipe",
         "dedup_semantic_k16", "ann_ivfpq_rerank",
+        "media_audio_fingerprint", "text_lang_classifier",
     }
     assert never_checked <= set(_FRONT_WINDOW[: len(never_checked)])
