@@ -191,7 +191,13 @@ def phash_neardup_pairs(sig: DataFrame, hamming_max: int = _HAMMING_MAX) -> Data
 def media_phash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     media = pnm_corpus_from_documents(docs)
-    sig = ahash_signatures(media)
+    # cache the 24-byte/row signatures: the band self-join reads them
+    # on BOTH sides, and without the cache Catalyst re-runs the whole
+    # decode+hash mapInPandas per side — 2x the image decode cost,
+    # which at media scale dwarfs everything else in this query (the
+    # minhash_pairs discipline; signatures are ~0.02% of payload bytes
+    # so pinning them is safe at any corpus size)
+    sig = ahash_signatures(media).cache()
     return phash_neardup_pairs(sig).orderBy("media_a", "media_b")
 
 
