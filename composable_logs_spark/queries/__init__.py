@@ -152,6 +152,10 @@ def all_queries() -> dict[str, QuerySpec]:
         ccnet_q,
         media_audio_q,
         lang_classifier_q,
+        text_auc_q,
+        mips_q,
+        scd_q,
+        hardneg_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -198,6 +202,10 @@ def all_queries() -> dict[str, QuerySpec]:
         ccnet_q,
         media_audio_q,
         lang_classifier_q,
+        text_auc_q,
+        mips_q,
+        scd_q,
+        hardneg_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]

@@ -260,6 +260,128 @@ ORDER BY media_a, media_b
 """
 
 
+# ---------------------------------------------------------------------------
+# dHash: the GRADIENT sibling of aHash. aHash compares each pixel to the
+# global mean, so a uniform brightness shift flips no bit but a local
+# retouch near the mean flips many; dHash compares each pixel to its
+# right neighbour (bit = px[r,c] > px[r,c+1] over a 9-wide x 8-high
+# grid), which is invariant to any monotone global tone change and is
+# the standard second opinion every perceptual-dedup stack runs next to
+# aHash. Same signature width (64 bits), same band-then-verify plan —
+# only the hash function differs, so ``phash_neardup_pairs`` is reused
+# verbatim.
+
+_DH_W = 9  # dHash grid: 9 columns -> 8 horizontal gradients per row
+_DH_H = 8
+
+# nearest-neighbour source columns of the 9-wide grid over the 16-wide
+# raster: (c * 16) // 9 — precomputed so the oracle can inline them
+_DH_COLS = [(c * _SIDE) // _DH_W for c in range(_DH_W)]
+
+
+def dhash_signatures(media: DataFrame) -> DataFrame:
+    """(media_id, payload[PNM]) -> (media_id, sim_lo, sim_hi): 64-bit
+    dHash (row-wise gradient sign) as two 32-bit halves.
+
+    Pure integer pixel compares — no mean, no doubles — so the halves
+    are exactly replicable from the sampled source bytes."""
+
+    weights = 1 << np.arange(32, dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr, _ = decode_pnm(bytes(payload))
+                grid = _resize_nearest(arr[:, :, 0], _DH_W, _DH_H).astype(np.int64)
+                bits = (grid[:, :-1] > grid[:, 1:]).astype(np.int64).reshape(-1)
+                rows.append(
+                    {
+                        "media_id": media_id,
+                        "sim_lo": int((bits[:32] * weights).sum()),
+                        "sim_hi": int((bits[32:] * weights).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "sim_lo", "sim_hi"])
+
+    return media.mapInPandas(run, "media_id long, sim_lo long, sim_hi long")
+
+
+def media_dhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    media = pnm_corpus_from_documents(docs)
+    # same cache rationale as media_phash_neardup: the band self-join
+    # reads the signatures twice; without the pin the image decode runs
+    # per side
+    sig = dhash_signatures(media).cache()
+    return phash_neardup_pairs(sig).orderBy("media_a", "media_b")
+
+
+def _dhash_sql() -> str:
+    # grid pixel (r, c) of the 9x8 nearest-neighbour resize reads source
+    # raster index 32*r + _DH_COLS[c]; the raster tiles the text bytes
+    cols_lit = "[" + ", ".join(str(c) for c in _DH_COLS) + "]"
+
+    # bit j (j = 8r + c, c in 0..7) compares grid (r, c) [side=0] with
+    # grid (r, c+1) [side=1]; express both sampled pixels directly
+    # (DuckDB lists are 1-indexed: cols[(j % 8) + side + 1])
+    def pixel(side: int) -> str:
+        idx = f"(32 * (j // 8) + cols[(j % 8) + {side + 1}])"
+        base = f"ascii(substring(text, CAST(({idx} % n) + 1 AS INT), 1))"
+        perturb = f"CASE WHEN {idx} % {_PERTURB_STEP} = 0 THEN 3 ELSE 0 END"
+        return base, f"({base} + {perturb})"
+
+    (l_base, l_pert), (r_base, r_pert) = pixel(0), pixel(1)
+
+    def half_expr(lo_bit: int) -> str:
+        return " + ".join(
+            f"CASE WHEN bv[{lo_bit + j + 1}] = 1 THEN {1 << j} ELSE 0 END"
+            for j in range(32)
+        )
+
+    bucket_union = "\n  UNION ALL\n  ".join(
+        f"SELECT media_id, sim_lo, sim_hi, {b} AS probe, "
+        f"({'sim_lo' if b < 4 else 'sim_hi'} // {256 ** (b % 4)}) % 256 AS bucket FROM sig"
+        for b in range(8)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, text, length(text) AS n,
+                     {cols_lit} AS cols FROM documents),
+bits AS (
+  SELECT doc_id AS media_id, j,
+         CASE WHEN {l_base} > {r_base} THEN 1 ELSE 0 END AS bit
+  FROM docs, range(0, 64) t(j)
+  UNION ALL
+  SELECT doc_id + {_VARIANT_OFFSET}, j,
+         CASE WHEN {l_pert} > {r_pert} THEN 1 ELSE 0 END
+  FROM docs, range(0, 64) t(j)
+),
+bv AS (SELECT media_id, list(bit ORDER BY j) AS bv FROM bits GROUP BY media_id),
+sig AS (
+  SELECT media_id,
+         CAST({half_expr(0)} AS BIGINT) AS sim_lo,
+         CAST({half_expr(32)} AS BIGINT) AS sim_hi
+  FROM bv
+),
+buckets AS (
+  {bucket_union}
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                  a.sim_lo AS lo_a, a.sim_hi AS hi_a,
+                  b.sim_lo AS lo_b, b.sim_hi AS hi_b
+  FROM buckets a JOIN buckets b ON a.probe = b.probe AND a.bucket = b.bucket
+  WHERE a.media_id < b.media_id
+)
+SELECT media_a, media_b,
+       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= {_HAMMING_MAX}
+ORDER BY media_a, media_b
+"""
+
+
 QUERIES = {
     "media_phash_neardup": QuerySpec(media_phash_neardup, _phash_sql()),
+    "media_dhash_neardup": QuerySpec(media_dhash_neardup, _dhash_sql()),
 }

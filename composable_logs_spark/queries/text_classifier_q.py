@@ -145,7 +145,10 @@ def nb_logodds_weights(feats: DataFrame) -> DataFrame:
     )
 
 
-def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+def scored_examples(spark: SparkSession, sf: str) -> DataFrame:
+    """(ex_id, is_prose, n_feats, logit_micro): the trained classifier
+    applied back to its training examples — exact integer logits, the
+    frame both the gated query and the AUC evaluation rank."""
     feats = _features(labeled_examples(load(spark, sf, "documents")))
     # the weight table is bounded at _B rows REGARDLESS of corpus size
     # (hashing trick) — broadcast is safe where a vocab join would not be
@@ -157,6 +160,12 @@ def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").cast("int").alias("n_feats"),
             F.sum("w_micro").alias("logit_micro"),
         )
+    )
+
+
+def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        scored_examples(spark, sf)
         .select(
             "ex_id",
             "is_prose",
@@ -169,8 +178,10 @@ def text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-CLASSIFIER_SQL = f"""
-WITH boiler AS (
+# shared CTE chain: everything through the per-example exact-integer
+# logit — CLASSIFIER_SQL's final select and the AUC oracle both build
+# on `scored`
+_SCORED_CTES = f"""boiler AS (
   SELECT {" UNION ALL SELECT ".join(f"{i} AS i, '{t}' AS tok" for i, t in enumerate(_BOILER))}
 ),
 examples AS (
@@ -208,15 +219,24 @@ w AS (
                         / CAST((SELECT n_neg FROM nn) + {_B} AS DOUBLE)))
                     * 1000000, 0) AS BIGINT) AS w_micro
   FROM feats GROUP BY bucket
-)
-SELECT f.ex_id,
-       f.is_prose,
-       CAST(count(*) AS INT) AS n_feats,
-       round(sum(w.w_micro) / (count(*) * 1000000.0), 4) AS score,
-       sum(w.w_micro) > 0 AS pred_prose
-FROM feats f JOIN w USING (bucket)
-GROUP BY f.ex_id, f.is_prose
-ORDER BY f.ex_id
+),
+scored AS (
+  SELECT f.ex_id, f.is_prose,
+         CAST(count(*) AS INT) AS n_feats,
+         CAST(sum(w.w_micro) AS BIGINT) AS logit_micro
+  FROM feats f JOIN w USING (bucket)
+  GROUP BY f.ex_id, f.is_prose
+)"""
+
+CLASSIFIER_SQL = f"""
+WITH {_SCORED_CTES}
+SELECT ex_id,
+       is_prose,
+       n_feats,
+       round(logit_micro / (n_feats * 1000000.0), 4) AS score,
+       logit_micro > 0 AS pred_prose
+FROM scored
+ORDER BY ex_id
 """
 
 
