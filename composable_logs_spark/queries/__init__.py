@@ -76,14 +76,21 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # split, are NOT counted as changed; verified by string equality
 # against the prior tree), then the 20 remaining r5-stale queries —
 # COMPLETING the rotation policy: after this round every registry name
-# has a driver row from round-6-or-later code — and the 18 stalest-
-# green (r6) queries in name order as filler.
+# has a driver row from round-6-or-later code — and the 13 stalest-
+# green (r6) queries in name order as filler. The second session of
+# this round added 5 more never-checked queries (dHash image near-dup,
+# classifier AUC, norm-pruned MIPS, SCD2 history, hard-negative
+# mining); per rule (1) they join the new block, displacing the last
+# 5 filler names (which stay r6-green and rotate in next round).
 _FRONT_WINDOW = [
     # (1) new this round
     "media_phash_neardup", "text_quality_classifier",
     "domain_reweight_doremi", "pipeline_ccnet_recipe",
     "dedup_semantic_k16", "ann_ivfpq_rerank",
     "media_audio_fingerprint", "text_lang_classifier",
+    "media_dhash_neardup", "text_classifier_auc",
+    "ann_mips_norm_prune", "scd2_user_history",
+    "embedding_hard_negatives",
     # (2) changed this round
     "text_bm25_topk", "dedup_semantic", "dedup_minhash_bandsweep",
     "ann_ivfpq_residual",
@@ -103,8 +110,7 @@ _FRONT_WINDOW = [
     "chunk_overlap_windows", "cms_heavy_hitters", "copurchase_pmi_topk",
     "corpus_line_dedup", "crossdoc_ngram_overlap",
     "dedup_embedding_cosine", "dedup_jaccard_prefix",
-    "dedup_ngram_jaccard", "domain_cap_sample", "drift_psi_events",
-    "embedding_int8_quant", "embedding_pca_top1", "fk_integrity_audit",
+    "dedup_ngram_jaccard",
 ]
 
 
