@@ -162,6 +162,7 @@ def all_queries() -> dict[str, QuerySpec]:
         mips_q,
         scd_q,
         hardneg_q,
+        bitext_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -212,6 +213,7 @@ def all_queries() -> dict[str, QuerySpec]:
         mips_q,
         scd_q,
         hardneg_q,
+        bitext_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
