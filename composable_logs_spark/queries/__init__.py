@@ -163,6 +163,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scd_q,
         hardneg_q,
         bitext_q,
+        layout_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -214,6 +215,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scd_q,
         hardneg_q,
         bitext_q,
+        layout_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
