@@ -164,6 +164,7 @@ def all_queries() -> dict[str, QuerySpec]:
         hardneg_q,
         bitext_q,
         layout_q,
+        lpa_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -216,6 +217,7 @@ def all_queries() -> dict[str, QuerySpec]:
         hardneg_q,
         bitext_q,
         layout_q,
+        lpa_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
