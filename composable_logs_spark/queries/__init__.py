@@ -165,6 +165,7 @@ def all_queries() -> dict[str, QuerySpec]:
         bitext_q,
         layout_q,
         lpa_q,
+        fs_linkage_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -218,6 +219,7 @@ def all_queries() -> dict[str, QuerySpec]:
         bitext_q,
         layout_q,
         lpa_q,
+        fs_linkage_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
