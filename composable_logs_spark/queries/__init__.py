@@ -166,6 +166,7 @@ def all_queries() -> dict[str, QuerySpec]:
         layout_q,
         lpa_q,
         fs_linkage_q,
+        attribution_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -220,6 +221,7 @@ def all_queries() -> dict[str, QuerySpec]:
         layout_q,
         lpa_q,
         fs_linkage_q,
+        attribution_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
