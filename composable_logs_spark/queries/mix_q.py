@@ -231,8 +231,104 @@ FROM quota q JOIN sampled s USING (lang) CROSS JOIN total t
 """
 
 
+# ---------------------------------------------------------------------------
+# Temperature sampling (the multilingual rebalancing of mBERT/XLM-R):
+# instead of a HAND-CHOSEN target mixture, the target is derived from
+# the observed counts, p_l ∝ n_l^(1/T) — T>1 flattens the distribution,
+# upweighting low-resource languages. T is pinned to 2 so the exponent
+# is sqrt(): IEEE-754 specifies sqrt as correctly rounded, so BOTH
+# engines compute the bit-identical double (pow(x, 1/T) for general T
+# is NOT correctly rounded and could diverge cross-engine). The sqrt is
+# immediately scaled and floored to an int64 weight, after which every
+# share/quota is exact integer arithmetic.
+_TEMP_BUDGET_NUM, _TEMP_BUDGET_DEN = 3, 5  # sample 60% of the corpus
+
+
+def mix_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_available")).withColumn(
+        "w", F.floor(F.sqrt(F.col("n_available").cast("double")) * 1e6).cast("long")
+    )
+    totals = counts.agg(
+        F.sum("n_available").alias("n_total"), F.sum("w").alias("w_total")
+    )
+    quota = counts.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_available",
+        "n_total",
+        F.least(
+            F.col("n_available"),
+            F.expr(
+                f"((n_total * {_TEMP_BUDGET_NUM}) div {_TEMP_BUDGET_DEN} * w)"
+                " div w_total"
+            ),
+        ).alias("n_target"),
+    )
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    sampled = (
+        d.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(quota.select("lang", "n_target")), "lang")
+        .where(F.col("rn") <= F.col("n_target"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    stot = sampled.agg(F.sum("n_sampled").alias("s_total"))
+    return (
+        quota.join(sampled, "lang")
+        .crossJoin(F.broadcast(stot))
+        .select(
+            "lang",
+            "n_available",
+            "n_sampled",
+            F.expr("(1000 * n_available) div n_total").alias("raw_share_milli"),
+            F.expr("(1000 * n_sampled) div s_total").alias("temp_share_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEMP_MIX_SQL = f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_available,
+         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS w
+  FROM documents GROUP BY lang
+),
+totals AS (
+  SELECT CAST(sum(n_available) AS BIGINT) AS n_total,
+         CAST(sum(w) AS BIGINT) AS w_total
+  FROM counts
+),
+quota AS (
+  SELECT lang, n_available, n_total,
+         least(n_available,
+               ((n_total * {_TEMP_BUDGET_NUM}) // {_TEMP_BUDGET_DEN} * w)
+               // w_total) AS n_target
+  FROM counts CROSS JOIN totals
+),
+ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+),
+sampled AS (
+  SELECT r.lang, CAST(count(*) AS BIGINT) AS n_sampled
+  FROM ranked r JOIN quota q USING (lang)
+  WHERE r.rn <= q.n_target
+  GROUP BY r.lang
+),
+stot AS (SELECT CAST(sum(n_sampled) AS BIGINT) AS s_total FROM sampled)
+SELECT q.lang, q.n_available, s.n_sampled,
+       (1000 * q.n_available) // q.n_total AS raw_share_milli,
+       (1000 * s.n_sampled) // t.s_total AS temp_share_milli
+FROM quota q JOIN sampled s USING (lang) CROSS JOIN stot t
+ORDER BY q.lang
+"""
+
+
 QUERIES = {
     "domain_cap_sample": QuerySpec(domain_cap_sample, DOMAIN_CAP_SQL),
     "crossdoc_ngram_overlap": QuerySpec(crossdoc_ngram_overlap, _overlap_sql()),
     "mix_sources_to_target": QuerySpec(mix_sources_to_target, MIX_SQL),
+    "mix_temperature_sample": QuerySpec(mix_temperature_sample, TEMP_MIX_SQL),
 }

@@ -1,0 +1,21 @@
+"""Temperature sampling must FLATTEN the language distribution:
+sqrt-weighting pulls every share toward uniform, never past it."""
+
+from composable_logs_spark.queries.mix_q import mix_temperature_sample
+
+
+def test_temperature_flattens_shares(spark, sf_dir):
+    rows = mix_temperature_sample(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    uniform = 1000 // len(rows)
+    for r in rows:
+        assert 0 < r["n_sampled"] <= r["n_available"]
+        # integer-floor shares allow 1-milli slack around strictness
+        if r["raw_share_milli"] > uniform:
+            assert r["temp_share_milli"] <= r["raw_share_milli"] + 1
+        if r["raw_share_milli"] < uniform:
+            assert r["temp_share_milli"] >= r["raw_share_milli"] - 1
+    # the spread strictly contracts overall
+    raw = [r["raw_share_milli"] for r in rows]
+    tmp = [r["temp_share_milli"] for r in rows]
+    assert max(tmp) - min(tmp) <= max(raw) - min(raw)
