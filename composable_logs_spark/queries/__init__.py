@@ -81,7 +81,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # this round added 5 more never-checked queries (dHash image near-dup,
 # classifier AUC, norm-pruned MIPS, SCD2 history, hard-negative
 # mining); per rule (1) they join the new block, displacing the last
-# 5 filler names (which stay r6-green and rotate in next round).
+# 5 filler names (which stay r6-green and rotate in next round). The
+# third session added 6 more never-checked queries (bitext margin
+# mining, z-order layout stats, label-propagation communities,
+# Fellegi-Sunter linkage, time-decay attribution, temperature-scaled
+# mixing); same rule, displacing 6 more filler names — 7 filler remain.
 _FRONT_WINDOW = [
     # (1) new this round
     "media_phash_neardup", "text_quality_classifier",
@@ -91,6 +95,9 @@ _FRONT_WINDOW = [
     "media_dhash_neardup", "text_classifier_auc",
     "ann_mips_norm_prune", "scd2_user_history",
     "embedding_hard_negatives",
+    "mine_bitext_margin", "zorder_layout_lineitem",
+    "community_label_propagation", "er_fellegi_sunter",
+    "attribution_time_decay", "mix_temperature_sample",
     # (2) changed this round
     "text_bm25_topk", "dedup_semantic", "dedup_minhash_bandsweep",
     "ann_ivfpq_residual",
@@ -107,10 +114,7 @@ _FRONT_WINDOW = [
     # (3b) stalest-green filler (r6), name order
     "ann_ivf_recall", "ann_pq_adc", "asof_join_nearest",
     "bfs_purchase_distance", "cheapest_path_copurchase",
-    "chunk_overlap_windows", "cms_heavy_hitters", "copurchase_pmi_topk",
-    "corpus_line_dedup", "crossdoc_ngram_overlap",
-    "dedup_embedding_cosine", "dedup_jaccard_prefix",
-    "dedup_ngram_jaccard",
+    "chunk_overlap_windows", "cms_heavy_hitters",
 ]
 
 

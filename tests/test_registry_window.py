@@ -4,14 +4,17 @@ right. ``all_queries`` pins it explicitly by name; this test asserts the
 pin so an innocent module reorder can't silently change which queries
 the driver hash-checks.
 
-Round-9 window (see ``_FRONT_WINDOW``): the 13 queries ADDED this round
+Round-9 window (see ``_FRONT_WINDOW``): the 19 queries ADDED this round
 (image aHash/dHash near-dup, quality classifier + its AUC, DoReMi
 reweighting, CCNet recipe, SemDeDup K=16, IVF-PQ re-rank, audio
 fingerprint, language classifier, norm-pruned MIPS, SCD2 history,
-hard-negative mining), the queries whose scoring expression or cache
-lifecycle changed this round, then the 20 remaining r5-stale queries —
-completing the rotation so every registry name has a driver row from
-round-6-or-later code — and the stalest-green (r6) filler block.
+hard-negative mining, bitext margin mining, z-order layout stats,
+label-propagation communities, Fellegi-Sunter linkage, time-decay
+attribution, temperature-scaled mixing), the queries whose scoring
+expression or cache lifecycle changed this round, then the 20
+remaining r5-stale queries — completing the rotation so every registry
+name has a driver row from round-6-or-later code — and the
+stalest-green (r6) filler block.
 """
 
 from composable_logs_spark.queries import _FRONT_WINDOW, all_queries
@@ -40,5 +43,8 @@ def test_never_driver_checked_queries_lead_the_window():
         "media_dhash_neardup", "text_classifier_auc",
         "ann_mips_norm_prune", "scd2_user_history",
         "embedding_hard_negatives",
+        "mine_bitext_margin", "zorder_layout_lineitem",
+        "community_label_propagation", "er_fellegi_sunter",
+        "attribution_time_decay", "mix_temperature_sample",
     }
     assert never_checked <= set(_FRONT_WINDOW[: len(never_checked)])
