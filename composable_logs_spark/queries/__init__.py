@@ -171,6 +171,7 @@ def all_queries() -> dict[str, QuerySpec]:
         lpa_q,
         fs_linkage_q,
         attribution_q,
+        perplexity_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -226,6 +227,7 @@ def all_queries() -> dict[str, QuerySpec]:
         lpa_q,
         fs_linkage_q,
         attribution_q,
+        perplexity_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]

@@ -697,6 +697,22 @@ def bigram_logprob(d: DataFrame) -> DataFrame:
     """Frame-based core over any (doc_id, text) frame: the bigram model
     is trained on the GIVEN frame (the CCNet recipe scores cut text
     against a cut-corpus model)."""
+    return (
+        bigram_doc_scores(d)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("lp_sum_micro") / (F.col("n_bigrams") * 1e6), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
+def bigram_doc_scores(d: DataFrame) -> DataFrame:
+    """Per-doc EXACT-INTEGER bigram-LM totals over any (doc_id, text)
+    frame: (doc_id, n_bigrams, lp_sum_micro). ``bigram_logprob`` and the
+    perplexity bucketing build on this."""
     d = d.select("doc_id", "text")
     toks = d.select("doc_id", _tokens(F.lower(F.col("text"))).alias("arr"))
     big = toks.where(F.size("arr") >= 2).select(
@@ -735,9 +751,7 @@ def bigram_logprob(d: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("int").alias("n_bigrams"),
-            F.round(F.sum("lp_micro") / (F.count("*") * 1e6), 4).alias(
-                "avg_logprob"
-            ),
+            F.sum("lp_micro").alias("lp_sum_micro"),
         )
     )
 
