@@ -172,6 +172,7 @@ def all_queries() -> dict[str, QuerySpec]:
         fs_linkage_q,
         attribution_q,
         perplexity_q,
+        cdc_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -228,6 +229,7 @@ def all_queries() -> dict[str, QuerySpec]:
         fs_linkage_q,
         attribution_q,
         perplexity_q,
+        cdc_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
