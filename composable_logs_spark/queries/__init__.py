@@ -85,7 +85,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # third session added 6 more never-checked queries (bitext margin
 # mining, z-order layout stats, label-propagation communities,
 # Fellegi-Sunter linkage, time-decay attribution, temperature-scaled
-# mixing); same rule, displacing 6 more filler names — 7 filler remain.
+# mixing, then CCNet perplexity terciles and CDC apply-changes); same
+# rule, displacing 8 more filler names — 5 filler remain.
 _FRONT_WINDOW = [
     # (1) new this round
     "media_phash_neardup", "text_quality_classifier",
@@ -98,6 +99,7 @@ _FRONT_WINDOW = [
     "mine_bitext_margin", "zorder_layout_lineitem",
     "community_label_propagation", "er_fellegi_sunter",
     "attribution_time_decay", "mix_temperature_sample",
+    "perplexity_buckets", "cdc_apply_changes",
     # (2) changed this round
     "text_bm25_topk", "dedup_semantic", "dedup_minhash_bandsweep",
     "ann_ivfpq_residual",
@@ -114,7 +116,6 @@ _FRONT_WINDOW = [
     # (3b) stalest-green filler (r6), name order
     "ann_ivf_recall", "ann_pq_adc", "asof_join_nearest",
     "bfs_purchase_distance", "cheapest_path_copurchase",
-    "chunk_overlap_windows", "cms_heavy_hitters",
 ]
 
 
