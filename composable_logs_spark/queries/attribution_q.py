@@ -61,7 +61,11 @@ def attribute_over(e: DataFrame) -> DataFrame:
         F.expr(
             f"{_HL_S * 1_000_000} div ({_HL_S} + (p_us - t_us) div 1000000)"
         ),
-    )
+    ).cache()
+    # cached (narrow integer columns): the per-purchase sums, the credit
+    # join, and the direct anti-join all read weighted — without the
+    # cache the range join would execute three times (dedup_q.py:255
+    # discipline; pinned because the returned plan is lazy)
     sums = weighted.groupBy("purchase_id").agg(F.sum("w").alias("sumw"))
     credits = (
         weighted.join(sums, "purchase_id")

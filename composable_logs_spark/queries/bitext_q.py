@@ -99,6 +99,10 @@ def mine_bitext_margin(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # cached (three longs per candidate): BOTH per-side top-K windows
+    # and the margin join read cand — without the cache the band join +
+    # cosine pass would execute three times (dedup_q.py:255 discipline;
+    # pinned because the returned plan is lazy)
     cand = (
         cand_ids.join(src.drop("bands"), "src_id")
         .join(tgt.drop("bands"), "tgt_id")
@@ -109,6 +113,7 @@ def mine_bitext_margin(spark: SparkSession, sf: str) -> DataFrame:
             .cast("long")
             .alias("cos_micro"),
         )
+        .cache()
     )
 
     def topk(df: DataFrame, key: str, other: str) -> DataFrame:

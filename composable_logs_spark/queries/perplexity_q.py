@@ -41,7 +41,11 @@ def perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.expr("lp_sum_micro div n_bigrams").alias("score_micro"),
     )
-    per_doc = scores.join(d.select("doc_id", "lang"), "doc_id")
+    # cached (one narrow row per doc): both the rank window and the
+    # per-language counts read per_doc — without the cache the whole
+    # bigram-LM pipeline would execute twice (dedup_q.py:255 discipline;
+    # pinned because the returned plan is lazy)
+    per_doc = scores.join(d.select("doc_id", "lang"), "doc_id").cache()
     # rank best-scoring (least negative) first, CCNet's head
     w = Window.partitionBy("lang").orderBy(F.desc("score_micro"), "doc_id")
     n = per_doc.groupBy("lang").agg(F.count("*").alias("n_lang"))
