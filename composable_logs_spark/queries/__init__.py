@@ -174,6 +174,7 @@ def all_queries() -> dict[str, QuerySpec]:
         attribution_q,
         perplexity_q,
         cdc_q,
+        calibration_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -231,6 +232,7 @@ def all_queries() -> dict[str, QuerySpec]:
         attribution_q,
         perplexity_q,
         cdc_q,
+        calibration_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
