@@ -175,6 +175,7 @@ def all_queries() -> dict[str, QuerySpec]:
         perplexity_q,
         cdc_q,
         calibration_q,
+        phrase_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -233,6 +234,7 @@ def all_queries() -> dict[str, QuerySpec]:
         perplexity_q,
         cdc_q,
         calibration_q,
+        phrase_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
