@@ -85,8 +85,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # third session added 6 more never-checked queries (bitext margin
 # mining, z-order layout stats, label-propagation communities,
 # Fellegi-Sunter linkage, time-decay attribution, temperature-scaled
-# mixing, then CCNet perplexity terciles and CDC apply-changes); same
-# rule, displacing 8 more filler names — 5 filler remain.
+# mixing, then CCNet perplexity terciles, CDC apply-changes,
+# classifier calibration bins, and positional phrase search); same
+# rule, displacing 10 more filler names — 3 filler remain.
 _FRONT_WINDOW = [
     # (1) new this round
     "media_phash_neardup", "text_quality_classifier",
@@ -100,6 +101,7 @@ _FRONT_WINDOW = [
     "community_label_propagation", "er_fellegi_sunter",
     "attribution_time_decay", "mix_temperature_sample",
     "perplexity_buckets", "cdc_apply_changes",
+    "classifier_calibration", "text_phrase_search",
     # (2) changed this round
     "text_bm25_topk", "dedup_semantic", "dedup_minhash_bandsweep",
     "ann_ivfpq_residual",
@@ -115,7 +117,6 @@ _FRONT_WINDOW = [
     "stream_tumbling_counts", "time_weighted_avg",
     # (3b) stalest-green filler (r6), name order
     "ann_ivf_recall", "ann_pq_adc", "asof_join_nearest",
-    "bfs_purchase_distance", "cheapest_path_copurchase",
 ]
 
 
