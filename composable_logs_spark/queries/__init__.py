@@ -86,8 +86,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # mining, z-order layout stats, label-propagation communities,
 # Fellegi-Sunter linkage, time-decay attribution, temperature-scaled
 # mixing, then CCNet perplexity terciles, CDC apply-changes,
-# classifier calibration bins, and positional phrase search); same
-# rule, displacing 10 more filler names — 3 filler remain.
+# classifier calibration bins, positional phrase search, and
+# worst-group AUC); same rule, displacing 11 more filler names —
+# 2 filler remain.
 _FRONT_WINDOW = [
     # (1) new this round
     "media_phash_neardup", "text_quality_classifier",
@@ -102,6 +103,7 @@ _FRONT_WINDOW = [
     "attribution_time_decay", "mix_temperature_sample",
     "perplexity_buckets", "cdc_apply_changes",
     "classifier_calibration", "text_phrase_search",
+    "classifier_group_auc",
     # (2) changed this round
     "text_bm25_topk", "dedup_semantic", "dedup_minhash_bandsweep",
     "ann_ivfpq_residual",
@@ -116,7 +118,7 @@ _FRONT_WINDOW = [
     "stream_dedup_events", "stream_sliding_counts",
     "stream_tumbling_counts", "time_weighted_avg",
     # (3b) stalest-green filler (r6), name order
-    "ann_ivf_recall", "ann_pq_adc", "asof_join_nearest",
+    "ann_ivf_recall", "ann_pq_adc",
 ]
 
 
@@ -177,6 +179,7 @@ def all_queries() -> dict[str, QuerySpec]:
         cdc_q,
         calibration_q,
         phrase_q,
+        group_auc_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -236,6 +239,7 @@ def all_queries() -> dict[str, QuerySpec]:
         cdc_q,
         calibration_q,
         phrase_q,
+        group_auc_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]

@@ -4,7 +4,7 @@ right. ``all_queries`` pins it explicitly by name; this test asserts the
 pin so an innocent module reorder can't silently change which queries
 the driver hash-checks.
 
-Round-9 window (see ``_FRONT_WINDOW``): the 23 queries ADDED this round
+Round-9 window (see ``_FRONT_WINDOW``): the 24 queries ADDED this round
 (image aHash/dHash near-dup, quality classifier + its AUC, DoReMi
 reweighting, CCNet recipe, SemDeDup K=16, IVF-PQ re-rank, audio
 fingerprint, language classifier, norm-pruned MIPS, SCD2 history,
@@ -12,7 +12,7 @@ hard-negative mining, bitext margin mining, z-order layout stats,
 label-propagation communities, Fellegi-Sunter linkage, time-decay
 attribution, temperature-scaled mixing, CCNet perplexity terciles,
 CDC apply-changes, classifier calibration, positional phrase
-search), the queries whose scoring
+search, worst-group AUC), the queries whose scoring
 expression or cache lifecycle changed this round, then the 20
 remaining r5-stale queries — completing the rotation so every registry
 name has a driver row from round-6-or-later code — and the
@@ -50,5 +50,6 @@ def test_never_driver_checked_queries_lead_the_window():
         "attribution_time_decay", "mix_temperature_sample",
         "perplexity_buckets", "cdc_apply_changes",
         "classifier_calibration", "text_phrase_search",
+        "classifier_group_auc",
     }
     assert never_checked <= set(_FRONT_WINDOW[: len(never_checked)])
