@@ -6,24 +6,40 @@ final mixture, so that downstream consumers can choose "head only" or
 
 Differences from ``pipeline_ccnet_recipe``'s LM stage: the recipe uses
 a FIXED floor (one global constant); the real CCNet bucket boundaries
-are data-derived per language. Boundaries here are RANK-based tercile
-cuts (doc at rank r of n is head iff 3r <= n, middle iff 3r <= 2n) —
+are data-derived per language. Boundaries are RANK-based tercile cuts
+(doc at rank r of n is head iff 3r <= n, middle iff 3r <= 2n) —
 deliberately NOT interpolated percentiles, so there is no float
-quantile definition to keep aligned across engines; ranks over the
-exact-integer score (total micro-nats div bigrams, ties broken by
-doc_id) are identical everywhere.
+quantile definition to keep aligned across engines.
 
 Scoring reuses ``text_ops.bigram_doc_scores`` — the corpus-trained
 add-1 bigram LM in exact integer micro-nats (the KenLM stand-in the
 bigram-logprob query documents).
 
-Scale shape: the LM passes are text_ops' (two map-side-combinable hash
-aggs + one equi-join back onto the bigram stream); bucketing adds one
-window partitioned BY LANGUAGE over a doc-count-sized frame of
-(doc_id, lang, score) triples — at 100 TB that frame is ~0.1% of the
-corpus bytes, and the per-language partition is exactly how CCNet
-shards this step anyway. Output is the per-(lang, bucket) summary a
-mixture step consumes.
+Scale shape — the TWO-PASS rank-cut form (the SCALE.md remedy, now the
+shipped plan; earlier rounds sorted every language's doc rows through
+one window task, the acknowledged 100x killer for a dominant
+language):
+
+1. PASS 1 collapses the (doc_id, lang, score) stream into the
+   per-(lang, score_micro) HISTOGRAM — one map-side-combinable hash
+   aggregate; partition size is DISTINCT integer scores per language
+   (score_micro = lp_sum div n_bigrams is heavily collided), not
+   documents.
+2. PASS 2 runs the cumulative-rank window over histogram rows only —
+   the same bounded-frame trick as ``classifier_group_auc`` — and
+   derives each language's two rank-cut positions (n div 3,
+   2n div 3) from the broadcast per-language totals.
+3. Bucket assignment is pure comparison arithmetic on (cum_start,
+   cum_end) x (lo, hi]: a score group contributes
+   ``least(hi, cum_end) - greatest(lo, cum_start)`` docs to a bucket.
+   No doc row is ever sorted, and no per-doc second pass is needed:
+   the per-bucket outputs (count, best/worst score) are exactly
+   determined by the histogram, because the old plan's doc_id
+   tie-break only permutes docs WITHIN one score value — invariant
+   for every reported aggregate. Semantics (and the oracle) are
+   byte-identical to the windowed form; ``tests/
+   test_perplexity_buckets.py`` asserts the plan has no doc-grain
+   row_number and its only window sits above the histogram aggregate.
 """
 
 from __future__ import annotations
@@ -41,28 +57,56 @@ def perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.expr("lp_sum_micro div n_bigrams").alias("score_micro"),
     )
-    # cached (one narrow row per doc): both the rank window and the
-    # per-language counts read per_doc — without the cache the whole
+    per_doc = scores.join(d.select("doc_id", "lang"), "doc_id")
+    # PASS 1: the only doc-grain aggregate — per-(lang, score) histogram.
+    # cached (a handful of rows per language): both the cumulative window
+    # and the per-language totals read it — without the cache the whole
     # bigram-LM pipeline would execute twice (dedup_q.py:255 discipline;
-    # pinned because the returned plan is lazy)
-    per_doc = scores.join(d.select("doc_id", "lang"), "doc_id").cache()
-    # rank best-scoring (least negative) first, CCNet's head
-    w = Window.partitionBy("lang").orderBy(F.desc("score_micro"), "doc_id")
-    n = per_doc.groupBy("lang").agg(F.count("*").alias("n_lang"))
-    bucketed = (
-        per_doc.withColumn("rn", F.row_number().over(w))
-        .join(F.broadcast(n), "lang")
-        .withColumn(
-            "bucket",
-            F.when(F.col("rn") * 3 <= F.col("n_lang"), F.lit("head"))
-            .when(F.col("rn") * 3 <= F.col("n_lang") * 2, F.lit("middle"))
-            .otherwise(F.lit("tail")),
+    # pinned because the returned plan is lazy).
+    hist = (
+        per_doc.groupBy("lang", "score_micro").agg(F.count("*").alias("c")).cache()
+    )
+    # PASS 2: cumulative ranks over HISTOGRAM rows (never doc rows).
+    w = Window.partitionBy("lang").orderBy(F.desc("score_micro"))
+    cum = hist.withColumn("cum_end", F.sum("c").over(w)).withColumn(
+        "cum_start", F.col("cum_end") - F.col("c")
+    )
+    n = hist.groupBy("lang").agg(F.sum("c").alias("n_lang"))
+    # rank r is head iff 3r <= n  <=>  r <= n div 3 (r integer), so the
+    # three buckets are the rank ranges (0, n div 3], (n div 3,
+    # 2n div 3], (2n div 3, n]
+    bucket_spec = F.explode(
+        F.array(
+            F.struct(
+                F.lit("head").alias("bucket"),
+                F.lit(0).cast("long").alias("lo"),
+                F.expr("n_lang div 3").alias("hi"),
+            ),
+            F.struct(
+                F.lit("middle").alias("bucket"),
+                F.expr("n_lang div 3").alias("lo"),
+                F.expr("(2 * n_lang) div 3").alias("hi"),
+            ),
+            F.struct(
+                F.lit("tail").alias("bucket"),
+                F.expr("(2 * n_lang) div 3").alias("lo"),
+                F.col("n_lang").alias("hi"),
+            ),
         )
+    ).alias("b")
+    assigned = (
+        cum.join(F.broadcast(n), "lang")
+        .select("lang", "score_micro", "cum_start", "cum_end", bucket_spec)
+        .withColumn(
+            "n_in",
+            F.least("b.hi", "cum_end") - F.greatest("b.lo", "cum_start"),
+        )
+        .where(F.col("n_in") > 0)
     )
     return (
-        bucketed.groupBy("lang", "bucket")
+        assigned.groupBy("lang", F.col("b.bucket").alias("bucket"))
         .agg(
-            F.count("*").alias("n_docs"),
+            F.sum("n_in").alias("n_docs"),
             F.max("score_micro").alias("best_micro"),
             F.min("score_micro").alias("worst_micro"),
         )
