@@ -5,28 +5,37 @@ postings for this; the operator here is the distributed form of the
 classic positional-intersection algorithm.
 
 Queries are three-word phrases lifted from the corpus itself (the
-first three tokens of the three lowest-id documents — deterministic on
-both engines, and each phrase is guaranteed >= 1 hit so the operator's
-positive path is always exercised at any SF).
+first three tokens of the three lowest-id documents that have at least
+_PHRASE_LEN tokens — deterministic on both engines, and each phrase is
+guaranteed >= 1 hit so the operator's positive path is always
+exercised at any SF; query docs shorter than the phrase length are
+excluded EXPLICITLY on both engines rather than dropped via a NULL w3).
 
 Pipeline:
 1. positional postings: one posexplode -> (doc_id, pos, tok) — the
    standard index layout; at 100 TB this relation is the search index
    itself, bucketed by tok.
-2. seed: postings equi-join the BROADCAST query table on the phrase's
-   FIRST word -> candidate (doc_id, pos, query).
-3. extend: for word k = 2..3, equi-join candidates to postings on
-   (doc_id, pos + k - 1) and filter tok = w_k. The join key is
-   (doc_id, pos) — a plain shuffle equi-join whose size shrinks at
-   every step (each extension keeps only candidates whose next
-   position matches).
-4. per-query rollup: matched docs + total occurrences.
+2. document frequency for the query's words only: postings semi-join
+   the BROADCAST query vocabulary, one hash agg — df comes from the
+   postings themselves, no side table.
+3. seed on the RAREST word (min df, ties to the earliest position):
+   postings equi-join the broadcast seed table -> candidate
+   (doc_id, phrase_start). Production engines seed this way precisely
+   because a stopword-led phrase otherwise floods the candidate join
+   with every posting of "the"; the rare-word candidate set is the
+   minimum over the phrase's words (tests assert rare-seed candidates
+   <= first-word candidates on a stopword-led phrase).
+4. extend: for word k = 1..3, equi-join candidates to postings on
+   (doc_id, phrase_start + k - 1) and filter tok = w_k. The join key
+   is (doc_id, pos) — a plain shuffle equi-join whose size shrinks at
+   every step. The seed's own position is re-joined too (its predicate
+   is vacuously true): one redundant cheap join over the already-
+   minimal candidate set buys a STATIC plan — the data-dependent seed
+   choice lives in a 3-row broadcast, not in plan shape.
+5. per-query rollup: matched docs + total occurrences.
 
-Scale note: production engines seed from the phrase's RAREST word,
-not its first, so step 2's candidate set is minimal; that reordering
-is a broadcast-side permutation of the same plan (the seed column
-choice), not a different shape. Selectivity then shrinks
-monotonically exactly as here.
+Output (and the oracle) are identical to first-word seeding — the seed
+only chooses the candidate-generation order, never the matches.
 """
 
 from __future__ import annotations
@@ -50,15 +59,15 @@ def _postings(d: DataFrame) -> DataFrame:
     )
 
 
-def text_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents").select("doc_id", "text")
-    post = _postings(d)
-    qwords = (
+def _qwords(d: DataFrame) -> DataFrame:
+    """Query table: (query_id, w1..w_PHRASE_LEN), short docs excluded."""
+    return (
         d.where(F.col("doc_id") < _N_QUERIES)
         .select(
             F.col("doc_id").alias("query_id"),
             F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("arr"),
         )
+        .where(F.size("arr") >= _PHRASE_LEN)
         .select(
             "query_id",
             *[
@@ -67,10 +76,74 @@ def text_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
             ],
         )
     )
-    cand = post.join(
-        F.broadcast(qwords), post["tok"] == qwords["w1"]
-    ).select("query_id", "doc_id", "pos", "w2", "w3")
-    for k in range(2, _PHRASE_LEN + 1):
+
+
+def _seed_table(post: DataFrame, qwords: DataFrame, strategy: str = "rarest") -> DataFrame:
+    """(query_id, seed_k, seed_w, w1..wN): which word each query seeds on.
+
+    ``rarest``: min document frequency (ties -> earliest position), df
+    measured on the postings themselves. ``first``: always w1 (the
+    pre-round-10 behaviour, kept for the candidate-count test)."""
+    if strategy == "first":
+        return qwords.select(
+            "query_id", F.lit(1).alias("seed_k"), F.col("w1").alias("seed_w"),
+            *[f"w{k}" for k in range(1, _PHRASE_LEN + 1)],
+        )
+    qw_long = qwords.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"), F.col(f"w{k}").alias("w")
+                    )
+                    for k in range(1, _PHRASE_LEN + 1)
+                ]
+            )
+        ).alias("kw"),
+    ).select("query_id", "kw.k", "kw.w")
+    # df for the query's words only: every query word occurs in the
+    # corpus (query docs ARE corpus docs), so the inner join is total
+    dfreq = (
+        post.join(
+            F.broadcast(qw_long.select("w").distinct()),
+            post["tok"] == F.col("w"),
+        )
+        .groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    best = (
+        qw_long.join(dfreq, qw_long["w"] == dfreq["tok"])
+        .groupBy("query_id")
+        .agg(F.min(F.struct("df", "k", "w")).alias("s"))
+        .select(
+            "query_id",
+            F.col("s.k").alias("seed_k"),
+            F.col("s.w").alias("seed_w"),
+        )
+    )
+    return best.join(qwords, "query_id")
+
+
+def _candidates(post: DataFrame, seed_tbl: DataFrame) -> DataFrame:
+    """Seed join: every posting of each query's seed word, rebased to the
+    phrase-start position."""
+    return post.join(
+        F.broadcast(seed_tbl), post["tok"] == seed_tbl["seed_w"]
+    ).select(
+        "query_id",
+        "doc_id",
+        (F.col("pos") - (F.col("seed_k") - 1)).alias("pos"),
+        *[f"w{k}" for k in range(1, _PHRASE_LEN + 1)],
+    )
+
+
+def text_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    post = _postings(d)
+    qwords = _qwords(d)
+    cand = _candidates(post, _seed_table(post, qwords, "rarest"))
+    for k in range(1, _PHRASE_LEN + 1):
         nxt = post.select(
             "doc_id",
             (F.col("pos") - (k - 1)).alias("pos"),
@@ -79,13 +152,14 @@ def text_phrase_search(spark: SparkSession, sf: str) -> DataFrame:
         cand = (
             cand.join(nxt, ["doc_id", "pos"])
             .where(F.col(f"t{k}") == F.col(f"w{k}"))
-            .drop(f"t{k}", f"w{k}")
+            .drop(f"t{k}")
         )
     return (
-        cand.join(F.broadcast(qwords.select("query_id", "w1", "w2", "w3")), "query_id")
-        .groupBy(
+        cand.groupBy(
             "query_id",
-            F.concat_ws(" ", "w1", "w2", "w3").alias("phrase"),
+            F.concat_ws(" ", *[f"w{k}" for k in range(1, _PHRASE_LEN + 1)]).alias(
+                "phrase"
+            ),
         )
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
@@ -106,7 +180,7 @@ post AS (
 ),
 qwords AS (
   SELECT doc_id AS query_id, arr[1] AS w1, arr[2] AS w2, arr[3] AS w3
-  FROM arrs WHERE doc_id < {_N_QUERIES}
+  FROM arrs WHERE doc_id < {_N_QUERIES} AND len(arr) >= {_PHRASE_LEN}
 ),
 c1 AS (
   SELECT q.query_id, p.doc_id, p.pos, q.w2, q.w3

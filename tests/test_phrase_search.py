@@ -1,5 +1,6 @@
 """Positional phrase search, checked against a pure-Python scan of the
-same corpus (third implementation)."""
+same corpus (third implementation), plus the rarest-word-seeding
+candidate-minimality property."""
 
 import re
 
@@ -8,6 +9,10 @@ import pandas as pd
 from composable_logs_spark.queries.phrase_q import (
     _N_QUERIES,
     _PHRASE_LEN,
+    _candidates,
+    _postings,
+    _qwords,
+    _seed_table,
     text_phrase_search,
 )
 
@@ -41,3 +46,23 @@ def test_phrase_search_matches_python_scan(spark, sf_dir):
         assert r["n_docs"] == n_docs and r["n_occurrences"] == n_occ
         # the source document itself always matches
         assert n_docs >= 1 and n_occ >= n_docs
+
+
+def test_rarest_seed_shrinks_candidates_on_stopword_phrase(spark):
+    """A stopword-led phrase ("the rare gem"): first-word seeding drags
+    in every posting of "the"; rarest-word seeding must produce a
+    strictly smaller candidate set — and an identical final answer."""
+    docs = [(0, "the rare gem sits here"), (1, "tiny"), (2, "too short")] + [
+        (i, "the " * 10 + f"filler{i} words the and the") for i in range(3, 30)
+    ]
+    d = spark.createDataFrame(docs, ["doc_id", "text"])
+    post, qw = _postings(d), _qwords(d)
+    n_rare = _candidates(post, _seed_table(post, qw, "rarest")).count()
+    n_first = _candidates(post, _seed_table(post, qw, "first")).count()
+    assert n_rare < n_first
+    # the seed choice never changes the matches
+    seeds = {
+        r["query_id"]: r["seed_w"]
+        for r in _seed_table(post, qw, "rarest").collect()
+    }
+    assert seeds == {0: "rare"} or seeds == {0: "gem"}
