@@ -48,7 +48,93 @@ FROM customer
 
 
 # ---------------------------------------------------------------------------
-# Deterministic stratified sampling: per-stratum keep-rates, membership
+# Full PII scrub over the corpus — the production form of pii_scrub_
+# customers' single digit-run rule: emails, phone shapes, SSN-like
+# patterns, and long digit runs, each masked with a typed token and
+# counted per category. Categories apply SEQUENTIALLY (email -> phone
+# -> SSN -> digit run), each counted on the text the previous stages
+# already masked: sequencing makes the per-category counts
+# unambiguous (an email's digits can't also count as an account
+# number) and is engine-order-independent, unlike one big alternation
+# whose per-branch attribution depends on the regex engine's
+# alternation semantics. All four patterns sit in the Java∩RE2 regex
+# subset (plain classes + counted repetition, no lookaround) so Spark
+# and DuckDB extract identical matches.
+#
+# The corpus is synthetic, so docs with doc_id < _PII_PLANT get a
+# deterministic PII suffix planted (same expression in both engines) —
+# the gate hash then proves the masking logic on real positives at
+# every SF, not just the all-zero path.
+#
+# Scale shape: a narrow per-row map — zero shuffle, streams through
+# the scan (held to it by tests/test_plan_audit.py's no-Exchange
+# audit). The scrubbed text itself is reported as an md5 so the
+# operator's full output is hash-proven without shipping corpus bytes.
+_PII_PLANT = 10
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\(?[0-9]{3}\\)?[ -][0-9]{3}[ -][0-9]{4}"
+_PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_PII_STAGES = [
+    ("n_emails", _PII_EMAIL, "[EMAIL]"),
+    ("n_phones", _PII_PHONE, "[PHONE]"),
+    ("n_ssns", _PII_SSN, "[SSN]"),
+    ("n_ids", _ID_RUN, _MASK),
+]
+
+
+def scrub_stages(text_col):
+    """(counts dict, scrubbed column): sequential mask + count exprs,
+    shared by the query and the planted-PII test."""
+    counts = {}
+    cur = text_col
+    for name, pat, mask in _PII_STAGES:
+        counts[name] = F.regexp_count(cur, F.lit(pat)).cast("int")
+        cur = F.regexp_replace(cur, pat, mask)
+    return counts, cur
+
+
+def pii_scrub_documents(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    planted = F.when(
+        F.col("doc_id") < _PII_PLANT,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-123-4567 ssn 123-45-6789 acct 900123456"),
+        ),
+    ).otherwise(F.col("text"))
+    counts, scrubbed = scrub_stages(planted)
+    return d.select(
+        "doc_id",
+        *[counts[n].alias(n) for n, _, _ in _PII_STAGES],
+        F.md5(scrubbed).alias("scrub_md5"),
+    )
+
+
+def _pii_docs_sql() -> str:
+    stages = []
+    cur = "planted"
+    for name, pat, mask in _PII_STAGES:
+        stages.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS INT) AS {name},"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{mask}', 'g')"
+    count_sql = "\n       ".join(stages)
+    return f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < {_PII_PLANT}
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com call 555-123-4567 ssn 123-45-6789 acct 900123456'
+              ELSE text END AS planted
+  FROM documents
+)
+SELECT doc_id,
+       {count_sql}
+       md5({cur}) AS scrub_md5
+FROM p
+"""
 # decided by a hash of the stable key (md5 prefix mod 100) — reproducible
 # across engines, runs, and cluster sizes, with zero shuffle for the
 # membership decision itself.
@@ -476,6 +562,7 @@ FROM (
 
 QUERIES = {
     "pii_scrub_customers": QuerySpec(pii_scrub_customers, PII_SQL),
+    "pii_scrub_documents": QuerySpec(pii_scrub_documents, _pii_docs_sql()),
     "dq_check_customers": QuerySpec(dq_check_customers, _dq_sql()),
     "sample_quality_weighted": QuerySpec(sample_quality_weighted, WEIGHTED_SAMPLE_SQL),
     "pipeline_clean_corpus": QuerySpec(pipeline_clean_corpus, _clean_corpus_sql()),

@@ -100,6 +100,7 @@ def test_filter_pushed_to_scan(spark, sf_dir):
         "text_c4_filters",
         "text_fingerprint",
         "pii_scrub_customers",
+        "pii_scrub_documents",
         "media_frame_sample",
     ],
 )
