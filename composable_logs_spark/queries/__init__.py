@@ -180,6 +180,7 @@ def all_queries() -> dict[str, QuerySpec]:
         calibration_q,
         phrase_q,
         group_auc_q,
+        trigram_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -240,6 +241,7 @@ def all_queries() -> dict[str, QuerySpec]:
         calibration_q,
         phrase_q,
         group_auc_q,
+        trigram_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
