@@ -35,6 +35,18 @@ Pipeline (all deterministic, both engines):
 lever, same as dedup_srp_lsh); every window is partitioned by a vector
 id; the per-side top-K aggregates are one shuffle each on that same
 id. Nothing is collected; nothing is cross-joined.
+
+Known cross-engine hazard (accepted, documented): band bits come from
+a numpy BLAS matmul on the Spark side but a sequential list-fold dot
+product in the DuckDB oracle. A plane dot landing EXACTLY at the sign
+knife-edge (sum == 0.0 under one summation order, an ulp off under the
+other) could band differently across engines, perturbing the candidate
+set — and mutual-best mining is more sensitive to candidate-set
+perturbation than near-dup dedup (a lost candidate can flip a best).
+Gate-green at all tested SFs; the srp_lsh_q family shares the pattern.
+The remedy, if it ever bites, is to quantize each plane dot to a fixed
+decimal on BOTH sides before the sign test, making the band bits
+arithmetically order-independent.
 """
 
 from __future__ import annotations

@@ -14,7 +14,8 @@ Exactness: the binned statistic is the integer mean logit
 integer division (Spark ``div`` truncates toward zero while floor is
 wanted — shifting by 1000 nats makes the dividend provably
 non-negative, where the two definitions coincide in both engines),
-then clamped to [-5, +5] half-nat edges. Rates are integer milli.
+then clamped to [-8, +8] one-nat-wide bins (_CLAMP / _BIN_MICRO).
+Rates are integer milli.
 
 100 TB shape: scoring is the classifier's broadcast join; this adds
 ONE map-side-combinable groupBy on an 11-value key. Nothing here

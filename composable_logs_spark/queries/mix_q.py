@@ -273,8 +273,12 @@ def mix_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_sampled"))
     )
     stot = sampled.agg(F.sum("n_sampled").alias("s_total"))
+    # LEFT join + coalesce: a language whose integer quota floors to 0
+    # contributes no sampled rows but must still appear in the mixture
+    # report (n_sampled = 0), not silently vanish
     return (
-        quota.join(sampled, "lang")
+        quota.join(sampled, "lang", "left")
+        .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0).cast("long")))
         .crossJoin(F.broadcast(stot))
         .select(
             "lang",
@@ -318,10 +322,12 @@ sampled AS (
   GROUP BY r.lang
 ),
 stot AS (SELECT CAST(sum(n_sampled) AS BIGINT) AS s_total FROM sampled)
-SELECT q.lang, q.n_available, s.n_sampled,
+SELECT q.lang, q.n_available,
+       CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled,
        (1000 * q.n_available) // q.n_total AS raw_share_milli,
-       (1000 * s.n_sampled) // t.s_total AS temp_share_milli
-FROM quota q JOIN sampled s USING (lang) CROSS JOIN stot t
+       (1000 * CAST(coalesce(s.n_sampled, 0) AS BIGINT)) // t.s_total
+         AS temp_share_milli
+FROM quota q LEFT JOIN sampled s USING (lang) CROSS JOIN stot t
 ORDER BY q.lang
 """
 
