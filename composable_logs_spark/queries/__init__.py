@@ -62,63 +62,48 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # name (tests/test_registry_window.py guards it). Rotation policy per
 # round: (1) every query that has never had a driver hash-green row,
 # (2) every query whose semantics or oracle changed this round,
-# (3) fill with the longest-unverified green block. Round 9 window:
-# the 8 queries ADDED this round (image aHash near-dup, fastText-shape
-# quality classifier, DoReMi domain reweighting, CCNet six-stage
-# recipe, SemDeDup K=16 operating point, IVF-PQ exact re-rank, WAV
-# audio fingerprint, multiclass NB language classifier — never
-# driver-checked), the 4 whose scoring expression or cache lifecycle
-# changed this round (text_bm25_topk: overflow guard in the contrib
-# expression; dedup_semantic: id-collision guard; dedup_minhash_
-# bandsweep: signature-cache release; ann_ivfpq_residual: pair stage
-# extracted into the helper the re-rank shares — pure-refactor queries
-# whose oracle SQL is byte-identical, e.g. the text_ops frame-core
-# split, are NOT counted as changed; verified by string equality
-# against the prior tree), then the 20 remaining r5-stale queries —
-# COMPLETING the rotation policy: after this round every registry name
-# has a driver row from round-6-or-later code — and the 13 stalest-
-# green (r6) queries in name order as filler. The second session of
-# this round added 5 more never-checked queries (dHash image near-dup,
-# classifier AUC, norm-pruned MIPS, SCD2 history, hard-negative
-# mining); per rule (1) they join the new block, displacing the last
-# 5 filler names (which stay r6-green and rotate in next round). The
-# third session added 6 more never-checked queries (bitext margin
-# mining, z-order layout stats, label-propagation communities,
-# Fellegi-Sunter linkage, time-decay attribution, temperature-scaled
-# mixing, then CCNet perplexity terciles, CDC apply-changes,
-# classifier calibration bins, positional phrase search, and
-# worst-group AUC); same rule, displacing 11 more filler names —
-# 2 filler remain.
+# (3) fill with the longest-unverified green block. Round 10 window:
+# the 2 queries ADDED this round (full-alternation PII scrub over
+# documents; trigram stupid-backoff LM — never driver-checked), the 3
+# whose Spark plan or semantics changed this round (perplexity_buckets:
+# two-pass histogram rank-cuts replaced the per-language doc-sort
+# window, oracle byte-identical; text_phrase_search: rarest-word
+# seeding + explicit short-query-doc exclusion, oracle gained the
+# len(arr) filter; mix_temperature_sample: left join + coalesce so
+# zero-quota languages appear, oracle changed to match — docstring-only
+# edits, e.g. calibration_q/bitext_q, are NOT counted as changed), then
+# the complete 42-name r6-stale block (newest driver-green row = round
+# 6, per the CORRECTNESS_r01..r09 histogram: 42/45/46/50 for r6/7/8/9),
+# moving the staleness floor to r7, and the 3 stalest-r7 names in name
+# order as filler.
 _FRONT_WINDOW = [
     # (1) new this round
-    "media_phash_neardup", "text_quality_classifier",
-    "domain_reweight_doremi", "pipeline_ccnet_recipe",
-    "dedup_semantic_k16", "ann_ivfpq_rerank",
-    "media_audio_fingerprint", "text_lang_classifier",
-    "media_dhash_neardup", "text_classifier_auc",
-    "ann_mips_norm_prune", "scd2_user_history",
-    "embedding_hard_negatives",
-    "mine_bitext_margin", "zorder_layout_lineitem",
-    "community_label_propagation", "er_fellegi_sunter",
-    "attribution_time_decay", "mix_temperature_sample",
-    "perplexity_buckets", "cdc_apply_changes",
-    "classifier_calibration", "text_phrase_search",
-    "classifier_group_auc",
+    "pii_scrub_documents", "trigram_logprob",
     # (2) changed this round
-    "text_bm25_topk", "dedup_semantic", "dedup_minhash_bandsweep",
-    "ann_ivfpq_residual",
-    # (3a) the final r5-stale block, name order — completes the policy
-    "q17_small_qty_revenue", "q18_large_volume_customers",
-    "q19_bracket_revenue", "q20_potential_promotion",
-    "q21_waiting_suppliers", "q22_idle_rich_customers",
-    "q2_min_cost_supplier", "q4_late_order_priority",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "retention_cohorts", "sample_quality_weighted",
-    "sample_stratified_hash", "session_window_stats",
-    "stream_dedup_events", "stream_sliding_counts",
-    "stream_tumbling_counts", "time_weighted_avg",
-    # (3b) stalest-green filler (r6), name order
-    "ann_ivf_recall", "ann_pq_adc",
+    "perplexity_buckets", "text_phrase_search", "mix_temperature_sample",
+    # (3a) the complete r6-stale block, name order — floor moves to r7
+    "asof_join_nearest", "bfs_purchase_distance",
+    "cheapest_path_copurchase", "chunk_overlap_windows",
+    "cms_heavy_hitters", "copurchase_pmi_topk", "corpus_line_dedup",
+    "crossdoc_ngram_overlap", "dedup_embedding_cosine",
+    "dedup_jaccard_prefix", "dedup_ngram_jaccard", "domain_cap_sample",
+    "drift_psi_events", "embedding_int8_quant", "embedding_pca_top1",
+    "fk_integrity_audit", "forecast_linear_events",
+    "frequent_item_pairs", "fuzzy_entity_clusters",
+    "fuzzy_match_partnames", "hll_cumulative_users",
+    "hll_distinct_customers", "hll_intersection_parts",
+    "hll_users_by_event_type", "join_salted_skew_revenue",
+    "mix_sources_to_target", "outlier_mad_events", "pack_sequences",
+    "pivot_event_cohorts", "q10_returned_items", "q12_priority_lines",
+    "seasonal_anomaly_events", "skyline_parts",
+    "spanlog_failure_root_cause", "split_no_leakage",
+    "table_profile_lineitem", "text_bpe_pretokens",
+    "text_unigram_logprob", "triangle_count_copurchase",
+    "vocab_coverage_topk", "weighted_reservoir_topk",
+    "winsorize_doc_lengths",
+    # (3b) stalest-green filler (r7), name order
+    "agg_cube_events", "agg_distinct_parts_per_nation",
+    "agg_grouping_sets",
 ]
 
 
