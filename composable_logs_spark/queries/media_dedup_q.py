@@ -139,10 +139,11 @@ def ahash_signatures(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, "media_id long, sim_lo long, sim_hi long")
 
 
-def phash_neardup_pairs(sig: DataFrame, hamming_max: int = _HAMMING_MAX) -> DataFrame:
-    """Band-then-verify over any (media_id, sim_lo, sim_hi) signature
-    frame — the dedup_simhash candidate plan verbatim."""
-    buckets = sig.select(
+def ahash_band_buckets(sig: DataFrame) -> DataFrame:
+    """(media_id, sim_lo, sim_hi) -> one row per 8-bit band key: the
+    SimHash-style bucket explode, shared by the batch self-join and the
+    streaming new-vs-index join (streaming/incremental_media.py)."""
+    return sig.select(
         "media_id",
         "sim_lo",
         "sim_hi",
@@ -163,6 +164,20 @@ def phash_neardup_pairs(sig: DataFrame, hamming_max: int = _HAMMING_MAX) -> Data
             )
         ).alias("bk"),
     ).select("media_id", "sim_lo", "sim_hi", "bk.probe", "bk.bucket")
+
+
+def hamming_col(lo_a, hi_a, lo_b, hi_b):
+    """Exact 64-bit Hamming distance between two split signatures."""
+    return (
+        F.bit_count(F.col(lo_a).bitwiseXOR(F.col(lo_b)))
+        + F.bit_count(F.col(hi_a).bitwiseXOR(F.col(hi_b)))
+    ).cast("int")
+
+
+def phash_neardup_pairs(sig: DataFrame, hamming_max: int = _HAMMING_MAX) -> DataFrame:
+    """Band-then-verify over any (media_id, sim_lo, sim_hi) signature
+    frame — the dedup_simhash candidate plan verbatim."""
+    buckets = ahash_band_buckets(sig)
     cand = (
         buckets.alias("a")
         .join(buckets.alias("b"), ["probe", "bucket"])
@@ -177,12 +192,8 @@ def phash_neardup_pairs(sig: DataFrame, hamming_max: int = _HAMMING_MAX) -> Data
         )
         .distinct()
     )
-    hamming = (
-        F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-        + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-    ).cast("int")
     return (
-        cand.withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming_col("lo_a", "hi_a", "lo_b", "hi_b"))
         .where(F.col("hamming") <= hamming_max)
         .select("media_a", "media_b", "hamming")
     )

@@ -1,0 +1,126 @@
+"""Incremental IMAGE near-dup detection: stream arriving images against
+a static aHash signature index — the media modality's always-on ingest
+side, completing the pattern every text modality already has
+(incremental_dedup / incremental_bm25 / incremental_semdedup /
+incremental_substr).
+
+At 100 TB of crawled images you never re-run pair-finding over the
+whole archive when a crawl lands; you keep 16 BYTES of aHash signature
+per image as the index and band-join each arriving batch against it:
+
+- the index is signatures only (media_id, sim_lo, sim_hi) — bytes per
+  image, ~0.02% of payload bytes, cache-friendly long after the raw
+  archive is petabytes;
+- each micro-batch decodes + hashes the NEW images only, in one
+  Arrow-batched ``mapInPandas`` (``queries.media_dedup_q.
+  ahash_signatures`` — the exact code the batch query runs, so stream
+  and batch verdicts agree and no media byte ever reaches the driver);
+- candidates come from the same 8x 8-bit band equi-join
+  (``ahash_band_buckets``), then exact Hamming<=6 verification — the
+  stream never sees an O(batch x index) comparison.
+
+With ``index_growth_dir`` the index GROWS: each batch's signatures are
+appended (signatures only) after matching, so later arrivals match
+earlier arrivals, not just the base archive — at-least-once replays
+are made idempotent by deduping the grown index on media_id at read,
+the incremental_dedup discipline.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries.media_dedup_q import (
+    _HAMMING_MAX,
+    ahash_band_buckets,
+    ahash_signatures,
+    hamming_col,
+)
+
+_MEDIA_SCHEMA = "media_id long, payload binary"
+
+
+def build_ahash_index(media: DataFrame) -> DataFrame:
+    """aHash signatures for the existing archive. Callers persist/cache
+    this — it is read by every micro-batch."""
+    return ahash_signatures(media.select("media_id", "payload"))
+
+
+def stream_media_against_index(
+    spark: SparkSession,
+    media_dir: str,
+    index_sig: DataFrame,
+    on_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: Optional[str] = None,
+    index_growth_dir: Optional[str] = None,
+):
+    """Watch ``media_dir`` for parquet files of (media_id, payload)
+    images; per micro-batch emit verified (media_id, dup_of, hamming)
+    rows — new image vs index image. Returns the StreamingQuery."""
+    import os
+
+    _SIG_SCHEMA = index_sig.schema
+
+    stream = (
+        spark.readStream.schema(_MEDIA_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(media_dir)
+    )
+
+    def _current_index() -> DataFrame:
+        if index_growth_dir and os.path.isdir(index_growth_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(index_growth_dir)
+        ):
+            grown = spark.read.schema(_SIG_SCHEMA).parquet(index_growth_dir)
+            return index_sig.unionByName(grown).dropDuplicates(["media_id"])
+        return index_sig
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        idx = _current_index()
+        # cache: the band join and the growth append both read the
+        # batch signatures; without the pin the image decode mapInPandas
+        # runs once per consumer (the media_phash_neardup discipline)
+        sig = ahash_signatures(batch_df).cache()
+        cand = (
+            ahash_band_buckets(sig)
+            .select(
+                F.col("media_id"),
+                F.col("sim_lo").alias("lo_n"),
+                F.col("sim_hi").alias("hi_n"),
+                "probe",
+                "bucket",
+            )
+            .join(
+                ahash_band_buckets(idx).select(
+                    F.col("media_id").alias("dup_of"),
+                    F.col("sim_lo").alias("lo_o"),
+                    F.col("sim_hi").alias("hi_o"),
+                    "probe",
+                    "bucket",
+                ),
+                ["probe", "bucket"],
+            )
+            .select("media_id", "dup_of", "lo_n", "hi_n", "lo_o", "hi_o")
+            .distinct()
+        )
+        verified = (
+            cand.withColumn("hamming", hamming_col("lo_n", "hi_n", "lo_o", "hi_o"))
+            .where(F.col("hamming") <= _HAMMING_MAX)
+            .select("media_id", "dup_of", "hamming")
+        )
+        try:
+            on_batch(verified, batch_id)
+            if index_growth_dir:
+                sig.write.mode("append").parquet(index_growth_dir)
+        finally:
+            sig.unpersist()
+
+    writer = stream.writeStream.foreachBatch(handle)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -1,0 +1,141 @@
+"""Streaming image near-dup: stream-vs-batch equivalence against the
+aHash index, growth-index stream-internal matching, and restart/replay
+idempotence (checkpoint + dedup-on-read of the grown index)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from composable_logs_spark.operators.codecs import encode_pnm
+from composable_logs_spark.queries import load
+from composable_logs_spark.queries.media_dedup_q import (
+    _VARIANT_OFFSET,
+    media_phash_neardup,
+    pnm_corpus_from_documents,
+)
+from composable_logs_spark.streaming.incremental_media import (
+    build_ahash_index,
+    stream_media_against_index,
+)
+
+
+def test_stream_matches_batch_pairs(spark, sf_dir, tmp_path):
+    media_dir = tmp_path / "incoming"
+    ckpt = tmp_path / "ckpt"
+
+    media = pnm_corpus_from_documents(load(spark, sf_dir, "documents"))
+    base = media.where(F.col("media_id") < _VARIANT_OFFSET)
+    index_sig = build_ahash_index(base).cache()
+    index_sig.count()
+    media.where(F.col("media_id") >= _VARIANT_OFFSET).coalesce(2).write.parquet(
+        str(media_dir)
+    )
+
+    got = []
+    q = stream_media_against_index(
+        spark,
+        str(media_dir),
+        index_sig,
+        lambda df, bid: got.extend(df.collect()),
+        str(ckpt),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {(r["media_id"], r["dup_of"], r["hamming"]) for r in got}
+    expected = {
+        (r["media_b"], r["media_a"], r["hamming"])
+        for r in media_phash_neardup(spark, sf_dir).collect()
+        if r["media_a"] < _VARIANT_OFFSET <= r["media_b"]
+    }
+    assert streamed == expected
+    assert len(streamed) > 0
+
+
+def _img(bits):
+    """16x16 P5 image whose sampled 8x8 grid realises ``bits`` exactly:
+    200-blocks force bit 1, 10-blocks bit 0 (for any 1 <= k <= 63 ones,
+    200*64 > 200k + 10(64-k) > 10*64 — the mean threshold splits)."""
+    a = np.zeros((16, 16), np.uint8)
+    for j, b in enumerate(bits):
+        r, c = divmod(j, 8)
+        a[2 * r : 2 * r + 2, 2 * c : 2 * c + 2] = 200 if b else 10
+    return bytearray(encode_pnm(a))
+
+
+def _write(spark, media_dir, rows):
+    spark.createDataFrame(rows, "media_id long, payload binary").coalesce(
+        1
+    ).write.mode("append").parquet(str(media_dir))
+
+
+def test_growing_index_and_replay_idempotence(spark, tmp_path):
+    """Batch 2's image matches a near-copy that arrived in batch 1 (the
+    grown index), and a restart from the same checkpoint replays
+    nothing — the at-least-once growth appends are made harmless by the
+    dedup-on-read of the grown index."""
+    media_dir = tmp_path / "incoming"
+    growth = tmp_path / "grown_index"
+    ckpt = tmp_path / "ckpt"
+    media_dir.mkdir()
+
+    half = [1] * 32 + [0] * 32
+    mid = [0] * 16 + [1] * 32 + [0] * 16
+    evens = [1 if j % 2 == 0 else 0 for j in range(64)]
+    evens_flip = list(evens)
+    evens_flip[62] = 0  # Hamming 1 from `evens`; ~32 from the others
+
+    index_sig = build_ahash_index(
+        spark.createDataFrame(
+            [(1, _img(half)), (2, _img(mid))], "media_id long, payload binary"
+        )
+    ).cache()
+    index_sig.count()
+
+    _write(spark, media_dir, [(100, _img(evens))])
+
+    got = []
+    q = stream_media_against_index(
+        spark,
+        str(media_dir),
+        index_sig,
+        lambda df, bid: got.extend(df.collect()),
+        str(ckpt),
+        index_growth_dir=str(growth),
+    )
+    try:
+        q.processAllAvailable()
+        assert got == []  # batch 1: nothing matches the base index
+        _write(spark, media_dir, [(200, _img(evens_flip))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {(r["media_id"], r["dup_of"], r["hamming"]) for r in got} == {
+        (200, 100, 1)
+    }
+
+    # restart from the same checkpoint: no file is reprocessed, no pair
+    # re-emitted, and the grown index still holds exactly one signature
+    # per media_id after dedup-on-read
+    got2 = []
+    q2 = stream_media_against_index(
+        spark,
+        str(media_dir),
+        index_sig,
+        lambda df, bid: got2.extend(df.collect()),
+        str(ckpt),
+        index_growth_dir=str(growth),
+    )
+    try:
+        q2.processAllAvailable()
+        # a genuinely new near-copy after the restart still matches —
+        # including against signatures grown BEFORE the restart
+        _write(spark, media_dir, [(300, _img(evens))])
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # 300 re-sends the `evens` image: identical to 100 (Hamming 0) and
+    # one flipped bit away from 200
+    pairs2 = {(r["media_id"], r["dup_of"], r["hamming"]) for r in got2}
+    assert pairs2 == {(300, 100, 0), (300, 200, 1)}
