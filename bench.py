@@ -237,6 +237,38 @@ def main() -> None:
         k: list(v) for k, v in got_digest.items()
     }
 
+    # --- XL closure-path proof: ~3.8M spans (512 runs x 1600 tasks) ---
+    # Untimed, digest-only: quadruples the r9 scale evidence for the
+    # closure-join summarisation (819,200 task_runs / 1,021,568 deps,
+    # every table multiset-digest-pinned). Generation + archive are
+    # one-time and cached in /tmp; only at sf0.1, and skippable with
+    # SPARK_GRAFT_SKIP_BIGGEN_XL=1 when bench wall-clock matters more
+    # than the extra proof.
+    if float(sf) >= 0.1 and not os.environ.get("SPARK_GRAFT_SKIP_BIGGEN_XL"):
+        xl_runs, xl_tasks = 512, 1600
+        xl_arch = f"/tmp/spark_graft_bigspans_v2_{xl_runs}x{xl_tasks}/archive"
+        if not os.path.isdir(xl_arch):
+            from composable_logs_spark.spanlog.archive import archive_spans
+            from composable_logs_spark.spanlog.biggen import generate_big_spanlog
+
+            xl_log = os.path.dirname(xl_arch) + "/jsonl"
+            generate_big_spanlog(xl_log, n_runs=xl_runs, tasks_per_run=xl_tasks)
+            archive_spans(spark, xl_log, xl_arch, files_per_day=4)
+        _XL_GOLDEN = {
+            "task_runs": (819200, 449739314444234080, 449750541166714400),
+            "workflow_runs": (512, 281618652784460, 281647960557512),
+            "deps": (1021568, 561990171510814949, 561986443402377477),
+            "logged_values": (81920, 44962222465911948, 44963574405534489),
+        }
+        spark.catalog.clearCache()
+        xl_digest = summaries_digest(
+            summarize_spans(read_span_archive(spark, xl_arch))
+        )
+        extra["spanlog_xl_digest_ok"] = xl_digest == _XL_GOLDEN
+        extra["spanlog_xl_runs"] = xl_runs
+        extra["spanlog_xl_tasks_per_run"] = xl_tasks
+        extra["spanlog_xl_digest"] = {k: list(v) for k, v in xl_digest.items()}
+
     total = round(sum(timings.values()), 3)
     # total-level drift annotation (informational: the per-query guard
     # already re-measured any >2x component; the total can still drift
