@@ -75,10 +75,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # the complete 42-name r6-stale block (newest driver-green row = round
 # 6, per the CORRECTNESS_r01..r09 histogram: 42/45/46/50 for r6/7/8/9),
 # moving the staleness floor to r7, and the 3 stalest-r7 names in name
-# order as filler.
+# order as filler. A later session of this round added a 3rd new query
+# (classifier PR curve); per rule (1) it joins the new block, displacing
+# the last filler name (agg_grouping_sets stays r7-green and rotates in
+# next round).
 _FRONT_WINDOW = [
     # (1) new this round
-    "pii_scrub_documents", "trigram_logprob",
+    "pii_scrub_documents", "trigram_logprob", "classifier_pr_curve",
     # (2) changed this round
     "perplexity_buckets", "text_phrase_search", "mix_temperature_sample",
     # (3a) the complete r6-stale block, name order — floor moves to r7
@@ -103,7 +106,6 @@ _FRONT_WINDOW = [
     "winsorize_doc_lengths",
     # (3b) stalest-green filler (r7), name order
     "agg_cube_events", "agg_distinct_parts_per_nation",
-    "agg_grouping_sets",
 ]
 
 
@@ -166,6 +168,7 @@ def all_queries() -> dict[str, QuerySpec]:
         phrase_q,
         group_auc_q,
         trigram_q,
+        pr_curve_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -227,6 +230,7 @@ def all_queries() -> dict[str, QuerySpec]:
         phrase_q,
         group_auc_q,
         trigram_q,
+        pr_curve_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
