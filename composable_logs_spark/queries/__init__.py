@@ -75,13 +75,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # the complete 42-name r6-stale block (newest driver-green row = round
 # 6, per the CORRECTNESS_r01..r09 histogram: 42/45/46/50 for r6/7/8/9),
 # moving the staleness floor to r7, and the 3 stalest-r7 names in name
-# order as filler. A later session of this round added a 3rd new query
-# (classifier PR curve); per rule (1) it joins the new block, displacing
-# the last filler name (agg_grouping_sets stays r7-green and rotates in
-# next round).
+# order as filler. A later session of this round added a 3rd and 4th
+# new query (classifier PR curve, UniMax language sampling); per rule
+# (1) they join the new block, displacing the last two filler names
+# (agg_grouping_sets and agg_distinct_parts_per_nation stay r7-green
+# and rotate in next round).
 _FRONT_WINDOW = [
     # (1) new this round
     "pii_scrub_documents", "trigram_logprob", "classifier_pr_curve",
+    "mix_unimax_sample",
     # (2) changed this round
     "perplexity_buckets", "text_phrase_search", "mix_temperature_sample",
     # (3a) the complete r6-stale block, name order — floor moves to r7
@@ -105,7 +107,7 @@ _FRONT_WINDOW = [
     "vocab_coverage_topk", "weighted_reservoir_topk",
     "winsorize_doc_lengths",
     # (3b) stalest-green filler (r7), name order
-    "agg_cube_events", "agg_distinct_parts_per_nation",
+    "agg_cube_events",
 ]
 
 
@@ -169,6 +171,7 @@ def all_queries() -> dict[str, QuerySpec]:
         group_auc_q,
         trigram_q,
         pr_curve_q,
+        unimax_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -231,6 +234,7 @@ def all_queries() -> dict[str, QuerySpec]:
         group_auc_q,
         trigram_q,
         pr_curve_q,
+        unimax_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]

@@ -4,9 +4,9 @@ right. ``all_queries`` pins it explicitly by name; this test asserts the
 pin so an innocent module reorder can't silently change which queries
 the driver hash-checks.
 
-Round-10 window (see ``_FRONT_WINDOW``): the 3 queries ADDED this round
+Round-10 window (see ``_FRONT_WINDOW``): the 4 queries ADDED this round
 (full PII scrub over documents, trigram stupid-backoff LM, classifier
-PR curve), the 3 whose
+PR curve, UniMax language sampling), the 3 whose
 plan or semantics changed this round (two-pass perplexity rank-cuts,
 rarest-word phrase seeding, left-join temperature mix), then the
 complete 42-name round-6-stale block — moving the gate staleness floor
@@ -33,6 +33,7 @@ def test_window_is_exactly_fifty_unique_names():
 def test_never_driver_checked_queries_lead_the_window():
     never_checked = {
         "pii_scrub_documents", "trigram_logprob", "classifier_pr_curve",
+        "mix_unimax_sample",
     }
     changed = {
         "perplexity_buckets", "text_phrase_search", "mix_temperature_sample",

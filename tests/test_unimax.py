@@ -1,0 +1,72 @@
+"""UniMax water-filling: checked against a pure-Python sequential
+water-filler (third implementation — the paper's iterative form, NOT
+the split-search the distributed plan uses), plus allocation
+invariants on planted skewed corpora."""
+
+import pandas as pd
+
+from composable_logs_spark.queries.unimax_q import (
+    _BUDGET_DEN,
+    _BUDGET_NUM,
+    _E,
+    mix_unimax_sample,
+)
+
+
+def _py_unimax(counts: dict[str, int]) -> dict[str, int]:
+    """Sequential water-filling: allocate the budget uniformly over the
+    still-open languages, closing each language when it hits its epoch
+    cap, floors throughout."""
+    budget = (sum(counts.values()) * _BUDGET_NUM) // _BUDGET_DEN
+    caps = {l: _E * n for l, n in counts.items()}
+    quota = {l: 0 for l in counts}
+    open_langs = sorted(caps, key=lambda l: (caps[l], l))
+    remaining = budget
+    while open_langs:
+        share = remaining // len(open_langs)
+        l = open_langs[0]  # smallest capacity first
+        if caps[l] <= share:
+            quota[l] = caps[l]
+            remaining -= caps[l]
+            open_langs.pop(0)
+        else:
+            # nobody else caps either (they're all larger): level off
+            for m in open_langs:
+                quota[m] = share
+            break
+    return quota
+
+
+def test_matches_python_waterfiller_on_corpus(spark, sf_dir):
+    got = {r["lang"]: r for r in mix_unimax_sample(spark, sf_dir).collect()}
+    counts = (
+        pd.read_parquet(f"{sf_dir}/documents.parquet")["lang"]
+        .value_counts()
+        .to_dict()
+    )
+    expect = _py_unimax({k: int(v) for k, v in counts.items()})
+    assert set(got) == set(expect)
+    for lang, q in expect.items():
+        r = got[lang]
+        assert r["quota"] == q, (lang, q, r)
+        assert r["cap"] == _E * counts[lang]
+        assert 0 <= r["quota"] <= r["cap"]
+        assert r["epochs_milli"] == (1000 * r["quota"]) // r["n_available"]
+    budget = (sum(counts.values()) * _BUDGET_NUM) // _BUDGET_DEN
+    assert sum(r["quota"] for r in got.values()) <= budget
+
+
+def test_invariants_on_collected_output(spark, sf_dir):
+    rows = mix_unimax_sample(spark, sf_dir).collect()
+    # uncapped languages all sit at the same water level; capped ones
+    # are below it and fully taken
+    uncapped = [r for r in rows if r["quota"] < r["cap"]]
+    capped = [r for r in rows if r["quota"] == r["cap"]]
+    assert len(uncapped) + len(capped) == len(rows)
+    if uncapped:
+        levels = {r["quota"] for r in uncapped}
+        assert len(levels) == 1
+        level = levels.pop()
+        assert all(r["cap"] <= level for r in capped)
+    # epoch bound holds everywhere
+    assert all(r["epochs_milli"] <= 1000 * _E for r in rows)
