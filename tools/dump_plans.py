@@ -104,9 +104,9 @@ HEADLINE = [
     "er_fellegi_sunter",
     "attribution_time_decay",
     "mix_temperature_sample",
-    # perplexity terciles (lang-partitioned rank window over a
-    # doc-count-sized score frame), CDC apply (one keyed window over
-    # the changelog + one full-outer merge join)
+    # perplexity terciles (r10: two-pass histogram rank-cuts — the only
+    # window runs over per-(lang, score) histogram rows), CDC apply
+    # (one keyed window over the changelog + one full-outer merge join)
     "perplexity_buckets",
     "cdc_apply_changes",
     # calibration (broadcast weight join + 11-key hash agg), phrase
@@ -114,6 +114,15 @@ HEADLINE = [
     "classifier_calibration",
     "text_phrase_search",
     "classifier_group_auc",
+    # round-10 — two-pass perplexity (histogram cumsum window, no doc
+    # sort), rarest-word phrase seeding (3-row broadcast seed table),
+    # full PII scrub (narrow map, no Exchange), trigram backoff LM
+    # (three count-table equi-joins), PR curve (histogram x broadcast
+    # grid, no window), UniMax (K-row broadcast water-filling)
+    "pii_scrub_documents",
+    "trigram_logprob",
+    "classifier_pr_curve",
+    "mix_unimax_sample",
 ]
 
 
