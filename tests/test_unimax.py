@@ -56,6 +56,32 @@ def test_matches_python_waterfiller_on_corpus(spark, sf_dir):
     assert sum(r["quota"] for r in got.values()) <= budget
 
 
+def test_oracle_matches_waterfiller_on_edge_corpora():
+    """The SQL side alone vs the sequential Python water-filler on
+    synthetic corpora the real test data cannot produce: extreme skew,
+    a single language, exact ties, and a cascade of caps."""
+    import duckdb
+
+    from composable_logs_spark.queries.unimax_q import UNIMAX_SQL
+
+    cases = [
+        {"a": 1, "b": 1000},
+        {"a": 5},
+        {"a": 3, "b": 3, "c": 3},
+        {"a": 1, "b": 2, "c": 4, "d": 8, "e": 1000, "f": 100000},
+    ]
+    for counts in cases:
+        con = duckdb.connect()
+        rows = [(f"{l}{i}", l) for l, n in counts.items() for i in range(n)]
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ",".join(f"('{d}','{l}')" for d, l in rows)
+            + ") t(doc_id, lang)"
+        )
+        got = {r[0]: r[3] for r in con.execute(UNIMAX_SQL).fetchall()}
+        assert got == _py_unimax(counts), counts
+
+
 def test_invariants_on_collected_output(spark, sf_dir):
     rows = mix_unimax_sample(spark, sf_dir).collect()
     # uncapped languages all sit at the same water level; capped ones
