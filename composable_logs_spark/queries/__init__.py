@@ -63,8 +63,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # round: (1) every query that has never had a driver hash-green row,
 # (2) every query whose semantics or oracle changed this round,
 # (3) fill with the longest-unverified green block. Round 10 window:
-# the 2 queries ADDED this round (full-alternation PII scrub over
-# documents; trigram stupid-backoff LM — never driver-checked), the 3
+# the 2 queries ADDED this round (full PII scrub over documents --
+# sequential typed-category masking, deliberately NOT one big
+# alternation; trigram stupid-backoff LM — never driver-checked), the 3
 # whose Spark plan or semantics changed this round (perplexity_buckets:
 # two-pass histogram rank-cuts replaced the per-language doc-sort
 # window, oracle byte-identical; text_phrase_search: rarest-word

@@ -17,6 +17,16 @@ and check each arriving batch against it:
   then exact-Jaccard verification over the hashed shingle sets — the
   stream never sees an O(batch x corpus) comparison.
 
+Pairs WITHIN one micro-batch are caught too (round-10 fix): besides the
+new-vs-index join, each batch runs the banded self-join over its own
+(batch-sized) signatures — without it, two near-dups arriving together
+would never be paired by anyone (both enter the grown index and
+cross-matching only looks backwards). At-least-once replays stay
+idempotent: the cross leg anti-joins away index entries that belong to
+the CURRENT batch (a replayed batch whose signatures already reached
+the growth dir would otherwise match itself at Jaccard 1), and the
+intra leg re-emits exactly what the original attempt emitted.
+
 The foreachBatch pattern keeps the inner joins ordinary batch joins, so
 AQE/broadcast decisions apply per micro-batch (a small batch against a
 large index plans as a broadcast of the batch side).
@@ -93,17 +103,21 @@ def stream_against_index(
             return
         idx = _current_index()
         sig = minhash_signatures(batch_df).cache()
+        batch_bands = bands_long(sig)
         cand = (
-            bands_long(sig)
-            .alias("new")
+            batch_bands.alias("new")
             .join(bands_long(idx).alias("old"), ["band_idx", "band_hash"])
             .select(
                 F.col("new.doc_id").alias("doc_id"),
                 F.col("old.doc_id").alias("dup_of"),
             )
+            # replay guard: on a retried batch the grown index already
+            # holds THIS batch's signatures — those pairs belong to (and
+            # are re-emitted identically by) the intra leg below
+            .join(sig.select(F.col("doc_id").alias("dup_of")), "dup_of", "anti")
             .distinct()
         )
-        verified = (
+        cross = (
             cand.join(sig.select("doc_id", F.col("hashes").alias("sh_new")), "doc_id")
             .join(
                 idx.select(
@@ -115,6 +129,33 @@ def stream_against_index(
             .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
             .select("doc_id", "dup_of", "jaccard")
         )
+        # pairs WITHIN this batch: the banded self-join over the
+        # batch-sized signatures, emitted as (newer id, older id)
+        intra_cand = (
+            batch_bands.alias("x")
+            .join(batch_bands.alias("y"), ["band_idx", "band_hash"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("y.doc_id").alias("doc_id"),
+                F.col("x.doc_id").alias("dup_of"),
+            )
+            .distinct()
+        )
+        intra = (
+            intra_cand.join(
+                sig.select("doc_id", F.col("hashes").alias("sh_new")), "doc_id"
+            )
+            .join(
+                sig.select(
+                    F.col("doc_id").alias("dup_of"), F.col("hashes").alias("sh_old")
+                ),
+                "dup_of",
+            )
+            .withColumn("jaccard", jaccard_col("sh_new", "sh_old"))
+            .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+            .select("doc_id", "dup_of", "jaccard")
+        )
+        verified = cross.unionByName(intra)
         try:
             on_batch(verified, batch_id)
             if index_growth_dir:

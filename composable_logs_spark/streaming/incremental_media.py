@@ -19,11 +19,20 @@ per image as the index and band-join each arriving batch against it:
   (``ahash_band_buckets``), then exact Hamming<=6 verification — the
   stream never sees an O(batch x index) comparison.
 
+Pairs WITHIN one micro-batch are caught too: besides the new-vs-index
+band join, each batch runs the batch query's own band self-join over
+its (tiny) signature frame — without it, two near-dups arriving
+together would never be paired by anyone (both enter the index and
+cross-matching only looks backwards).
+
 With ``index_growth_dir`` the index GROWS: each batch's signatures are
 appended (signatures only) after matching, so later arrivals match
-earlier arrivals, not just the base archive — at-least-once replays
-are made idempotent by deduping the grown index on media_id at read,
-the incremental_dedup discipline.
+earlier arrivals, not just the base archive. At-least-once replays are
+made idempotent by deduping the grown index on media_id at read AND by
+filtering self-matches (a replayed batch whose signatures already
+reached the growth dir would otherwise match ITSELF at Hamming 0) —
+the replay then re-emits exactly the pairs the original attempt
+emitted, never self-pairs.
 """
 
 from __future__ import annotations
@@ -38,6 +47,7 @@ from ..queries.media_dedup_q import (
     ahash_band_buckets,
     ahash_signatures,
     hamming_col,
+    phash_neardup_pairs,
 )
 
 _MEDIA_SCHEMA = "media_id long, payload binary"
@@ -105,14 +115,32 @@ def stream_media_against_index(
                 ),
                 ["probe", "bucket"],
             )
+            # self-match guard: a replayed batch whose signatures were
+            # already appended to the growth dir would match itself
+            .where(F.col("media_id") != F.col("dup_of"))
             .select("media_id", "dup_of", "lo_n", "hi_n", "lo_o", "hi_o")
             .distinct()
         )
-        verified = (
+        cross = (
             cand.withColumn("hamming", hamming_col("lo_n", "hi_n", "lo_o", "hi_o"))
             .where(F.col("hamming") <= _HAMMING_MAX)
             .select("media_id", "dup_of", "hamming")
+            # anti vs the batch's own ids: on a replay the grown index
+            # already holds THIS batch's signatures — those pairs belong
+            # to (and are re-emitted identically by) the intra leg below
+            .join(
+                sig.select(F.col("media_id").alias("dup_of")), "dup_of", "anti"
+            )
         )
+        # pairs WITHIN this batch: the batch query's band self-join over
+        # the batch-sized signature frame (media_a < media_b) — emitted
+        # as (newer id, dup_of = older id) to match the cross convention
+        intra = phash_neardup_pairs(sig).select(
+            F.col("media_b").alias("media_id"),
+            F.col("media_a").alias("dup_of"),
+            "hamming",
+        )
+        verified = cross.unionByName(intra)
         try:
             on_batch(verified, batch_id)
             if index_growth_dir:

@@ -22,7 +22,10 @@ def test_stream_matches_batch_pairs(spark, sf_dir, tmp_path):
     docs_dir.mkdir()
 
     # "existing corpus" = the original documents; "arriving docs" = the
-    # corpus' truncated variants, fed across two micro-batch files
+    # corpus' truncated variants, fed as ONE micro-batch file so the
+    # expected set is deterministic: every batch-query pair whose newer
+    # side is a variant — original x variant via the index join,
+    # variant x variant via the intra-batch self-join
     index_sig = build_signature_index(load(spark, sf_dir, "documents")).cache()
     index_sig.count()
     variants = (
@@ -30,11 +33,9 @@ def test_stream_matches_batch_pairs(spark, sf_dir, tmp_path):
         .where(f"doc_id >= {_VARIANT_OFFSET}")
         .collect()
     )
-    half = len(variants) // 2
-    for i, chunk in enumerate((variants[:half], variants[half:])):
-        with open(docs_dir / f"batch{i}.jsonl", "w") as f:
-            for r in chunk:
-                f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+    with open(docs_dir / "batch0.jsonl", "w") as f:
+        for r in variants:
+            f.write(json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
 
     got = []
     q = stream_against_index(
@@ -54,7 +55,7 @@ def test_stream_matches_batch_pairs(spark, sf_dir, tmp_path):
     expected = {
         (r["doc_b"], r["doc_a"], r["jaccard"])
         for r in batch.collect()
-        if r["doc_a"] < _VARIANT_OFFSET <= r["doc_b"]
+        if r["doc_b"] >= _VARIANT_OFFSET
     }
     assert streamed == expected
     assert len(streamed) > 0

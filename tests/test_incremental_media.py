@@ -26,7 +26,11 @@ def test_stream_matches_batch_pairs(spark, sf_dir, tmp_path):
     base = media.where(F.col("media_id") < _VARIANT_OFFSET)
     index_sig = build_ahash_index(base).cache()
     index_sig.count()
-    media.where(F.col("media_id") >= _VARIANT_OFFSET).coalesce(2).write.parquet(
+    # ONE file => one micro-batch, so the expected set is deterministic:
+    # every batch-query pair whose newer side is a variant — cross pairs
+    # (orig x variant) via the index join, variant x variant pairs via
+    # the intra-batch self-join
+    media.where(F.col("media_id") >= _VARIANT_OFFSET).coalesce(1).write.parquet(
         str(media_dir)
     )
 
@@ -47,7 +51,7 @@ def test_stream_matches_batch_pairs(spark, sf_dir, tmp_path):
     expected = {
         (r["media_b"], r["media_a"], r["hamming"])
         for r in media_phash_neardup(spark, sf_dir).collect()
-        if r["media_a"] < _VARIANT_OFFSET <= r["media_b"]
+        if r["media_b"] >= _VARIANT_OFFSET
     }
     assert streamed == expected
     assert len(streamed) > 0
@@ -68,6 +72,43 @@ def _write(spark, media_dir, rows):
     spark.createDataFrame(rows, "media_id long, payload binary").coalesce(
         1
     ).write.mode("append").parquet(str(media_dir))
+
+
+def test_intra_batch_pairs_are_caught(spark, tmp_path):
+    """Two near-dups arriving in the SAME micro-batch are paired by the
+    batch self-join leg — neither matches the index, and without the
+    intra leg the pair would be lost forever (both enter the index,
+    cross-matching only looks backwards)."""
+    media_dir = tmp_path / "incoming"
+    ckpt = tmp_path / "ckpt"
+    media_dir.mkdir()
+
+    half = [1] * 32 + [0] * 32
+    evens = [1 if j % 2 == 0 else 0 for j in range(64)]
+    evens_flip = list(evens)
+    evens_flip[62] = 0
+
+    index_sig = build_ahash_index(
+        spark.createDataFrame([(1, _img(half))], "media_id long, payload binary")
+    ).cache()
+    index_sig.count()
+    _write(spark, media_dir, [(100, _img(evens)), (200, _img(evens_flip))])
+
+    got = []
+    q = stream_media_against_index(
+        spark,
+        str(media_dir),
+        index_sig,
+        lambda df, bid: got.extend(df.collect()),
+        str(ckpt),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {(r["media_id"], r["dup_of"], r["hamming"]) for r in got} == {
+        (200, 100, 1)
+    }
 
 
 def test_growing_index_and_replay_idempotence(spark, tmp_path):

@@ -10,7 +10,10 @@ PR curve, UniMax language sampling), the 3 whose
 plan or semantics changed this round (two-pass perplexity rank-cuts,
 rarest-word phrase seeding, left-join temperature mix), then the
 complete 42-name round-6-stale block — moving the gate staleness floor
-to round 7 — and the 3 stalest round-7 names as filler.
+to round 7 — and the single stalest round-7 name (agg_cube_events) as
+filler; agg_distinct_parts_per_nation and agg_grouping_sets were
+displaced by the 3rd/4th new queries, stay r7-green, and rotate in
+next round.
 """
 
 from composable_logs_spark.queries import _FRONT_WINDOW, all_queries
