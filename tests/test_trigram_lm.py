@@ -50,6 +50,71 @@ def test_backoff_rungs_and_fluency_ranking(spark):
     assert soup < math.log(0.16)
 
 
+def _py_trigram_scores(train_texts, scored_texts):
+    """Pure-Python stupid backoff — full third implementation of the
+    spec (counts, rungs, micro-nat rounding) for exact comparison."""
+    from collections import Counter
+
+    def toks(t):
+        import re
+
+        return re.split(r"\s+", t.strip().lower())
+
+    tri, bi, uni = Counter(), Counter(), Counter()
+    for _, t in train_texts:
+        a = toks(t)
+        uni.update(a)
+        if len(a) >= 2:
+            bi.update(zip(a, a[1:]))
+        if len(a) >= 3:
+            tri.update(zip(a, a[1:], a[2:]))
+    n_toks, v = sum(uni.values()), len(uni)
+    out = {}
+    for doc_id, t in scored_texts:
+        a = toks(t)
+        if len(a) < 3:
+            continue
+        s, n = 0, 0
+        for g in zip(a, a[1:], a[2:]):
+            if g in tri:
+                x = tri[g] / bi[(g[0], g[1])]
+            elif (g[1], g[2]) in bi:
+                x = 0.4 * bi[(g[1], g[2])] / uni[g[1]]
+            else:
+                x = 0.16 * (uni.get(g[2], 0) + 1) / (n_toks + v)
+            # mirror the engines exactly: one ln per rung, then
+            # HALF_UP = round-half-AWAY-FROM-ZERO (Spark round /
+            # DuckDB round both do this; floor(x+0.5) would differ on
+            # an exact negative .5 tie)
+            y = math.log(x) * 1e6
+            s += int(math.floor(abs(y) + 0.5) * (1 if y >= 0 else -1))
+            n += 1
+        out[doc_id] = (n, s)
+    return out
+
+
+def test_exact_micro_nats_match_python_model(spark):
+    """Exact lp_sum_micro equality on a corpus that exercises ALL three
+    rungs plus OOV, against the pure-Python model."""
+    train = [
+        (i, "the cat sat on the mat and the dog ran off") for i in range(7)
+    ] + [(50 + i, "a river runs through the green valley today") for i in range(3)]
+    scored = [
+        (0, "the cat sat on the mat"),              # rung 1 everywhere
+        (1, "the dog sat on the green mat"),        # mixes rungs 1-2
+        (2, "zz qq the cat hopped valley xx"),      # rung 3 + OOV
+        (3, "mat the off dog and cat the on sat"),  # shuffled: backoff soup
+    ]
+    expect = _py_trigram_scores(train, scored)
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["lp_sum_micro"])
+        for r in trigram_doc_scores(
+            _df(spark, train), _df(spark, scored)
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_backoff_beats_add1_bigram_on_heldout_prose(spark):
     """The add-1 bigram smears c(w1)+V into every denominator, so even a
     bigram seen 20 times scores ~ln(20/V); stupid backoff keeps the ML

@@ -82,6 +82,43 @@ def test_oracle_matches_waterfiller_on_edge_corpora():
         assert got == _py_unimax(counts), counts
 
 
+def test_oracle_matches_waterfiller_fuzz():
+    """Seeded random corpora (50 draws x up to 12 languages, counts
+    spanning 5 orders of magnitude): SQL split-search == sequential
+    water-filler, always."""
+    import random
+
+    import duckdb
+
+    from composable_logs_spark.queries.unimax_q import UNIMAX_SQL
+
+    rng = random.Random(20260815)
+    for trial in range(50):
+        k = rng.randint(1, 12)
+        counts = {
+            f"l{j}": rng.choice(
+                [1, 2, 3, rng.randint(1, 9), rng.randint(10, 99),
+                 rng.randint(100, 9999), rng.randint(10000, 99999)]
+            )
+            for j in range(k)
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE lang_counts(lang VARCHAR, n BIGINT);"
+        )
+        con.executemany(
+            "INSERT INTO lang_counts VALUES (?, ?)", list(counts.items())
+        )
+        # expand to a documents view without materialising huge tables
+        con.execute(
+            "CREATE VIEW documents AS "
+            "SELECT lang || '-' || unnest(range(0, n)) AS doc_id, lang "
+            "FROM lang_counts"
+        )
+        got = {r[0]: r[3] for r in con.execute(UNIMAX_SQL).fetchall()}
+        assert got == _py_unimax(counts), (trial, counts)
+
+
 def test_invariants_on_collected_output(spark, sf_dir):
     rows = mix_unimax_sample(spark, sf_dir).collect()
     # uncapped languages all sit at the same water level; capped ones
