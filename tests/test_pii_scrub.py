@@ -61,6 +61,38 @@ def test_sequencing_prevents_double_counting(spark):
     assert (row["n_emails"], row["n_phones"], row["n_ssns"], row["n_ids"]) == (1, 1, 0, 0)
 
 
+def test_fuzz_planted_pii_counts(spark):
+    """Seeded fuzz: canonical PII tokens planted at random positions in
+    random filler text are each counted exactly once, in the right
+    category, and the scrubbed text carries the right mask counts."""
+    import random
+
+    rng = random.Random(20260815)
+    words = "lorem ipsum dolor sit amet quick brown fox lazy dog".split()
+    pii = {
+        "n_emails": lambda: f"user{rng.randint(1, 99)}@mail{rng.randint(1, 9)}.org",
+        "n_phones": lambda: f"({rng.randint(100, 999)}) {rng.randint(100, 999)}-{rng.randint(1000, 9999)}",
+        "n_ssns": lambda: f"{rng.randint(100, 999)}-{rng.randint(10, 99)}-{rng.randint(1000, 9999)}",
+        "n_ids": lambda: str(rng.randint(10**5 + 1, 10**10)),
+    }
+    texts, expected = [], []
+    for _ in range(40):
+        parts = [rng.choice(words) for _ in range(rng.randint(3, 12))]
+        planted = {k: 0 for k in pii}
+        for _ in range(rng.randint(0, 5)):
+            k = rng.choice(list(pii))
+            parts.insert(rng.randint(0, len(parts)), pii[k]())
+            planted[k] += 1
+        texts.append(" ".join(parts))
+        expected.append(planted)
+    rows = _scrub(spark, texts)
+    masks = {"n_emails": "[EMAIL]", "n_phones": "[PHONE]", "n_ssns": "[SSN]", "n_ids": "[ID]"}
+    for r, planted in zip(rows, expected):
+        for k, n in planted.items():
+            assert r[k] == n, (r["doc_id"], k, n, r)
+            assert r["scrubbed"].count(masks[k]) == n
+
+
 def test_query_plants_pii_in_low_ids(spark, sf_dir):
     rows = pii_scrub_documents(spark, sf_dir).orderBy("doc_id").limit(12).collect()
     for r in rows:
