@@ -1,0 +1,104 @@
+"""Round-11 regression lock for the bench round-over-round outlier guard.
+
+The r10 verdict found the guard had been a no-op for two rounds: the
+driver commits BENCH_r*.json wrapped in an envelope
+``{"n", "rc", "cpus", "sf", "tail", "parsed": {...}}``, and
+``bench._prev_round_value`` read the TOP level, so "queries" /
+"queries_extra" / "value" were never found and every drift branch was
+dead code. These tests feed driver-shaped records and assert the guard
+actually fires on synthetic drift — both the >2x per-query trigger and
+the >10% total-drift note.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+
+
+def _write_driver_record(tmp_path, round_no: int, parsed: dict) -> None:
+    """Exactly the envelope shape the driver commits (see BENCH_r10.json)."""
+    rec = {
+        "n": round_no,
+        "rc": 0,
+        "cpus": 32,
+        "sf": 0.1,
+        "tail": "",
+        "parsed": parsed,
+    }
+    (tmp_path / f"BENCH_r{round_no}.json").write_text(json.dumps(rec))
+
+
+_PARSED = {
+    "metric": "headline_total_runtime",
+    "value": 8.711,
+    "unit": "sec",
+    "queries": {"q1_pricing_summary": 0.499, "dedup_minhash_lsh": 1.77},
+    "queries_warm": {"q1_pricing_summary": 0.2},
+    "queries_extra": {"spanlog_big_summarize": 15.979},
+    "sf": 0.1,
+}
+
+
+def test_prev_round_value_unwraps_driver_envelope(tmp_path):
+    _write_driver_record(tmp_path, 10, _PARSED)
+    kw = dict(records_dir=str(tmp_path), sf_dir="/root/testdata/sf0.1")
+    assert bench._prev_round_value("q1_pricing_summary", "queries", **kw) == 0.499
+    assert bench._prev_round_value("spanlog_big_summarize", "queries_extra", **kw) == 15.979
+    assert bench._prev_round_value("value", "", **kw) == 8.711
+
+
+def test_prev_round_value_accepts_flat_record(tmp_path):
+    # bench.py's own stdout shape (no envelope) must keep working
+    (tmp_path / "BENCH_r3.json").write_text(json.dumps(_PARSED))
+    kw = dict(records_dir=str(tmp_path), sf_dir="/root/testdata/sf0.1")
+    assert bench._prev_round_value("q1_pricing_summary", "queries", **kw) == 0.499
+    assert bench._prev_round_value("value", "", **kw) == 8.711
+
+
+def test_prev_round_value_picks_newest_round(tmp_path):
+    _write_driver_record(tmp_path, 9, dict(_PARSED, value=10.0))
+    _write_driver_record(tmp_path, 10, dict(_PARSED, value=8.711))
+    kw = dict(records_dir=str(tmp_path), sf_dir="/root/testdata/sf0.1")
+    assert bench._prev_round_value("value", "", **kw) == 8.711
+
+
+def test_prev_round_value_skips_non_driver_sf(tmp_path):
+    _write_driver_record(tmp_path, 10, _PARSED)
+    assert (
+        bench._prev_round_value(
+            "value", "", records_dir=str(tmp_path), sf_dir="/root/testdata/sf0.01"
+        )
+        is None
+    )
+
+
+def test_per_query_2x_drift_fires_against_driver_record(tmp_path):
+    """End-to-end through the real lookup: a synthetic >2x drift vs the
+    driver-shaped previous round must trip the re-measure branch."""
+    _write_driver_record(tmp_path, 10, _PARSED)
+    prev = bench._prev_round_value(
+        "q1_pricing_summary",
+        "queries",
+        records_dir=str(tmp_path),
+        sf_dir="/root/testdata/sf0.1",
+    )
+    assert prev == 0.499
+    assert bench._drift_exceeds_2x([1.2, 1.3], prev)  # >2x slower: fires
+    assert bench._drift_exceeds_2x([0.1, 0.11], prev)  # >2x faster: fires
+    assert not bench._drift_exceeds_2x([0.45, 0.6], prev)  # within 2x
+    assert not bench._drift_exceeds_2x([1.2, 1.3], None)  # no prior round
+
+
+def test_total_10pct_drift_produces_note_against_driver_record(tmp_path):
+    _write_driver_record(tmp_path, 10, _PARSED)
+    prev_total = bench._prev_round_value(
+        "value", "", records_dir=str(tmp_path), sf_dir="/root/testdata/sf0.1"
+    )
+    note = bench._total_drift_note(10.5, prev_total)  # +20.5% vs 8.711
+    assert note is not None and "8.711" in note and "+21%" in note
+    assert bench._total_drift_note(9.0, prev_total) is None  # +3.3%: quiet
+    assert bench._total_drift_note(10.5, None) is None
