@@ -29,12 +29,26 @@ scale factors — verified while building this query.
                              keep marker score >= 2 (the LID-confidence
                              floor; CCNet drops low-confidence pages)
     3. quality             — rules (``text_ops.quality_stats`` keep
-                             flag) AND the bigram-LM score
-                             (``text_ops.bigram_logprob``, model
-                             trained on the cut corpus) above the fixed
-                             head+middle bucket boundary (CCNet's
-                             KenLM-perplexity bucketing; avg_logprob
-                             >= -3.43 keeps roughly the best 2/3)
+                             flag) AND the trigram stupid-backoff LM
+                             (``trigram_q.trigram_doc_scores``, reused
+                             verbatim, trained on the cut corpus) above
+                             the per-language head+middle tercile
+                             boundary (CCNet's KenLM-perplexity
+                             bucketing, Wenzek et al. §4.4). The
+                             boundary is DATA-DERIVED per the
+                             ``perplexity_q`` rank-cut device — the
+                             score at rank max(2n div 3, 1) by
+                             score_micro desc within each language;
+                             keep score_micro >= that boundary (ties AT
+                             the boundary score are kept, so no
+                             doc-grain tie-break ordering exists in
+                             either engine). Earlier rounds used a
+                             fixed constant on the add-1 bigram scale;
+                             the self-trained trigram scale shifts with
+                             corpus size (more trigram types => lower
+                             conditionals), so a constant cannot stay
+                             active across SFs — the rank-cut is both
+                             more faithful to CCNet and SF-robust
     4. doc-level dedup     — ``pipeline_q.neardup_keepers`` (minhash
                              pairs -> components -> keep longest); the
                              pair oracle runs over exactly the same
@@ -59,10 +73,13 @@ The reference's pipeline surface is span-DAG orchestration
 (wrappers.py run_dag); this is north-star corpus scope.
 
 100 TB design: union of its parts, each documented at its definition —
-the gram frequency pass (stage 1), per-doc narrow maps (stages 2-3),
-banded LSH + sparse components (stage 4), a broadcast benchmark join
-(stage 5: benchmarks are KBs against a TB corpus), and one window per
-language (stage 6). No stage introduces a new shuffle class. Oracle
+the gram frequency pass (stage 1), per-doc narrow maps (stage 2 and the
+stage-3 rules), the trigram LM's hash-agg count tables + equi-joins
+with a histogram-grain rank cut (stage 3's gate, see
+``_lm_tercile_keepers``), banded LSH + sparse components (stage 4), a
+broadcast benchmark join (stage 5: benchmarks are KBs against a TB
+corpus), and one window per language (stage 6). No stage introduces a
+new shuffle class. Oracle
 note: the reused CTEs are MATERIALIZED — DuckDB otherwise inlines each
 reference, re-evaluating the whole upstream chain once per consumer
 (measured 30x on this 6-stage chain).
@@ -77,15 +94,58 @@ from . import QuerySpec, load
 from .mix_q import _MIX_TARGET
 
 _LID_MIN_SCORE = 2
-_LM_FLOOR = -3.43  # head+middle perplexity-bucket boundary
 _BENCH_DOCS = 20
 _BOILER_FREQ = 3  # stage-1 span-frequency floor (see docstring)
+
+
+def _lm_tercile_keepers(cutd: DataFrame) -> DataFrame:
+    """Stage-3 LM gate: doc_ids in the head+middle terciles of the
+    self-trained trigram stupid-backoff score, per language.
+
+    Scale shape (the ``perplexity_q`` two-pass rank-cut): the only
+    doc-grain step is the trigram scoring itself; the cumulative window
+    runs over per-(lang, score_micro) HISTOGRAM rows, and the boundary
+    frame (one row per language) comes back as a broadcast join. No
+    doc-grain sort or row_number anywhere."""
+    from pyspark.sql import Window
+
+    from .trigram_q import trigram_doc_scores
+
+    # one row per scored doc; two consumers (histogram + keep filter),
+    # so pin it — without the cache the full trigram-LM pipeline would
+    # execute twice (the perplexity_q/dedup_q cache discipline)
+    lm_lang = (
+        trigram_doc_scores(cutd, cutd)
+        .select("doc_id", F.expr("lp_sum_micro div n_trigrams").alias("score_micro"))
+        .join(cutd.select("doc_id", "lang"), "doc_id")
+        .cache()
+    )
+    hist = lm_lang.groupBy("lang", "score_micro").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("score_micro"))
+    cum = hist.withColumn("cum_end", F.sum("c").over(w)).withColumn(
+        "cum_start", F.col("cum_end") - F.col("c")
+    )
+    n = hist.groupBy("lang").agg(F.sum("c").alias("n_lang"))
+    # boundary = score at rank k (by score desc), k = max(2n div 3, 1):
+    # the worst head+middle score; max(..,1) keeps at least the best
+    # doc of a tiny language alive
+    floor = (
+        cum.join(F.broadcast(n), "lang")
+        .withColumn("k", F.greatest(F.expr("(2 * n_lang) div 3"), F.lit(1)))
+        .where((F.col("cum_start") < F.col("k")) & (F.col("k") <= F.col("cum_end")))
+        .select("lang", F.col("score_micro").alias("s_star"))
+    )
+    return (
+        lm_lang.join(F.broadcast(floor), "lang")
+        .where(F.col("score_micro") >= F.col("s_star"))
+        .select("doc_id")
+    )
 
 
 def pipeline_ccnet_recipe(spark: SparkSession, sf: str) -> DataFrame:
     from .pipeline_q import _ngram_hashes, neardup_keepers
     from .substr_q import cut_dup_spans
-    from .text_ops import bigram_logprob, lang_scores, quality_stats
+    from .text_ops import lang_scores, quality_stats
 
     d = load(spark, sf, "documents")
 
@@ -114,11 +174,7 @@ def pipeline_ccnet_recipe(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id")
     )
     qual = quality_stats(cutd).where("passes_quality").select("doc_id")
-    lm = (
-        bigram_logprob(cutd)
-        .where(F.col("avg_logprob") >= _LM_FLOOR)
-        .select("doc_id")
-    )
+    lm = _lm_tercile_keepers(cutd)
     s2 = cutd.join(lid, "doc_id", "semi")
     s3 = s2.join(qual, "doc_id", "semi").join(lm, "doc_id", "semi")
 
@@ -218,7 +274,8 @@ def _ccnet_sql() -> str:
     from .dedup_q import _minhash_sql
     from .pipeline_q import _NGRAM_SQL_EXPR
     from .substr_q import _L, _gram_cte_sql
-    from .text_ops import _bigram_sql, _lang_sql, _quality_sql
+    from .text_ops import _lang_sql, _quality_sql
+    from .trigram_q import trigram_sums_sql_over
 
     share_case = "CASE lang " + " ".join(
         f"WHEN '{k}' THEN {int(v * 100)}" for k, v in _MIX_TARGET.items()
@@ -277,8 +334,26 @@ lid AS MATERIALIZED (
 qkeep AS MATERIALIZED (
   SELECT doc_id FROM ({_quality_sql("cutdocs")}) y WHERE passes_quality
 ),
+lm_lang AS MATERIALIZED (
+  SELECT s.doc_id, c.lang, s.lp_sum_micro // s.n_trigrams AS score_micro
+  FROM ({trigram_sums_sql_over("cutdocs", "cutdocs")}) s
+  JOIN cutdocs c USING (doc_id)
+),
+lm_rank AS (
+  SELECT lang, score_micro,
+         row_number() OVER (PARTITION BY lang ORDER BY score_micro DESC) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM lm_lang
+),
+lm_floor AS (
+  -- the score at rank max(2n div 3, 1): ties share a score value, so
+  -- any row_number tie order yields the same boundary score
+  SELECT lang, score_micro AS s_star
+  FROM lm_rank WHERE rn = greatest((2 * n_lang) // 3, 1)
+),
 lm AS MATERIALIZED (
-  SELECT doc_id FROM ({_bigram_sql("cutdocs")}) z WHERE avg_logprob >= {_LM_FLOOR}
+  SELECT l.doc_id FROM lm_lang l
+  JOIN lm_floor f ON f.lang = l.lang AND l.score_micro >= f.s_star
 ),
 s2 AS MATERIALIZED (SELECT c.* FROM cutdocs c JOIN lid USING (doc_id)),
 s3 AS MATERIALIZED (

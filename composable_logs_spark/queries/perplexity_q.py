@@ -4,9 +4,10 @@ score — the step the CCNet pipeline runs between language ID and the
 final mixture, so that downstream consumers can choose "head only" or
 "head+middle" slices per language.
 
-Differences from ``pipeline_ccnet_recipe``'s LM stage: the recipe uses
-a FIXED floor (one global constant); the real CCNet bucket boundaries
-are data-derived per language. Boundaries are RANK-based tercile cuts
+``pipeline_ccnet_recipe``'s LM stage applies this query's rank-cut
+device as a keep gate (head+middle by trigram score); this query
+reports the full three-bucket breakdown on the add-1 bigram scale.
+Boundaries are RANK-based tercile cuts
 (doc at rank r of n is head iff 3r <= n, middle iff 3r <= 2n) —
 deliberately NOT interpolated percentiles, so there is no float
 quantile definition to keep aligned across engines.

@@ -67,10 +67,16 @@ def trigram_doc_scores(train: DataFrame, scored: DataFrame) -> DataFrame:
     trained on ``train``. Both inputs are (doc_id, text) frames."""
     tri = _ngrams(train, 3, "w1", "w2", "w3")
     bi = _ngrams(train, 2, "a", "b")
+    # drop zero-length tokens: split of an empty/whitespace-only doc
+    # yields [''], which would otherwise enter the unigram table as a
+    # phantom '' type and inflate N and V in the add-1 floor
+    # denominator (round-10 ADVICE). Bigram/trigram streams need no
+    # filter: the [''] array has size 1 and fails the size>=n guard.
     uni = (
         train.select(
             F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
         )
+        .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
     )
@@ -127,11 +133,12 @@ def trigram_doc_scores(train: DataFrame, scored: DataFrame) -> DataFrame:
     )
 
 
-def trigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents").select("doc_id", "text")
-    train = d.where(F.col("doc_id") % _HOLDOUT_MOD != 0)
-    heldout = d.where(F.col("doc_id") % _HOLDOUT_MOD == 0)
-    return trigram_doc_scores(train, heldout).select(
+def trigram_avg_logprob(train: DataFrame, scored: DataFrame) -> DataFrame:
+    """(doc_id, n_trigrams, avg_logprob) — the per-doc average form of
+    ``trigram_doc_scores``, reusable verbatim as a pipeline stage (the
+    CCNet recipe's quality-LM gate trains on its cut corpus and scores
+    the same frame, the ``bigram_logprob`` discipline)."""
+    return trigram_doc_scores(train, scored).select(
         "doc_id",
         "n_trigrams",
         F.round(F.col("lp_sum_micro") / (F.col("n_trigrams") * 1e6), 4).alias(
@@ -140,13 +147,39 @@ def trigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_TRIGRAM_SQL = f"""
-WITH arrs AS (
+def trigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    train = d.where(F.col("doc_id") % _HOLDOUT_MOD != 0)
+    heldout = d.where(F.col("doc_id") % _HOLDOUT_MOD == 0)
+    return trigram_avg_logprob(train, heldout)
+
+
+def trigram_sql_over(train_rel: str, scored_rel: str) -> str:
+    """DuckDB oracle for ``trigram_avg_logprob`` over arbitrary
+    (doc_id, text) relations — parameterised so the CCNet recipe's
+    oracle can run the exact same model over its cut corpus. The uni
+    CTE filters zero-length tokens, mirroring the Spark side."""
+    return f"""
+SELECT doc_id,
+       CAST(n_trigrams AS INT) AS n_trigrams,
+       round(lp_sum_micro / (n_trigrams * 1000000.0), 4) AS avg_logprob
+FROM ({trigram_sums_sql_over(train_rel, scored_rel)}) sums
+"""
+
+
+def trigram_sums_sql_over(train_rel: str, scored_rel: str) -> str:
+    """DuckDB oracle for ``trigram_doc_scores``: (doc_id, n_trigrams,
+    lp_sum_micro) — the exact-integer level, for consumers (the CCNet
+    recipe's tercile floor) that derive score_micro = sum div n."""
+    return f"""
+WITH tr AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
-  FROM documents
+  FROM {train_rel}
 ),
-tr AS (SELECT * FROM arrs WHERE doc_id % {_HOLDOUT_MOD} != 0),
-ho AS (SELECT * FROM arrs WHERE doc_id % {_HOLDOUT_MOD} = 0),
+ho AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+  FROM {scored_rel}
+),
 tri AS (
   SELECT arr[x] AS w1, arr[x + 1] AS w2, arr[x + 2] AS w3,
          CAST(count(*) AS BIGINT) AS c3
@@ -162,7 +195,7 @@ bic AS (
 ),
 uni AS (
   SELECT tok AS w, CAST(count(*) AS BIGINT) AS c1
-  FROM (SELECT unnest(arr) AS tok FROM tr) GROUP BY tok
+  FROM (SELECT unnest(arr) AS tok FROM tr) WHERE len(tok) > 0 GROUP BY tok
 ),
 nv AS (SELECT CAST(sum(c1) AS BIGINT) AS n_toks, count(*) AS v FROM uni),
 tri_s AS (
@@ -192,11 +225,17 @@ scored AS (
   LEFT JOIN uni u ON u.w = h.w3
 )
 SELECT doc_id,
-       CAST(count(*) AS INT) AS n_trigrams,
-       round(sum(lp_micro) / (count(*) * 1000000.0), 4) AS avg_logprob
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(lp_micro) AS BIGINT) AS lp_sum_micro
 FROM scored
 GROUP BY doc_id
 """
+
+
+_TRIGRAM_SQL = trigram_sql_over(
+    f"(SELECT doc_id, text FROM documents WHERE doc_id % {_HOLDOUT_MOD} != 0)",
+    f"(SELECT doc_id, text FROM documents WHERE doc_id % {_HOLDOUT_MOD} = 0)",
+)
 
 
 QUERIES = {

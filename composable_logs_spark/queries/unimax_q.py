@@ -38,8 +38,10 @@ _E = 2  # epoch cap: never take more than 2 passes over a language
 _BUDGET_NUM, _BUDGET_DEN = 3, 5  # budget = 60% of the corpus
 
 
-def mix_unimax_sample(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents").select("lang")
+def _quotas(d: DataFrame, spark: SparkSession) -> DataFrame:
+    """Water-filled quotas (lang, n_available, cap, quota) from a
+    frame of (lang) rows — the shared core of the report query
+    (``mix_unimax_sample``) and the draw query (``mix_unimax_draw``)."""
     counts = d.groupBy("lang").agg(F.count("*").alias("n_available")).withColumn(
         "cap", F.lit(_E) * F.col("n_available")
     )
@@ -107,24 +109,97 @@ def mix_unimax_sample(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.min(F.struct("s", "t")).alias("best"))
         .select(F.col("best.s").alias("s_star"), F.col("best.t").alias("t_star"))
     )
+    return ranked.crossJoin(F.broadcast(chosen)).select(
+        "lang",
+        "n_available",
+        "cap",
+        F.when(F.col("r") <= F.col("s_star"), F.col("cap"))
+        .otherwise(F.least("cap", "t_star"))
+        .alias("quota"),
+    )
+
+
+def mix_unimax_sample(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("lang")
     return (
-        ranked.crossJoin(F.broadcast(chosen))
-        .select(
-            "lang",
-            "n_available",
-            "cap",
-            F.when(
-                F.col("r") <= F.col("s_star"), F.col("cap")
-            )
-            .otherwise(F.least("cap", "t_star"))
-            .alias("quota"),
-        )
+        _quotas(d, spark)
         .withColumn("epochs_milli", F.expr("(1000 * quota) div n_available"))
         .orderBy("lang")
     )
 
 
-UNIMAX_SQL = f"""
+def mix_unimax_draw(spark: SparkSession, sf: str) -> DataFrame:
+    """Execute the UniMax allocation: the md5-ordered deterministic
+    per-language draw to quota — the exact mechanism
+    ``mix_temperature_sample`` and the DoReMi sampler use — reporting
+    realized counts, shares, and a digest of WHICH docs were drawn, so
+    UniMax's output can feed the same downstream as its four mixture
+    siblings.
+
+    The epoch cap ``_E`` = 2 permits quota > n_available (a language
+    its own size can't fill the level gets up to 2 passes); the
+    single-pass draw here then takes every doc (n_sampled =
+    n_available) — repetition beyond the first epoch is a training-
+    loader concern, and epochs_milli in the report query already
+    carries it. Zero-quota languages appear with n_sampled = 0 and the
+    empty-set digest, never silently vanish (the temperature-mix left-
+    join + coalesce discipline).
+
+    100 TB shape: quotas are K-row broadcast arithmetic (see module
+    docstring); the draw adds one lang-partitioned row_number window
+    over doc rows (the shared mixture-draw cost, identical to
+    temperature/DoReMi) and a broadcast quota join."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf, "documents").select("doc_id", "lang")
+    q = _quotas(d.select("lang"), spark)
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    sampled = (
+        d.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(q.select("lang", "quota")), "lang")
+        .where(F.col("rn") <= F.col("quota"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("sampled_digest"),
+        )
+    )
+    # coalesce: sum over an EMPTY sampled frame (the degenerate corpus)
+    # is null, not 0
+    stot = sampled.agg(F.coalesce(F.sum("n_sampled"), F.lit(0)).alias("s_total"))
+    return (
+        q.join(sampled, "lang", "left")
+        .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0).cast("long")))
+        .withColumn("sampled_digest", F.coalesce("sampled_digest", F.md5(F.lit(""))))
+        .crossJoin(F.broadcast(stot))
+        .select(
+            "lang",
+            "n_available",
+            "quota",
+            "n_sampled",
+            # s_total = 0 only in the degenerate budget < K corpus
+            # (every language's level floors to 0): report 0, not null
+            F.expr(
+                "CASE WHEN s_total = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE (1000 * n_sampled) div s_total END"
+            ).alias("realized_share_milli"),
+            "sampled_digest",
+        )
+        .orderBy("lang")
+    )
+
+
+# quota-level SQL (lang, n_available, cap, quota) — shared by the
+# report oracle and the draw oracle
+_QUOTA_SQL = f"""
 WITH counts AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS n_available,
          CAST({_E} * count(*) AS BIGINT) AS cap
@@ -169,15 +244,52 @@ chosen AS (
 )
 SELECT r.lang, r.n_available, r.cap,
        CASE WHEN r.r <= c.s_star THEN r.cap
-            ELSE least(r.cap, c.t_star) END AS quota,
-       (1000 * CASE WHEN r.r <= c.s_star THEN r.cap
-                    ELSE least(r.cap, c.t_star) END) // r.n_available
-         AS epochs_milli
+            ELSE least(r.cap, c.t_star) END AS quota
 FROM ranked r CROSS JOIN chosen c
-ORDER BY r.lang
+"""
+
+
+UNIMAX_SQL = f"""
+SELECT lang, n_available, cap, quota,
+       (1000 * quota) // n_available AS epochs_milli
+FROM ({_QUOTA_SQL}) q
+ORDER BY lang
+"""
+
+
+UNIMAX_DRAW_SQL = f"""
+WITH q AS ({_QUOTA_SQL}),
+ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+),
+sampled AS (
+  SELECT r.lang,
+         CAST(count(*) AS BIGINT) AS n_sampled,
+         md5(array_to_string(
+               list(CAST(r.doc_id AS VARCHAR) ORDER BY r.doc_id), ','))
+           AS sampled_digest
+  FROM ranked r JOIN q USING (lang)
+  WHERE r.rn <= q.quota
+  GROUP BY r.lang
+),
+stot AS (
+  SELECT CAST(coalesce(sum(n_sampled), 0) AS BIGINT) AS s_total FROM sampled
+)
+SELECT q.lang, q.n_available, q.quota,
+       CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CASE WHEN t.s_total = 0 THEN CAST(0 AS BIGINT)
+            ELSE (1000 * CAST(coalesce(s.n_sampled, 0) AS BIGINT)) // t.s_total
+       END AS realized_share_milli,
+       coalesce(s.sampled_digest, md5('')) AS sampled_digest
+FROM q LEFT JOIN sampled s USING (lang) CROSS JOIN stot t
+ORDER BY q.lang
 """
 
 
 QUERIES = {
     "mix_unimax_sample": QuerySpec(mix_unimax_sample, UNIMAX_SQL),
+    "mix_unimax_draw": QuerySpec(mix_unimax_draw, UNIMAX_DRAW_SQL),
 }

@@ -63,7 +63,9 @@ def _py_trigram_scores(train_texts, scored_texts):
     tri, bi, uni = Counter(), Counter(), Counter()
     for _, t in train_texts:
         a = toks(t)
-        uni.update(a)
+        # mirror the engines: zero-length tokens (split of an empty doc
+        # yields ['']) never enter the unigram table
+        uni.update(w for w in a if w)
         if len(a) >= 2:
             bi.update(zip(a, a[1:]))
         if len(a) >= 3:
@@ -113,6 +115,26 @@ def test_exact_micro_nats_match_python_model(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_empty_train_docs_do_not_inflate_vocab(spark):
+    """Empty / whitespace-only training docs must be invisible to the
+    model: split('') yields [''] and the phantom '' token previously
+    entered the unigram table, inflating N and V in the add-1 floor
+    (round-10 ADVICE). Scores with and without such docs must be
+    micro-nat identical, in Spark and in the Python model."""
+    clean = [(i, _SENT) for i in range(5)]
+    dirty = clean + [(90, ""), (91, "   \t  ")]
+    scored = [(0, "zz qq colorless dog ideas")]  # OOV: hits the floor
+    got_clean = {
+        r["doc_id"]: (r["n_trigrams"], r["lp_sum_micro"])
+        for r in trigram_doc_scores(_df(spark, clean), _df(spark, scored)).collect()
+    }
+    got_dirty = {
+        r["doc_id"]: (r["n_trigrams"], r["lp_sum_micro"])
+        for r in trigram_doc_scores(_df(spark, dirty), _df(spark, scored)).collect()
+    }
+    assert got_clean == got_dirty == _py_trigram_scores(dirty, scored)
 
 
 def test_backoff_beats_add1_bigram_on_heldout_prose(spark):

@@ -119,6 +119,67 @@ def test_oracle_matches_waterfiller_fuzz():
         assert got == _py_unimax(counts), (trial, counts)
 
 
+def test_draw_realizes_quota(spark, sf_dir):
+    """mix_unimax_draw: n_sampled == quota whenever quota <=
+    n_available, realized shares recompose from the counts, and the
+    digest proves a non-empty deterministic draw."""
+    import hashlib
+
+    from composable_logs_spark.queries.unimax_q import mix_unimax_draw
+
+    rows = mix_unimax_draw(spark, sf_dir).collect()
+    assert rows
+    s_total = sum(r["n_sampled"] for r in rows)
+    empty_digest = hashlib.md5(b"").hexdigest()
+    for r in rows:
+        assert r["n_sampled"] == min(r["quota"], r["n_available"])
+        if r["quota"] <= r["n_available"]:
+            assert r["n_sampled"] == r["quota"]
+        assert r["realized_share_milli"] == (1000 * r["n_sampled"]) // s_total
+        if r["n_sampled"] > 0:
+            assert r["sampled_digest"] != empty_digest
+        else:
+            assert r["sampled_digest"] == empty_digest
+
+
+def test_draw_oracle_epoch_overflow_and_zero_quota():
+    """The draw SQL on corpora the testdata can't produce: (a) a capped
+    tiny language whose quota exceeds n_available (epoch cap 2) draws
+    every doc exactly once per pass (n_sampled == n_available); (b) the
+    degenerate budget < K corpus allocates zero everywhere — every
+    language still present with n_sampled = 0, share 0, empty digest."""
+    import hashlib
+
+    import duckdb
+
+    from composable_logs_spark.queries.unimax_q import UNIMAX_DRAW_SQL
+
+    def run(counts):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE lang_counts(lang VARCHAR, n BIGINT);")
+        con.executemany(
+            "INSERT INTO lang_counts VALUES (?, ?)", list(counts.items())
+        )
+        con.execute(
+            "CREATE VIEW documents AS "
+            "SELECT lang || '-' || unnest(range(0, n)) AS doc_id, lang "
+            "FROM lang_counts"
+        )
+        return {r[0]: r for r in con.execute(UNIMAX_DRAW_SQL).fetchall()}
+
+    # (a) skew: lang a caps at quota 2 > n_available 1
+    got = run({"a": 1, "b": 1000})
+    assert got["a"][2] == 2 and got["a"][3] == 1  # quota 2, drew the 1 doc
+    assert got["b"][3] == got["b"][2] <= 1000     # uncapped: drew to quota
+    # (b) 10 single-doc languages: budget 6 < K 10 -> level floors to 0
+    got = run({f"l{j}": 1 for j in range(10)})
+    empty_digest = hashlib.md5(b"").hexdigest()
+    assert len(got) == 10
+    for lang, r in got.items():
+        assert r[2] == 0 and r[3] == 0 and r[4] == 0, (lang, r)
+        assert r[5] == empty_digest
+
+
 def test_invariants_on_collected_output(spark, sf_dir):
     rows = mix_unimax_sample(spark, sf_dir).collect()
     # uncapped languages all sit at the same water level; capped ones
