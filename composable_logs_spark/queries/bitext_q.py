@@ -36,17 +36,18 @@ lever, same as dedup_srp_lsh); every window is partitioned by a vector
 id; the per-side top-K aggregates are one shuffle each on that same
 id. Nothing is collected; nothing is cross-joined.
 
-Known cross-engine hazard (accepted, documented): band bits come from
-a numpy BLAS matmul on the Spark side but a sequential list-fold dot
-product in the DuckDB oracle. A plane dot landing EXACTLY at the sign
-knife-edge (sum == 0.0 under one summation order, an ulp off under the
-other) could band differently across engines, perturbing the candidate
-set — and mutual-best mining is more sensitive to candidate-set
-perturbation than near-dup dedup (a lost candidate can flip a best).
-Gate-green at all tested SFs; the srp_lsh_q family shares the pattern.
-The remedy, if it ever bites, is to quantize each plane dot to a fixed
-decimal on BOTH sides before the sign test, making the band bits
-arithmetically order-independent.
+Knife-edge remedy (round 11, was a documented hazard before): band
+bits come from a numpy BLAS matmul on the Spark side but a sequential
+list-fold dot product in the DuckDB oracle, and the raw ``dot > 0``
+sign test is summation-order-sensitive when a dot lands within an ulp
+of 0 — an exact-zero attractor under ±1 planes with symmetric inputs.
+Mutual-best mining is MORE sensitive to candidate-set perturbation
+than near-dup dedup (a lost candidate can flip a best), so both
+engines now HALF-AWAY-quantize every plane dot to integer micro-units
+before the sign test (``srp_lsh_q._quantized_positive`` / ``round(dot
+* 1e6, 0) > 0``): the whole (-0.5e-6, +0.5e-6) dead zone maps to bit 0
+regardless of summation order. ``tests/test_srp_knife_edge.py`` plants
+near-zero and exactly-zero dots and pins Spark == DuckDB == numpy.
 """
 
 from __future__ import annotations
@@ -58,7 +59,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import QuerySpec, load
-from .srp_lsh_q import _DIM, _PLANES, _PLANES_NP
+from .srp_lsh_q import _DIM, _PLANES, _PLANES_NP, _quantized_positive
 
 _N_BANDS = 8
 _BAND_BITS = 8
@@ -71,7 +72,7 @@ _BIT_WEIGHTS = 1 << np.arange(_BAND_BITS, dtype=np.int64)
 def _bands_8x8(vec: pd.Series) -> pd.Series:
     """All 64 plane dots in one matmul, packed 8 bands x 8 bits."""
     mat = np.stack(vec.to_numpy())
-    bits = (mat @ _PLANES_NP.T) > 0
+    bits = _quantized_positive(mat @ _PLANES_NP.T)
     packed = bits.reshape(len(mat), _N_BANDS, _BAND_BITS) @ _BIT_WEIGHTS
     return pd.Series(list(packed))
 
@@ -181,8 +182,9 @@ def _band_sql_exprs() -> list[str]:
             i = k * _BAND_BITS + b
             coeffs = ", ".join(f"{float(c)}" for c in _PLANES[i])
             terms.append(
-                f"CASE WHEN list_sum(list_transform(range(1, {_DIM + 1}), "
-                f"j -> vec[j] * ([{coeffs}])[j])) > 0 THEN {1 << b} ELSE 0 END"
+                f"CASE WHEN round(list_sum(list_transform(range(1, {_DIM + 1}), "
+                f"j -> vec[j] * ([{coeffs}])[j])) * 1000000, 0) > 0"
+                f" THEN {1 << b} ELSE 0 END"
             )
         out.append("(" + " + ".join(terms) + f") AS band{k}")
     return out

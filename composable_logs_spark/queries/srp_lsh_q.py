@@ -5,7 +5,15 @@ there is no precomputed quantization key to block on.
 Construction (Charikar 2002): hyperplane r_i has Rademacher (±1)
 components derived deterministically from md5(i|dim) at module-import
 time, so BOTH engines receive the planes as literals and compute the
-identical 64-bit signature: bit_i = [dot(v, r_i) > 0]. The 64 bits are
+identical 64-bit signature: bit_i = [q(dot(v, r_i)) > 0], where q is
+HALF-AWAY quantization to integer micro-units (``_quantized_positive``)
+— the knife-edge remedy: the raw sign test is summation-order-sensitive
+when a dot lands within an ulp of 0 (numpy BLAS on the Spark side vs a
+sequential list fold in the DuckDB oracle), and exact 0 is an ATTRACTOR
+(±1 planes with symmetric inputs cancel exactly). Quantizing first maps
+the whole (-0.5e-6, +0.5e-6) dead zone to bit 0 on both engines; the
+residual decision boundary at 0.5e-6 is not attracted by anything. The
+64 bits are
 banded minhash-style into ``_N_BANDS`` bands of ``_BAND_BITS`` bits;
 candidates = pairs sharing any (band_idx, band_value) bucket;
 verification = exact cosine.
@@ -56,13 +64,24 @@ def _rademacher(plane: int, dim: int) -> int:
 _PLANES = [[_rademacher(i, d) for d in range(_DIM)] for i in range(_N_PLANES)]
 _PLANES_NP = np.array(_PLANES, dtype=np.float64)  # (_N_PLANES, _DIM)
 _BIT_WEIGHTS = (1 << np.arange(_BAND_BITS, dtype=np.int64))
+_DOT_SCALE = 1e6  # micro-unit grid for the quantized sign test
+
+
+def _quantized_positive(dots: np.ndarray) -> np.ndarray:
+    """The SRP sign bit, knife-edge-proofed: HALF-AWAY-round each plane
+    dot to integer micro-units, then test > 0. Matches DuckDB's
+    ``round(dot * 1000000, 0) > 0`` exactly (round-half-away on both
+    sides; numpy's own ``round`` is half-even and would diverge at
+    ties). Dots in (-0.5e-6, +0.5e-6) — including the exact-0 attractor
+    reachable under any summation order — become bit 0 everywhere."""
+    return np.floor(np.abs(dots) * _DOT_SCALE + 0.5) * np.sign(dots) > 0
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def _srp_band_values(vec: pd.Series) -> pd.Series:
     """All 64 plane dots per vector in one matmul; bits packed per band."""
     mat = np.stack(vec.to_numpy())  # (n, _DIM) float64
-    bits = (mat @ _PLANES_NP.T) > 0  # (n, _N_PLANES) bool
+    bits = _quantized_positive(mat @ _PLANES_NP.T)  # (n, _N_PLANES) bool
     packed = bits.reshape(len(mat), _N_BANDS, _BAND_BITS) @ _BIT_WEIGHTS  # (n, _N_BANDS)
     return pd.Series(list(packed))
 
@@ -133,8 +152,9 @@ def srp_band_sql_exprs() -> list[str]:
             i = k * _BAND_BITS + b
             coeffs = ", ".join(f"{float(c)}" for c in _PLANES[i])
             terms.append(
-                f"CASE WHEN list_sum(list_transform(range(1, {_DIM + 1}), "
-                f"j -> vec[j] * ([{coeffs}])[j])) > 0 THEN {1 << b} ELSE 0 END"
+                f"CASE WHEN round(list_sum(list_transform(range(1, {_DIM + 1}), "
+                f"j -> vec[j] * ([{coeffs}])[j])) * 1000000, 0) > 0"
+                f" THEN {1 << b} ELSE 0 END"
             )
         band_exprs.append("(" + " + ".join(terms) + f") AS band{k}")
     return band_exprs

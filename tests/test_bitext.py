@@ -15,7 +15,7 @@ from composable_logs_spark.queries.bitext_q import (
     _BAND_BITS,
     mine_bitext_margin,
 )
-from composable_logs_spark.queries.srp_lsh_q import _PLANES_NP
+from composable_logs_spark.queries.srp_lsh_q import _PLANES_NP, _quantized_positive
 
 
 def _numpy_mine(sf_dir):
@@ -23,7 +23,7 @@ def _numpy_mine(sf_dir):
     ids = pdf["vec_id"].to_numpy()
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     nrm = np.linalg.norm(mat, axis=1)
-    bits = (mat @ _PLANES_NP.T) > 0
+    bits = _quantized_positive(mat @ _PLANES_NP.T)
     packed = bits.reshape(len(mat), _N_BANDS, _BAND_BITS) @ (
         1 << np.arange(_BAND_BITS, dtype=np.int64)
     )
