@@ -38,6 +38,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import QuerySpec, load
 from ..operators.codecs import encode_wav, stdlib_codec
@@ -127,6 +128,134 @@ def media_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- audio near-dup: band-then-verify over the 31-bit fingerprint ------
+#
+# The audio counterpart of media_phash_neardup: candidates share any of
+# 4 8-bit fingerprint bands (band 3 carries the top 7 bits), verified by
+# exact Hamming <= _AUDIO_HAMMING_MAX. With a 3-bit budget over 4 bands
+# the banding has EXACT recall by pigeonhole — 3 flipped bits touch at
+# most 3 bands, so every true pair shares at least one intact band; no
+# probabilistic miss rate at any corpus size. The planted variant bumps
+# every frame-0 sample by +1 (documents are pure ASCII, no wrap), moving
+# only frame 0's energy: at most fingerprint bit 0 flips, Hamming <= 1.
+
+_AUDIO_VARIANT_OFFSET = 100000
+_AUDIO_HAMMING_MAX = 3
+_AUDIO_N_BANDS = 4
+_AUDIO_BAND_BITS = 8
+
+
+def wav_variant_corpus_from_documents(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> base WAV per doc plus one planted variant
+    (media_id + offset) whose frame-0 samples are +1."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(_N_SAMPLES)
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id >= _AUDIO_VARIANT_OFFSET:
+                    # id collision would corrupt pairs identically on
+                    # both engines (the media_phash guard)
+                    raise ValueError(
+                        f"media_audio: doc_id {doc_id} >= variant offset"
+                    )
+                data = text.encode("utf-8")
+                base = np.frombuffer(data, np.uint8)[idx % len(data)]
+                rows.append(
+                    {
+                        "media_id": doc_id,
+                        "payload": encode_wav(
+                            base.tobytes(), rate=_RATE, n_channels=1, sample_width=1
+                        ),
+                    }
+                )
+                var = base.copy()
+                var[:_SPF] += 1  # frame 0 only; ASCII <= 127: no wrap
+                rows.append(
+                    {
+                        "media_id": doc_id + _AUDIO_VARIANT_OFFSET,
+                        "payload": encode_wav(
+                            var.tobytes(), rate=_RATE, n_channels=1, sample_width=1
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "media_id long, payload binary"
+    )
+
+
+def audio_signatures(media: DataFrame) -> DataFrame:
+    """(media_id, payload[WAV]) -> (media_id, fingerprint): the 8-byte
+    signature-only state the streaming index keeps per track."""
+    return audio_fingerprints(media).select("media_id", "fingerprint")
+
+
+def audio_band_buckets(sig: DataFrame) -> DataFrame:
+    """One row per 8-bit fingerprint band key — shared by the batch
+    self-join and the streaming new-vs-index join
+    (streaming/incremental_audio.py)."""
+    return sig.select(
+        "media_id",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("probe"),
+                        F.shiftright(F.col("fingerprint"), _AUDIO_BAND_BITS * k)
+                        .bitwiseAND(F.lit(255))
+                        .cast("int")
+                        .alias("bucket"),
+                    )
+                    for k in range(_AUDIO_N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", "fingerprint", "bk.probe", "bk.bucket")
+
+
+def audio_hamming_col(fp_a, fp_b):
+    """Exact Hamming distance between two packed fingerprints."""
+    return F.bit_count(F.col(fp_a).bitwiseXOR(F.col(fp_b))).cast("int")
+
+
+def audio_neardup_pairs(
+    sig: DataFrame, hamming_max: int = _AUDIO_HAMMING_MAX
+) -> DataFrame:
+    """Band-then-verify over any (media_id, fingerprint) frame."""
+    buckets = audio_band_buckets(sig)
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["probe", "bucket"])
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.fingerprint").alias("fp_a"),
+            F.col("b.fingerprint").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", audio_hamming_col("fp_a", "fp_b"))
+        .where(F.col("hamming") <= hamming_max)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
+def media_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    media = wav_variant_corpus_from_documents(docs)
+    # cache the 16-byte/row signatures: the band self-join reads them on
+    # BOTH sides — without the pin the WAV decode mapInPandas runs once
+    # per side (the media_phash_neardup discipline)
+    sig = audio_signatures(media).cache()
+    return audio_neardup_pairs(sig).orderBy("media_a", "media_b")
+
+
 _SPF = _RATE * _FRAME_MS // 1000  # samples per frame
 _N_FRAMES = _N_SAMPLES // _SPF
 
@@ -164,6 +293,60 @@ ORDER BY fe.media_id
 """
 
 
+def _audio_neardup_sql() -> str:
+    # sample i of frame f reads text byte ((f*SPF + i) mod len) + 1,
+    # +1 on every frame-0 sample of the planted variant
+    sample = (
+        "(ascii(substring(text,"
+        f" CAST(((f * {_SPF} + i) % n) + 1 AS INT), 1))"
+        " + CASE WHEN is_var = 1 AND f = 0 THEN 1 ELSE 0 END)"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS media_id, text, length(text) AS n, 0 AS is_var
+  FROM documents
+  UNION ALL
+  SELECT doc_id + {_AUDIO_VARIANT_OFFSET}, text, length(text), 1
+  FROM documents
+),
+fe AS (
+  SELECT media_id, f,
+         CAST(sum(({sample} - 128) * ({sample} - 128)) AS BIGINT) AS energy
+  FROM docs, range(0, {_N_FRAMES}) t(f), range(0, {_SPF}) u(i)
+  GROUP BY media_id, f
+),
+bits AS (
+  SELECT media_id, f,
+         CASE WHEN energy > lead(energy) OVER (PARTITION BY media_id ORDER BY f)
+              THEN 1 ELSE 0 END AS bit
+  FROM fe
+),
+fps AS (
+  SELECT media_id,
+         CAST(sum(bit * (1::BIGINT << f)) AS BIGINT) AS fingerprint
+  FROM bits WHERE f < {_N_FRAMES - 1}
+  GROUP BY media_id
+),
+buckets AS (
+  SELECT media_id, fingerprint, k AS probe,
+         (fingerprint >> ({_AUDIO_BAND_BITS} * k)) & 255 AS bucket
+  FROM fps, range(0, {_AUDIO_N_BANDS}) t(k)
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         a.fingerprint AS fa, b.fingerprint AS fb
+  FROM buckets a JOIN buckets b
+    ON a.probe = b.probe AND a.bucket = b.bucket AND a.media_id < b.media_id
+)
+SELECT media_a, media_b,
+       CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(fa, fb)) <= {_AUDIO_HAMMING_MAX}
+ORDER BY media_a, media_b
+"""
+
+
 QUERIES = {
     "media_audio_fingerprint": QuerySpec(media_audio_fingerprint, _audio_sql()),
+    "media_audio_neardup": QuerySpec(media_audio_neardup, _audio_neardup_sql()),
 }
