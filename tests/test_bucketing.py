@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from composable_logs_spark.operators.bucketing import bucketed_join, write_bucketed
 from composable_logs_spark.queries.graph_q import _graph
+from composable_logs_spark.queries.phrase_q import _postings
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
@@ -34,6 +35,67 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_postings_make_tok_joins_exchange_free(spark, sf_dir):
+    """phrase_q's claim ('at 100 TB this relation is the search index
+    itself, bucketed by tok'), demonstrated — the LPA-edge proof applied
+    to text retrieval: write the positional postings bucketBy(tok) and
+    run the phrase pipeline's df lookup (postings joined to the query
+    vocabulary on tok, then the per-tok frequency agg) against the
+    table. The postings side of the SortMergeJoin carries NO Exchange —
+    only the (tiny) vocabulary side shuffles to the bucket partitioning,
+    and the tok-grain aggregate reuses the join's partitioning. The
+    unbucketed plan shuffles the full postings relation. Broadcast is
+    disabled so the proof covers the non-broadcastable case (a query-
+    term relation at serving scale); in the shipped query the vocab IS
+    broadcast, which shuffles nothing either way."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        post = _postings(d)
+        write_bucketed(post, "b_postings", "tok", 8)
+        # the phrase df lookup's vocabulary relation: distinct words of
+        # the first few docs, keyed tok like the postings
+        vocab = (
+            d.where(F.col("doc_id") < 3)
+            .select(
+                F.explode(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+                ).alias("tok")
+            )
+            .distinct()
+        )
+
+        def df_lookup(p):
+            return p.join(vocab, "tok").groupBy("tok").agg(
+                F.count("*").alias("tf")
+            )
+
+        bucketed = df_lookup(spark.table("b_postings"))
+        plain = df_lookup(post)
+        b_plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        p_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in b_plan and "SortMergeJoin" in p_plan
+        assert "SelectedBucketsCount" in b_plan
+        tok_exchanges = re.compile(r"Exchange hashpartitioning\(tok")
+        # bucketed: the postings scan IS the join partitioning — the one
+        # tok-Exchange in the whole plan is the vocabulary side, and the
+        # per-tok agg adds none (it reuses the join's partitioning)
+        assert len(tok_exchanges.findall(b_plan)) == 1, b_plan
+        assert b_plan.count("Exchange") == 1, b_plan
+        # unbucketed: the full postings relation shuffles on tok too
+        assert len(tok_exchanges.findall(p_plan)) == 2, p_plan
+
+        # and the lookup computes the same frequencies either way
+        assert sorted(map(tuple, bucketed.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_postings")
 
 
 def test_bucketed_edges_make_lpa_round_join_exchange_free(spark, sf_dir):
