@@ -62,53 +62,48 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # name (tests/test_registry_window.py guards it). Rotation policy per
 # round: (1) every query that has never had a driver hash-green row,
 # (2) every query whose semantics or oracle changed this round,
-# (3) fill with the longest-unverified green block. Round 10 window:
-# the 2 queries ADDED this round (full PII scrub over documents --
-# sequential typed-category masking, deliberately NOT one big
-# alternation; trigram stupid-backoff LM — never driver-checked), the 3
-# whose Spark plan or semantics changed this round (perplexity_buckets:
-# two-pass histogram rank-cuts replaced the per-language doc-sort
-# window, oracle byte-identical; text_phrase_search: rarest-word
-# seeding + explicit short-query-doc exclusion, oracle gained the
-# len(arr) filter; mix_temperature_sample: left join + coalesce so
-# zero-quota languages appear, oracle changed to match — docstring-only
-# edits, e.g. calibration_q/bitext_q, are NOT counted as changed), then
-# the complete 42-name r6-stale block (newest driver-green row = round
-# 6, per the CORRECTNESS_r01..r09 histogram: 42/45/46/50 for r6/7/8/9),
-# moving the staleness floor to r7, and the 3 stalest-r7 names in name
-# order as filler. A later session of this round added a 3rd and 4th
-# new query (classifier PR curve, UniMax language sampling); per rule
-# (1) they join the new block, displacing the last two filler names
-# (agg_grouping_sets and agg_distinct_parts_per_nation stay r7-green
-# and rotate in next round).
+# (3) fill with the longest-unverified green block. Round 11 window:
+# the 2 queries ADDED this round (UniMax draw stage — the md5-ordered
+# deterministic draw to quota; audio fingerprint near-dup — banded
+# Hamming pairs over WAV energy-delta fingerprints), the 6 whose
+# semantics or oracle changed this round (pipeline_ccnet_recipe: the
+# stage-3 LM gate is now the trigram stupid-backoff model behind a
+# per-language tercile rank-cut; trigram_logprob: zero-length tokens
+# filtered from the unigram table + SQL rebuilt on the parameterised
+# builders; mine_bitext_margin / dedup_srp_lsh / dedup_embedding_cosine:
+# plane dots quantized to micro-units before the SRP sign test on both
+# engines; mix_unimax_sample: oracle restructured over the shared
+# quota SQL — docstring-only edits, e.g. perplexity_q/phrase_q, are NOT
+# counted as changed), then 42 of the 44-name r7-stale block in name
+# order (newest driver-green row = round 7, per the
+# CORRECTNESS_r01..r10 histogram: 44/46/47/50 for r7/8/9/10). The 2 + 6
+# head leaves 42 filler slots, so the last two r7 names in name order
+# (text_c4_filters, text_char_entropy) stay r7-green and rotate next
+# round; the staleness floor moves to those two names.
 _FRONT_WINDOW = [
     # (1) new this round
-    "pii_scrub_documents", "trigram_logprob", "classifier_pr_curve",
-    "mix_unimax_sample",
+    "mix_unimax_draw", "media_audio_neardup",
     # (2) changed this round
-    "perplexity_buckets", "text_phrase_search", "mix_temperature_sample",
-    # (3a) the complete r6-stale block, name order — floor moves to r7
-    "asof_join_nearest", "bfs_purchase_distance",
-    "cheapest_path_copurchase", "chunk_overlap_windows",
-    "cms_heavy_hitters", "copurchase_pmi_topk", "corpus_line_dedup",
-    "crossdoc_ngram_overlap", "dedup_embedding_cosine",
-    "dedup_jaccard_prefix", "dedup_ngram_jaccard", "domain_cap_sample",
-    "drift_psi_events", "embedding_int8_quant", "embedding_pca_top1",
-    "fk_integrity_audit", "forecast_linear_events",
-    "frequent_item_pairs", "fuzzy_entity_clusters",
-    "fuzzy_match_partnames", "hll_cumulative_users",
-    "hll_distinct_customers", "hll_intersection_parts",
-    "hll_users_by_event_type", "join_salted_skew_revenue",
-    "mix_sources_to_target", "outlier_mad_events", "pack_sequences",
-    "pivot_event_cohorts", "q10_returned_items", "q12_priority_lines",
-    "seasonal_anomaly_events", "skyline_parts",
-    "spanlog_failure_root_cause", "split_no_leakage",
-    "table_profile_lineitem", "text_bpe_pretokens",
-    "text_unigram_logprob", "triangle_count_copurchase",
-    "vocab_coverage_topk", "weighted_reservoir_topk",
-    "winsorize_doc_lengths",
-    # (3b) stalest-green filler (r7), name order
-    "agg_cube_events",
+    "pipeline_ccnet_recipe", "trigram_logprob", "mine_bitext_margin",
+    "dedup_srp_lsh", "dedup_embedding_cosine", "mix_unimax_sample",
+    # (3) the r7-stale block, name order (first 42 of 44)
+    "agg_distinct_parts_per_nation", "agg_grouping_sets",
+    "agg_rollup_returns", "ann_cosine_top5", "ann_ivf_kmeans",
+    "ann_ivf_label_probe", "ann_ivf_multiprobe", "ann_ivfpq_adc",
+    "approx_sketch_stats", "bpe_encode_oov", "bpe_encode_stats",
+    "bpe_train_merges", "cusum_changepoint_events", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash", "embedding_centroids",
+    "join_anti_idle_customers", "join_semi_heavy_orders",
+    "json_extract_events", "mv_incremental_merge", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "range_join_error_attribution", "scalar_functions_orders",
+    "session_path_topk", "sessionize_user_events", "set_ops_segments",
+    "spanlog_artifacts", "spanlog_attr_union", "spanlog_deps",
+    "spanlog_descendant_counts", "spanlog_exceptions",
+    "spanlog_last_value_wins", "spanlog_logged_values", "spanlog_roots",
+    "spanlog_task_runs", "spanlog_task_trends",
+    "spanlog_validation_errors", "spanlog_workflow_runs",
+    "text_bigram_logprob",
 ]
 
 

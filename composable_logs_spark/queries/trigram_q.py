@@ -61,10 +61,13 @@ def _ngrams(d: DataFrame, n: int, *names: str) -> DataFrame:
     )
 
 
-def trigram_doc_scores(train: DataFrame, scored: DataFrame) -> DataFrame:
-    """Frame-based core: (doc_id, n_trigrams, lp_sum_micro) for every
-    ``scored`` doc with >= 3 tokens, under the stupid-backoff model
-    trained on ``train``. Both inputs are (doc_id, text) frames."""
+def trigram_model(train: DataFrame) -> dict[str, DataFrame]:
+    """The stupid-backoff count tables from a (doc_id, text) frame:
+    tri_s (w1 w2 w3, c3, cb12), bi_s (w2 w3, cb23, c2), uni (w, c1) and
+    the 1-row nv (n_toks, v). Returned as plain frames so callers can
+    persist them — the streaming scorer (streaming/incremental_trigram)
+    trains once, writes these four tables, and scores every arriving
+    batch against them."""
     tri = _ngrams(train, 3, "w1", "w2", "w3")
     bi = _ngrams(train, 2, "a", "b")
     # drop zero-length tokens: split of an empty/whitespace-only doc
@@ -102,12 +105,27 @@ def trigram_doc_scores(train: DataFrame, scored: DataFrame) -> DataFrame:
         F.col("cb").alias("cb23"),
         F.col("c1").alias("c2"),
     )
+    return {"tri_s": tri_s, "bi_s": bi_s, "uni": uni, "nv": nv}
+
+
+def score_with_model(scored: DataFrame, model: dict[str, DataFrame]) -> DataFrame:
+    """(doc_id, n_trigrams, lp_sum_micro) for every ``scored`` doc with
+    >= 3 tokens under a prebuilt ``trigram_model`` — three equi-joins
+    against the count tables plus the broadcast (N, V) row; used
+    verbatim by both the batch query and the streaming scorer so their
+    micro-nats cannot drift."""
     h = _ngrams(scored, 3, "w1", "w2", "w3")
     joined = (
-        h.join(tri_s, ["w1", "w2", "w3"], "left")
-        .join(bi_s, ["w2", "w3"], "left")
-        .join(uni.select(F.col("w").alias("w3"), F.col("c1").alias("c1w3")), "w3", "left")
-        .crossJoin(F.broadcast(nv))
+        h.join(model["tri_s"], ["w1", "w2", "w3"], "left")
+        .join(model["bi_s"], ["w2", "w3"], "left")
+        .join(
+            model["uni"].select(
+                F.col("w").alias("w3"), F.col("c1").alias("c1w3")
+            ),
+            "w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(model["nv"]))
     )
     lp = (
         F.when(F.col("c3").isNotNull(), F.log(F.col("c3") / F.col("cb12")))
@@ -131,6 +149,13 @@ def trigram_doc_scores(train: DataFrame, scored: DataFrame) -> DataFrame:
             F.sum("lp_micro").alias("lp_sum_micro"),
         )
     )
+
+
+def trigram_doc_scores(train: DataFrame, scored: DataFrame) -> DataFrame:
+    """Frame-based core: (doc_id, n_trigrams, lp_sum_micro) for every
+    ``scored`` doc with >= 3 tokens, under the stupid-backoff model
+    trained on ``train``. Both inputs are (doc_id, text) frames."""
+    return score_with_model(scored, trigram_model(train))
 
 
 def trigram_avg_logprob(train: DataFrame, scored: DataFrame) -> DataFrame:

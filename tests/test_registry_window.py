@@ -4,16 +4,13 @@ right. ``all_queries`` pins it explicitly by name; this test asserts the
 pin so an innocent module reorder can't silently change which queries
 the driver hash-checks.
 
-Round-10 window (see ``_FRONT_WINDOW``): the 4 queries ADDED this round
-(full PII scrub over documents, trigram stupid-backoff LM, classifier
-PR curve, UniMax language sampling), the 3 whose
-plan or semantics changed this round (two-pass perplexity rank-cuts,
-rarest-word phrase seeding, left-join temperature mix), then the
-complete 42-name round-6-stale block — moving the gate staleness floor
-to round 7 — and the single stalest round-7 name (agg_cube_events) as
-filler; agg_distinct_parts_per_nation and agg_grouping_sets were
-displaced by the 3rd/4th new queries, stay r7-green, and rotate in
-next round.
+Round-11 window (see ``_FRONT_WINDOW``): the 2 queries ADDED this round
+(UniMax draw stage, audio fingerprint near-dup), the 6 whose semantics
+or oracle changed this round (CCNet recipe trigram tercile gate,
+trigram empty-token fix, the three SRP-banded queries' quantized sign
+test, UniMax sample's restructured oracle), then 42 of the 44-name
+round-7-stale block in name order — text_c4_filters and
+text_char_entropy are the two leftover r7 names and rotate next round.
 """
 
 from composable_logs_spark.queries import _FRONT_WINDOW, all_queries
@@ -34,12 +31,10 @@ def test_window_is_exactly_fifty_unique_names():
 
 
 def test_never_driver_checked_queries_lead_the_window():
-    never_checked = {
-        "pii_scrub_documents", "trigram_logprob", "classifier_pr_curve",
-        "mix_unimax_sample",
-    }
+    never_checked = {"mix_unimax_draw", "media_audio_neardup"}
     changed = {
-        "perplexity_buckets", "text_phrase_search", "mix_temperature_sample",
+        "pipeline_ccnet_recipe", "trigram_logprob", "mine_bitext_margin",
+        "dedup_srp_lsh", "dedup_embedding_cosine", "mix_unimax_sample",
     }
     head = set(_FRONT_WINDOW[: len(never_checked) + len(changed)])
     assert never_checked | changed == head

@@ -123,6 +123,11 @@ HEADLINE = [
     "trigram_logprob",
     "classifier_pr_curve",
     "mix_unimax_sample",
+    # round-11 — UniMax draw (lang-partitioned md5 row_number + broadcast
+    # quota join), audio near-dup (mapInPandas fingerprints + 4x8-bit
+    # band equi-join, pigeonhole-exact recall at Hamming <= 3)
+    "mix_unimax_draw",
+    "media_audio_neardup",
 ]
 
 
