@@ -13,8 +13,11 @@ deliberately NOT interpolated percentiles, so there is no float
 quantile definition to keep aligned across engines.
 
 Scoring reuses ``text_ops.bigram_doc_scores`` — the corpus-trained
-add-1 bigram LM in exact integer micro-nats (the KenLM stand-in the
-bigram-logprob query documents).
+add-1 bigram LM in exact integer micro-nats. (The engine's highest-
+fidelity KenLM stand-in is now the trigram stupid-backoff model,
+``trigram_q``, which the CCNet recipe's gate uses; this query stays on
+the bigram scale so its bucket boundaries remain comparable across
+rounds.)
 
 Scale shape — the TWO-PASS rank-cut form (the SCALE.md remedy, now the
 shipped plan; earlier rounds sorted every language's doc rows through
