@@ -689,6 +689,14 @@ FROM documents
 # denominators, then the doc-bigram stream equi-joins the scored bigram
 # table. Cross-engine exactness: ln() rounded to integer micro-nats per
 # bigram type (the unigram query's proven recipe), summed exactly.
+#
+# Known vocabulary quirk (documented, deliberately unchanged): split of
+# an empty/whitespace-only doc yields [''], so such a doc counts as one
+# '' token in the unigram table (inflating V by at most 1). The trigram
+# LM (trigram_q) filters these; here the behaviour is identical in both
+# engines and is kept so perplexity_buckets' bucket boundaries stay
+# comparable across rounds (no zero-length doc exists in the testdata,
+# so the two conventions are indistinguishable on every gated corpus).
 def text_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return bigram_logprob(load(spark, sf, "documents"))
 
