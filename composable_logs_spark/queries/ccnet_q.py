@@ -152,6 +152,14 @@ def pipeline_ccnet_recipe(spark: SparkSession, sf: str) -> DataFrame:
     # 1: boilerplate cut over the raw corpus; every later stage reads
     # the cut text
     cut = cut_dup_spans(d.select("doc_id", "text"), min_freq=_BOILER_FREQ)
+    # cache: the Spark-side MATERIALIZE discipline (the oracle's CTEs
+    # are MATERIALIZED for the same reason). cutd feeds LID, quality,
+    # the trigram model AND its scored stream, the s2..s5 semi-join
+    # chain, and cut_stats — uncached, Catalyst re-executes the whole
+    # substring-cut per consumer (measured 256 s -> ~60 s at sf0.1).
+    # Doc-grain rows; persists spill to disk at scale, exactly like the
+    # oracle's materialization. Pinned because the returned plan is lazy
+    # (dedup_q.py:255 discipline).
     cutd = (
         cut.select(
             "doc_id",
@@ -163,6 +171,7 @@ def pipeline_ccnet_recipe(spark: SparkSession, sf: str) -> DataFrame:
             F.col("clean_text").alias("text"),
         )
         .join(d.select("doc_id", "lang"), "doc_id")
+        .cache()
     )
 
     # 2-3: per-doc filters on the cut text, composed by doc_id
@@ -176,7 +185,11 @@ def pipeline_ccnet_recipe(spark: SparkSession, sf: str) -> DataFrame:
     qual = quality_stats(cutd).where("passes_quality").select("doc_id")
     lm = _lm_tercile_keepers(cutd)
     s2 = cutd.join(lid, "doc_id", "semi")
-    s3 = s2.join(qual, "doc_id", "semi").join(lm, "doc_id", "semi")
+    # s3 feeds the near-dup keeper AND the s4/s5 chain AND the
+    # per-stage counts; s5 feeds counts, the ranked draw, and the
+    # decontamination hits — cache both survivor frames (same
+    # MATERIALIZE discipline as cutd)
+    s3 = s2.join(qual, "doc_id", "semi").join(lm, "doc_id", "semi").cache()
 
     # 4: near-dup dedup over the stage-3 survivors (n_chars of the cut
     # text as the keep-longest key, computed identically in the oracle)
@@ -197,7 +210,7 @@ def pipeline_ccnet_recipe(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    s5 = s4.join(hits, "doc_id", "anti")
+    s5 = s4.join(hits, "doc_id", "anti").cache()
 
     # 6: realise the target language mixture over the final pool with
     # exact-integer quotas (shares are /100 rationals)

@@ -128,21 +128,36 @@ def media_audio_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# --- audio near-dup: band-then-verify over the 31-bit fingerprint ------
+# --- audio near-dup: band-then-verify over a two-word fingerprint ------
 #
-# The audio counterpart of media_phash_neardup: candidates share any of
-# 4 8-bit fingerprint bands (band 3 carries the top 7 bits), verified by
-# exact Hamming <= _AUDIO_HAMMING_MAX. With a 3-bit budget over 4 bands
-# the banding has EXACT recall by pigeonhole — 3 flipped bits touch at
-# most 3 bands, so every true pair shares at least one intact band; no
-# probabilistic miss rate at any corpus size. The planted variant bumps
-# every frame-0 sample by +1 (documents are pure ASCII, no wrap), moving
-# only frame 0's energy: at most fingerprint bit 0 flips, Hamming <= 1.
+# The audio counterpart of media_phash_neardup. The NEAR-DUP signature
+# is two words decoded in one pass: fp1 = the gate query's 31
+# adjacent-frame energy-delta bits (e_f > e_{f+1}), fp2 = 30 lag-2
+# delta bits (e_f > e_{f+2}) — 61 bits total, banded 4 x 15 bits over
+# the low 60, verified by exact Hamming <= _AUDIO_HAMMING_MAX over all
+# 61. With a 3-bit budget over 4 bands the banding has EXACT recall by
+# pigeonhole — <= 3 flipped bits touch at most 3 bands (a bit-60 flip
+# touches none), so every true pair shares an intact band; no
+# probabilistic miss rate at any corpus size.
+#
+# Why two words (measured, not hypothetical): an 8-bit band key space
+# saturates quadratically — at the 64x replica (320k tracks) the 4 x
+# 8-bit banding over fp1 alone produced 2.35 BILLION raw band-join rows
+# (146M at 80k: ~N^2/2^8 per band), turning the "banded" plan into an
+# all-pairs join in disguise. 15-bit keys cut collisions ~128x; the
+# lag-2 word adds real signal (it is NOT derivable from fp1: adjacent
+# deltas bound e_f vs e_{f+2} only when both steps agree). SCALE.md
+# records the before/after curve.
+#
+# The planted variant bumps every frame-0 sample by +1 (documents are
+# pure ASCII, no wrap), moving only frame 0's energy: at most fp1 bit 0
+# and fp2 bit 0 flip, Hamming <= 2.
 
 _AUDIO_VARIANT_OFFSET = 100000
 _AUDIO_HAMMING_MAX = 3
 _AUDIO_N_BANDS = 4
-_AUDIO_BAND_BITS = 8
+_AUDIO_BAND_BITS = 15
+_FP2_SHIFT = 31  # fp2 packs above fp1's 31 bits in the banding word
 
 
 def wav_variant_corpus_from_documents(docs: DataFrame) -> DataFrame:
@@ -188,25 +203,53 @@ def wav_variant_corpus_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def audio_signatures(media: DataFrame) -> DataFrame:
-    """(media_id, payload[WAV]) -> (media_id, fingerprint): the 8-byte
-    signature-only state the streaming index keeps per track."""
-    return audio_fingerprints(media).select("media_id", "fingerprint")
+    """(media_id, payload[WAV]) -> (media_id, fp1, fp2): the 16-byte
+    two-word signature the near-dup paths (batch + streaming index)
+    keep per track. One decode per track; fp1 is bit-identical to the
+    gate query's fingerprint."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                out = stdlib_codec(
+                    bytes(payload), "audio", op="frames", every_ms=_FRAME_MS
+                )
+                e = [
+                    int(
+                        (
+                            (np.frombuffer(fb, np.uint8).astype(np.int64) - 128)
+                            ** 2
+                        ).sum()
+                    )
+                    for _idx, _ms, fb in out["frames"]
+                ]
+                fp1 = sum(1 << f for f in range(len(e) - 1) if e[f] > e[f + 1])
+                fp2 = sum(1 << f for f in range(len(e) - 2) if e[f] > e[f + 2])
+                rows.append({"media_id": media_id, "fp1": fp1, "fp2": fp2})
+            yield pd.DataFrame(rows, columns=["media_id", "fp1", "fp2"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, fp1 long, fp2 long"
+    )
 
 
 def audio_band_buckets(sig: DataFrame) -> DataFrame:
-    """One row per 8-bit fingerprint band key — shared by the batch
-    self-join and the streaming new-vs-index join
+    """One row per 15-bit band key over the packed 61-bit signature —
+    shared by the batch self-join and the streaming new-vs-index join
     (streaming/incremental_audio.py)."""
+    comb = F.col("fp1") + F.col("fp2") * F.lit(1 << _FP2_SHIFT)
     return sig.select(
         "media_id",
-        "fingerprint",
+        "fp1",
+        "fp2",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(k).alias("probe"),
-                        F.shiftright(F.col("fingerprint"), _AUDIO_BAND_BITS * k)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright(comb, _AUDIO_BAND_BITS * k)
+                        .bitwiseAND(F.lit((1 << _AUDIO_BAND_BITS) - 1))
                         .cast("int")
                         .alias("bucket"),
                     )
@@ -214,18 +257,21 @@ def audio_band_buckets(sig: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("media_id", "fingerprint", "bk.probe", "bk.bucket")
+    ).select("media_id", "fp1", "fp2", "bk.probe", "bk.bucket")
 
 
-def audio_hamming_col(fp_a, fp_b):
-    """Exact Hamming distance between two packed fingerprints."""
-    return F.bit_count(F.col(fp_a).bitwiseXOR(F.col(fp_b))).cast("int")
+def audio_hamming_col(fp1_a, fp2_a, fp1_b, fp2_b):
+    """Exact Hamming distance over both signature words."""
+    return (
+        F.bit_count(F.col(fp1_a).bitwiseXOR(F.col(fp1_b)))
+        + F.bit_count(F.col(fp2_a).bitwiseXOR(F.col(fp2_b)))
+    ).cast("int")
 
 
 def audio_neardup_pairs(
     sig: DataFrame, hamming_max: int = _AUDIO_HAMMING_MAX
 ) -> DataFrame:
-    """Band-then-verify over any (media_id, fingerprint) frame."""
+    """Band-then-verify over any (media_id, fp1, fp2) frame."""
     buckets = audio_band_buckets(sig)
     cand = (
         buckets.alias("a")
@@ -234,13 +280,17 @@ def audio_neardup_pairs(
         .select(
             F.col("a.media_id").alias("media_a"),
             F.col("b.media_id").alias("media_b"),
-            F.col("a.fingerprint").alias("fp_a"),
-            F.col("b.fingerprint").alias("fp_b"),
+            F.col("a.fp1").alias("fp1_a"),
+            F.col("a.fp2").alias("fp2_a"),
+            F.col("b.fp1").alias("fp1_b"),
+            F.col("b.fp2").alias("fp2_b"),
         )
         .distinct()
     )
     return (
-        cand.withColumn("hamming", audio_hamming_col("fp_a", "fp_b"))
+        cand.withColumn(
+            "hamming", audio_hamming_col("fp1_a", "fp2_a", "fp1_b", "fp2_b")
+        )
         .where(F.col("hamming") <= hamming_max)
         .select("media_a", "media_b", "hamming")
     )
@@ -318,30 +368,36 @@ fe AS (
 bits AS (
   SELECT media_id, f,
          CASE WHEN energy > lead(energy) OVER (PARTITION BY media_id ORDER BY f)
-              THEN 1 ELSE 0 END AS bit
+              THEN 1 ELSE 0 END AS bit1,
+         CASE WHEN energy > lead(energy, 2) OVER (PARTITION BY media_id ORDER BY f)
+              THEN 1 ELSE 0 END AS bit2
   FROM fe
 ),
 fps AS (
   SELECT media_id,
-         CAST(sum(bit * (1::BIGINT << f)) AS BIGINT) AS fingerprint
-  FROM bits WHERE f < {_N_FRAMES - 1}
+         CAST(sum(CASE WHEN f < {_N_FRAMES - 1}
+                       THEN bit1 * (1::BIGINT << f) ELSE 0 END) AS BIGINT) AS fp1,
+         CAST(sum(CASE WHEN f < {_N_FRAMES - 2}
+                       THEN bit2 * (1::BIGINT << f) ELSE 0 END) AS BIGINT) AS fp2
+  FROM bits
   GROUP BY media_id
 ),
 buckets AS (
-  SELECT media_id, fingerprint, k AS probe,
-         (fingerprint >> ({_AUDIO_BAND_BITS} * k)) & 255 AS bucket
+  SELECT media_id, fp1, fp2, k AS probe,
+         ((fp1 + fp2 * {1 << _FP2_SHIFT}) >> ({_AUDIO_BAND_BITS} * k))
+           & {(1 << _AUDIO_BAND_BITS) - 1} AS bucket
   FROM fps, range(0, {_AUDIO_N_BANDS}) t(k)
 ),
 cand AS (
   SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
-         a.fingerprint AS fa, b.fingerprint AS fb
+         a.fp1 AS fa1, a.fp2 AS fa2, b.fp1 AS fb1, b.fp2 AS fb2
   FROM buckets a JOIN buckets b
     ON a.probe = b.probe AND a.bucket = b.bucket AND a.media_id < b.media_id
 )
 SELECT media_a, media_b,
-       CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+       CAST(bit_count(xor(fa1, fb1)) + bit_count(xor(fa2, fb2)) AS INT) AS hamming
 FROM cand
-WHERE bit_count(xor(fa, fb)) <= {_AUDIO_HAMMING_MAX}
+WHERE bit_count(xor(fa1, fb1)) + bit_count(xor(fa2, fb2)) <= {_AUDIO_HAMMING_MAX}
 ORDER BY media_a, media_b
 """
 

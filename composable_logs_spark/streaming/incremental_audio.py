@@ -5,18 +5,21 @@ incremental_bm25 / incremental_semdedup / incremental_substr; image:
 incremental_media; audio: this module).
 
 At 100 TB of crawled audio you never re-run pair-finding over the whole
-archive when a crawl lands; you keep 8 BYTES of energy-delta
+archive when a crawl lands; you keep 16 BYTES of two-word energy-delta
 fingerprint per track (``queries.media_audio_q.audio_signatures`` —
 the exact code the batch query runs, so stream and batch verdicts
 agree) and band-join each arriving batch against it:
 
-- the index is signatures only (media_id, fingerprint);
+- the index is signatures only (media_id, fp1, fp2);
 - each micro-batch decodes + fingerprints the NEW tracks only, in one
   Arrow-batched ``mapInPandas``; payload bytes never reach the driver;
-- candidates come from the 4x 8-bit fingerprint band equi-join
-  (``audio_band_buckets``), then exact Hamming <= 3 verification —
-  EXACT recall by pigeonhole (3 flipped bits touch at most 3 of the 4
-  bands), and the stream never sees an O(batch x index) comparison.
+- candidates come from the 4x 15-bit band equi-join over the packed
+  61-bit signature (``audio_band_buckets`` — 15-bit keys because 8-bit
+  keys measurably saturate quadratically at ~10^5 tracks, see
+  media_audio_q), then exact Hamming <= 3 verification over both words
+  — EXACT recall by pigeonhole (<= 3 flipped bits touch at most 3 of
+  the 4 bands), and the stream never sees an O(batch x index)
+  comparison.
 
 Pairs WITHIN one micro-batch are caught by the batch query's own band
 self-join over the batch-sized signature frame (the incremental_media
@@ -98,14 +101,16 @@ def stream_audio_against_index(
             audio_band_buckets(sig)
             .select(
                 F.col("media_id"),
-                F.col("fingerprint").alias("fp_n"),
+                F.col("fp1").alias("fp1_n"),
+                F.col("fp2").alias("fp2_n"),
                 "probe",
                 "bucket",
             )
             .join(
                 audio_band_buckets(idx).select(
                     F.col("media_id").alias("dup_of"),
-                    F.col("fingerprint").alias("fp_o"),
+                    F.col("fp1").alias("fp1_o"),
+                    F.col("fp2").alias("fp2_o"),
                     "probe",
                     "bucket",
                 ),
@@ -114,11 +119,13 @@ def stream_audio_against_index(
             # self-match guard: a replayed batch whose signatures were
             # already appended to the growth dir would match itself
             .where(F.col("media_id") != F.col("dup_of"))
-            .select("media_id", "dup_of", "fp_n", "fp_o")
+            .select("media_id", "dup_of", "fp1_n", "fp2_n", "fp1_o", "fp2_o")
             .distinct()
         )
         cross = (
-            cand.withColumn("hamming", audio_hamming_col("fp_n", "fp_o"))
+            cand.withColumn(
+                "hamming", audio_hamming_col("fp1_n", "fp2_n", "fp1_o", "fp2_o")
+            )
             .where(F.col("hamming") <= _AUDIO_HAMMING_MAX)
             .select("media_id", "dup_of", "hamming")
             # anti vs the batch's own ids: on a replay the grown index

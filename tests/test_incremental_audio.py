@@ -90,6 +90,9 @@ def test_intra_batch_pairs_are_caught(spark, tmp_path):
 
     half = [1] * 16 + [0] * 15
     evens = [1 if j % 2 == 0 else 0 for j in range(31)]
+    # flipping bits[30] moves fp1 bit 30 AND fp2 bit 29 (fp2[f] =
+    # OR(bits[f], bits[f+1]) under the equal-or-+1 amplitude builder):
+    # Hamming 2, still under the <= 3 verify budget
     evens_flip = list(evens)
     evens_flip[30] = 1 - evens_flip[30]
 
@@ -112,7 +115,7 @@ def test_intra_batch_pairs_are_caught(spark, tmp_path):
     finally:
         q.stop()
     assert {(r["media_id"], r["dup_of"], r["hamming"]) for r in got} == {
-        (200, 100, 1)
+        (200, 100, 2)
     }
 
 
@@ -129,7 +132,7 @@ def test_growing_index_and_replay_idempotence(spark, tmp_path):
     mid = [0] * 8 + [1] * 16 + [0] * 7
     evens = [1 if j % 2 == 0 else 0 for j in range(31)]
     evens_flip = list(evens)
-    evens_flip[30] = 1 - evens_flip[30]  # Hamming 1 from evens
+    evens_flip[30] = 1 - evens_flip[30]  # Hamming 2 from evens (fp1+fp2)
 
     index_sig = build_audio_index(
         spark.createDataFrame(
@@ -157,7 +160,7 @@ def test_growing_index_and_replay_idempotence(spark, tmp_path):
     finally:
         q.stop()
     assert {(r["media_id"], r["dup_of"], r["hamming"]) for r in got} == {
-        (200, 100, 1)
+        (200, 100, 2)
     }
 
     got2 = []
@@ -176,6 +179,6 @@ def test_growing_index_and_replay_idempotence(spark, tmp_path):
     finally:
         q2.stop()
     # 300 re-sends the `evens` track: identical to 100 (Hamming 0) and
-    # one flipped bit from 200
+    # one flipped builder bit (= 2 signature bits) from 200
     pairs2 = {(r["media_id"], r["dup_of"], r["hamming"]) for r in got2}
-    assert pairs2 == {(300, 100, 0), (300, 200, 1)}
+    assert pairs2 == {(300, 100, 0), (300, 200, 2)}
