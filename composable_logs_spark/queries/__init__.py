@@ -74,15 +74,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # plane dots quantized to micro-units before the SRP sign test on both
 # engines; mix_unimax_sample: oracle restructured over the shared
 # quota SQL — docstring-only edits, e.g. perplexity_q/phrase_q, are NOT
-# counted as changed), then 42 of the 44-name r7-stale block in name
-# order (newest driver-green row = round 7, per the
-# CORRECTNESS_r01..r10 histogram: 44/46/47/50 for r7/8/9/10). The 2 + 6
-# head leaves 42 filler slots, so the last two r7 names in name order
-# (text_c4_filters, text_char_entropy) stay r7-green and rotate next
-# round; the staleness floor moves to those two names.
+# counted as changed), then the r7-stale block in name order (newest
+# driver-green row = round 7, per the CORRECTNESS_r01..r10 histogram:
+# 44/46/47/50 for r7/8/9/10). A later session of this round added a
+# 3rd new query (wide 256-bit aHash image near-dup, the measured
+# band-saturation remedy); per rule (1) it joins the new block,
+# displacing the last filler name — so the last three r7 names in name
+# order (text_bigram_logprob, text_c4_filters, text_char_entropy) stay
+# r7-green and rotate next round; the staleness floor moves to those
+# three names.
 _FRONT_WINDOW = [
     # (1) new this round
-    "mix_unimax_draw", "media_audio_neardup",
+    "mix_unimax_draw", "media_audio_neardup", "media_phash_neardup_wide",
     # (2) changed this round
     "pipeline_ccnet_recipe", "trigram_logprob", "mine_bitext_margin",
     "dedup_srp_lsh", "dedup_embedding_cosine", "mix_unimax_sample",
@@ -103,7 +106,6 @@ _FRONT_WINDOW = [
     "spanlog_last_value_wins", "spanlog_logged_values", "spanlog_roots",
     "spanlog_task_runs", "spanlog_task_trends",
     "spanlog_validation_errors", "spanlog_workflow_runs",
-    "text_bigram_logprob",
 ]
 
 

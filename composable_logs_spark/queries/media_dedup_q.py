@@ -272,6 +272,183 @@ ORDER BY media_a, media_b
 
 
 # ---------------------------------------------------------------------------
+# Wide aHash (256-bit, 8 x 32-bit bands): the SCALE path for image
+# near-dup. Round 11 measured the 8-bit band keys of the 64-bit aHash
+# saturating quadratically — 2.92 BILLION raw band-join rows at 160k
+# images (~N^2/2^8 per band, worse than uniform because mean-threshold
+# bits over text-derived pixels are highly correlated). This variant
+# hashes the FULL 16x16 raster (the identity grid over these sources:
+# bit_j = pixel_j * 256 > sum(pixels), integer-exact) into 8 words of
+# 32 bits; candidates share any whole word, so the band key space is
+# 2^32 per band — random collisions effectively vanish at any realistic
+# corpus size — and Hamming <= 6 over all 256 bits keeps pigeonhole-
+# exact recall (6 flips < 8 bands). The planted +3 variants sit at
+# Hamming 0 for almost every doc (measured: 0 everywhere at
+# sf0.001/0.01; at sf0.1, 4997/5000 at 0, one each at 1/7/14 — a +6
+# mean shift flips every pixel whose value lands in one exact 6-wide
+# boundary window, so the rare boundary doc jumps in steps of its
+# value multiplicity; both engines agree exactly either way). The
+# 64-bit queries keep their semantics this round; the streaming image
+# index migrates to this signature with the next gate-window rotation.
+
+_WIDE_BITS = _SIDE * _SIDE  # 256
+_WIDE_WORDS = 8  # 8 x 32-bit signature words
+_WIDE_HAMMING_MAX = 6
+
+
+def ahash256_signatures(media: DataFrame) -> DataFrame:
+    """(media_id, payload[PNM]) -> (media_id, w0..w7): the full-raster
+    256-bit aHash as eight 32-bit words (32 bytes/image of state)."""
+
+    weights = 1 << np.arange(32, dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id"] + [f"w{k}" for k in range(_WIDE_WORDS)]
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr, _ = decode_pnm(bytes(payload))
+                px = arr[:, :, 0].astype(np.int64).reshape(-1)
+                bits = (px * px.size > int(px.sum())).astype(np.int64)
+                row = {"media_id": media_id}
+                for k in range(_WIDE_WORDS):
+                    row[f"w{k}"] = int((bits[32 * k : 32 * k + 32] * weights).sum())
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = "media_id long, " + ", ".join(
+        f"w{k} long" for k in range(_WIDE_WORDS)
+    )
+    return media.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def ahash256_band_buckets(sig: DataFrame) -> DataFrame:
+    """One row per 32-bit band key (= one signature word)."""
+    words = [f"w{k}" for k in range(_WIDE_WORDS)]
+    return sig.select(
+        "media_id",
+        *words,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("probe"), F.col(f"w{k}").alias("bucket")
+                    )
+                    for k in range(_WIDE_WORDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_id", *words, "bk.probe", "bk.bucket")
+
+
+def ahash256_hamming_col(prefix_a: str, prefix_b: str):
+    """Exact 256-bit Hamming over the eight word pairs."""
+    total = None
+    for k in range(_WIDE_WORDS):
+        term = F.bit_count(
+            F.col(f"{prefix_a}{k}").bitwiseXOR(F.col(f"{prefix_b}{k}"))
+        )
+        total = term if total is None else total + term
+    return total.cast("int")
+
+
+def ahash256_neardup_pairs(
+    sig: DataFrame, hamming_max: int = _WIDE_HAMMING_MAX
+) -> DataFrame:
+    buckets = ahash256_band_buckets(sig)
+    cand = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["probe", "bucket"])
+        .where(F.col("a.media_id") < F.col("b.media_id"))
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            *[F.col(f"a.w{k}").alias(f"wa{k}") for k in range(_WIDE_WORDS)],
+            *[F.col(f"b.w{k}").alias(f"wb{k}") for k in range(_WIDE_WORDS)],
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", ahash256_hamming_col("wa", "wb"))
+        .where(F.col("hamming") <= hamming_max)
+        .select("media_a", "media_b", "hamming")
+    )
+
+
+def media_phash_neardup_wide(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    media = pnm_corpus_from_documents(docs)
+    # 32-byte/row signatures, read by both sides of the band self-join
+    # (the media_phash_neardup cache discipline)
+    sig = ahash256_signatures(media).cache()
+    return ahash256_neardup_pairs(sig).orderBy("media_a", "media_b")
+
+
+def _phash_wide_sql() -> str:
+    # identity grid: sampled pixel j of the 16x16 raster reads text
+    # byte (j mod len) + 1 (1-indexed); variant pixels perturb by +3
+    # where j % _PERTURB_STEP = 0
+    pixel = "ascii(substring(text, CAST((j % n) + 1 AS INT), 1))"
+    perturb = f"CASE WHEN j % {_PERTURB_STEP} = 0 THEN 3 ELSE 0 END"
+
+    def word_expr(k: int) -> str:
+        return " + ".join(
+            f"CASE WHEN bv[{32 * k + j + 1}] = 1 THEN {1 << j} ELSE 0 END"
+            for j in range(32)
+        )
+
+    word_cols = ",\n         ".join(
+        f"CAST({word_expr(k)} AS BIGINT) AS w{k}" for k in range(_WIDE_WORDS)
+    )
+    bucket_union = "\n  UNION ALL\n  ".join(
+        f"SELECT media_id, {', '.join(f'w{j}' for j in range(_WIDE_WORDS))}, "
+        f"{k} AS probe, w{k} AS bucket FROM sig"
+        for k in range(_WIDE_WORDS)
+    )
+    a_words = ", ".join(f"a.w{k} AS wa{k}" for k in range(_WIDE_WORDS))
+    b_words = ", ".join(f"b.w{k} AS wb{k}" for k in range(_WIDE_WORDS))
+    ham = " + ".join(
+        f"bit_count(xor(wa{k}, wb{k}))" for k in range(_WIDE_WORDS)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+px AS (
+  SELECT doc_id AS media_id, j, {pixel} AS pixel
+  FROM docs, range(0, {_WIDE_BITS}) t(j)
+  UNION ALL
+  SELECT doc_id + {_VARIANT_OFFSET}, j, {pixel} + {perturb}
+  FROM docs, range(0, {_WIDE_BITS}) t(j)
+),
+bits AS (
+  SELECT media_id, j,
+         CASE WHEN pixel * {_WIDE_BITS} > sum(pixel) OVER (PARTITION BY media_id)
+              THEN 1 ELSE 0 END AS bit
+  FROM px
+),
+bv AS (SELECT media_id, list(bit ORDER BY j) AS bv FROM bits GROUP BY media_id),
+sig AS (
+  SELECT media_id,
+         {word_cols}
+  FROM bv
+),
+buckets AS (
+  {bucket_union}
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                  {a_words}, {b_words}
+  FROM buckets a JOIN buckets b ON a.probe = b.probe AND a.bucket = b.bucket
+  WHERE a.media_id < b.media_id
+)
+SELECT media_a, media_b,
+       CAST({ham} AS INT) AS hamming
+FROM cand
+WHERE {ham} <= {_WIDE_HAMMING_MAX}
+ORDER BY media_a, media_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # dHash: the GRADIENT sibling of aHash. aHash compares each pixel to the
 # global mean, so a uniform brightness shift flips no bit but a local
 # retouch near the mean flips many; dHash compares each pixel to its
@@ -395,4 +572,7 @@ ORDER BY media_a, media_b
 QUERIES = {
     "media_phash_neardup": QuerySpec(media_phash_neardup, _phash_sql()),
     "media_dhash_neardup": QuerySpec(media_dhash_neardup, _dhash_sql()),
+    "media_phash_neardup_wide": QuerySpec(
+        media_phash_neardup_wide, _phash_wide_sql()
+    ),
 }

@@ -83,3 +83,44 @@ def test_corpus_builder_rejects_id_collision(spark):
     docs = spark.createDataFrame([(100001, "abc")], "doc_id long, text string")
     with pytest.raises(Exception, match="variant offset"):
         pnm_corpus_from_documents(docs).collect()
+
+
+def test_wide_ahash_finds_planted_pairs_with_narrow_buckets(spark, sf_dir):
+    """media_phash_neardup_wide (the measured band-saturation remedy):
+    every planted (base, variant) pair is found — at the test fixture's
+    size the +3 perturbation never crosses a boundary, so Hamming 0 —
+    and the 32-bit band keys admit far fewer raw candidates than the
+    8-bit banding on the same corpus."""
+    from composable_logs_spark.queries.media_dedup_q import (
+        _VARIANT_OFFSET,
+        ahash256_band_buckets,
+        ahash256_signatures,
+        ahash_band_buckets,
+        ahash_signatures,
+        media_phash_neardup_wide,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in media_phash_neardup_wide(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    for d in doc_ids:
+        assert pairs.get((d, d + _VARIANT_OFFSET)) == 0, d
+
+    media = pnm_corpus_from_documents(docs.select("doc_id", "text"))
+
+    def raw_candidates(bucket_fn, sig_fn):
+        b = bucket_fn(sig_fn(media))
+        return (
+            b.alias("a")
+            .join(b.alias("b"), ["probe", "bucket"])
+            .where(F.col("a.media_id") < F.col("b.media_id"))
+            .count()
+        )
+
+    wide = raw_candidates(ahash256_band_buckets, ahash256_signatures)
+    narrow = raw_candidates(ahash_band_buckets, ahash_signatures)
+    assert wide < narrow / 5, (wide, narrow)

@@ -128,6 +128,9 @@ HEADLINE = [
     # band equi-join, pigeonhole-exact recall at Hamming <= 3)
     "mix_unimax_draw",
     "media_audio_neardup",
+    # wide 256-bit aHash (8x32-bit band keys — the measured image
+    # band-saturation remedy; same band-then-verify plan, 2^32 keys)
+    "media_phash_neardup_wide",
 ]
 
 
