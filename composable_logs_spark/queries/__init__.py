@@ -59,53 +59,50 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 # Registry order is a VERIFICATION SURFACE: the driver's correctness gate
 # checks the first 50 entries, so the front window is pinned EXPLICITLY by
-# name (tests/test_registry_window.py guards it). Rotation policy per
-# round: (1) every query that has never had a driver hash-green row,
-# (2) every query whose semantics or oracle changed this round,
-# (3) fill with the longest-unverified green block. Round 11 window:
-# the 2 queries ADDED this round (UniMax draw stage — the md5-ordered
-# deterministic draw to quota; audio fingerprint near-dup — banded
-# Hamming pairs over WAV energy-delta fingerprints), the 6 whose
-# semantics or oracle changed this round (pipeline_ccnet_recipe: the
-# stage-3 LM gate is now the trigram stupid-backoff model behind a
-# per-language tercile rank-cut; trigram_logprob: zero-length tokens
-# filtered from the unigram table + SQL rebuilt on the parameterised
-# builders; mine_bitext_margin / dedup_srp_lsh / dedup_embedding_cosine:
-# plane dots quantized to micro-units before the SRP sign test on both
-# engines; mix_unimax_sample: oracle restructured over the shared
-# quota SQL — docstring-only edits, e.g. perplexity_q/phrase_q, are NOT
-# counted as changed), then the r7-stale block in name order (newest
-# driver-green row = round 7, per the CORRECTNESS_r01..r10 histogram:
-# 44/46/47/50 for r7/8/9/10). A later session of this round added a
-# 3rd new query (wide 256-bit aHash image near-dup, the measured
-# band-saturation remedy); per rule (1) it joins the new block,
-# displacing the last filler name — so the last three r7 names in name
-# order (text_bigram_logprob, text_c4_filters, text_char_entropy) stay
-# r7-green and rotate next round; the staleness floor moves to those
-# three names.
+# name (tests/test_registry_window.py guards it — including an executable
+# rotation-policy lock computed from the committed CORRECTNESS_r*.json
+# records). Rotation policy per round: (1) every query that has never had
+# a driver hash-green row, (2) every query whose semantics or oracle
+# changed this round, (3) fill with the longest-unverified green block in
+# name order. Round 12 window: no queries added; the 6 whose
+# implementation changed this round (pipeline_ccnet_recipe: stage passes
+# share one tokenized materialization; the substr family: the gram pass
+# now runs over a single cached token-array frame instead of re-splitting
+# text per consumer — values proven unchanged at 3 SFs, listed under rule
+# (2) because the executed plan changed), then the 3 r7-stale names the
+# r11 window comment promised to rotate (text_bigram_logprob,
+# text_c4_filters, text_char_entropy), then the full 45-name r8-stale
+# block in name order (5 of which are the substr family already listed
+# under rule 2), and one filler from the oldest r9 block
+# (ann_ivf_recall — also this round's 64x-recall measurement target).
+# After this round the newest-green floor moves to r9.
 _FRONT_WINDOW = [
-    # (1) new this round
-    "mix_unimax_draw", "media_audio_neardup", "media_phash_neardup_wide",
-    # (2) changed this round
-    "pipeline_ccnet_recipe", "trigram_logprob", "mine_bitext_margin",
-    "dedup_srp_lsh", "dedup_embedding_cosine", "mix_unimax_sample",
-    # (3) the r7-stale block, name order (first 42 of 44)
-    "agg_distinct_parts_per_nation", "agg_grouping_sets",
-    "agg_rollup_returns", "ann_cosine_top5", "ann_ivf_kmeans",
-    "ann_ivf_label_probe", "ann_ivf_multiprobe", "ann_ivfpq_adc",
-    "approx_sketch_stats", "bpe_encode_oov", "bpe_encode_stats",
-    "bpe_train_merges", "cusum_changepoint_events", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_simhash", "embedding_centroids",
-    "join_anti_idle_customers", "join_semi_heavy_orders",
-    "json_extract_events", "mv_incremental_merge", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "range_join_error_attribution", "scalar_functions_orders",
-    "session_path_topk", "sessionize_user_events", "set_ops_segments",
-    "spanlog_artifacts", "spanlog_attr_union", "spanlog_deps",
-    "spanlog_descendant_counts", "spanlog_exceptions",
-    "spanlog_last_value_wins", "spanlog_logged_values", "spanlog_roots",
-    "spanlog_task_runs", "spanlog_task_trends",
-    "spanlog_validation_errors", "spanlog_workflow_runs",
+    # (2) implementation changed this round (perf refactor, values
+    # unchanged): the ccnet recipe + the substr family
+    "pipeline_ccnet_recipe",
+    "dedup_exact_substring", "pipeline_dedup_then_cut",
+    "substr_cut_docs", "substr_cut_stats", "substr_winnow_stats",
+    # (3a) the r7-stale leftover block (promised rotation)
+    "text_bigram_logprob", "text_c4_filters", "text_char_entropy",
+    # (3b) the r8-stale block, name order (minus the substr family above)
+    "agg_percentiles_events", "asof_join_purchase_click",
+    "asof_join_with_tolerance", "bloom_pruned_urgent_revenue",
+    "cluster_docs_hashed_tf", "decontaminate_against_benchmark",
+    "dedup_chunks", "dedup_cluster_assign", "dedup_corpus_keep",
+    "dq_check_customers", "dsir_select_topk", "event_transitions",
+    "events_rate_anomaly", "funnel_conversion", "gapfill_hourly_locf",
+    "media_byte_histogram", "media_checksums", "media_frame_sample",
+    "pagerank_purchase_graph", "pii_scrub_customers",
+    "pipeline_clean_corpus", "q11_important_stock",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_counts", "text_fingerprint", "text_gopher_filters",
+    "text_lang_id", "text_quality_scores", "text_repetition",
+    "text_tfidf_top3", "text_token_stats", "text_vocab_topk",
+    "unpivot_part_metrics", "window_ntile_customers", "window_order_gaps",
+    "window_rolling_week_spend", "window_running_customer_spend",
+    "window_top3_parts_per_supplier",
+    # (3c) filler: the oldest r9 name in name order
+    "ann_ivf_recall",
 ]
 
 
