@@ -75,8 +75,15 @@ def _prev_round_value(
 
 def _drift_exceeds_2x(passes: list[float], prev: float | None) -> bool:
     """True when this round's best pass is >2x away from the previous
-    recorded round — the trigger for the re-measure-3x outlier path."""
-    return bool(prev) and not (prev / 2 <= min(passes) <= prev * 2)
+    recorded round — the trigger for the re-measure-3x outlier path.
+
+    ``prev is not None`` (NOT truthiness): a legitimately recorded 0.0
+    would otherwise read as "no prior round" and silently skip the guard
+    — the same silent-no-op class the round-10 envelope bug was (r11
+    advice). A prev of exactly 0 means ANY measured time is >2x away,
+    which is the correct alarm for a zero-length prior record.
+    """
+    return prev is not None and not (prev / 2 <= min(passes) <= prev * 2)
 
 
 def _total_drift_note(total: float, prev_total: float | None) -> str | None:
@@ -84,10 +91,17 @@ def _total_drift_note(total: float, prev_total: float | None) -> str | None:
     recorded round (the per-query guard already re-measured any >2x
     component; many small same-direction shifts can still move the
     total, and a reader should see that called out, not infer it)."""
-    if prev_total and abs(total - prev_total) > 0.1 * prev_total:
+    # `is not None`, not truthiness (r11 advice): a recorded 0.0 total
+    # must trigger the note (any real total is infinite drift from 0),
+    # not silently read as "no prior round"
+    if prev_total is not None and abs(total - prev_total) > 0.1 * prev_total:
+        pct = (
+            f"{100 * (total - prev_total) / prev_total:+.0f}%"
+            if prev_total else "prev was 0"
+        )
         return (
             f"total {total}s vs prev round {prev_total}s "
-            f"({100 * (total - prev_total) / prev_total:+.0f}%); every "
+            f"({pct}); every "
             "per-query >2x outlier was re-run 3x (see per-query notes if "
             "any) — residual drift is box variance, not code"
         )

@@ -176,6 +176,15 @@ def wav_variant_corpus_from_documents(docs: DataFrame) -> DataFrame:
                         f"media_audio: doc_id {doc_id} >= variant offset"
                     )
                 data = text.encode("utf-8")
+                if not data:
+                    # explicit guard (r11 advice): idx % 0 would raise a
+                    # bare ZeroDivisionError here while the SQL oracle's
+                    # (j % n) yields NULL pixels silently — fail loudly
+                    # and identically-diagnosably instead of divergently
+                    raise ValueError(
+                        f"media_audio: doc_id {doc_id} has empty text; "
+                        "no WAV can be synthesized from it"
+                    )
                 base = np.frombuffer(data, np.uint8)[idx % len(data)]
                 rows.append(
                     {

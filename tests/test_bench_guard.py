@@ -93,6 +93,19 @@ def test_per_query_2x_drift_fires_against_driver_record(tmp_path):
     assert not bench._drift_exceeds_2x([1.2, 1.3], None)  # no prior round
 
 
+def test_zero_prev_value_is_a_prior_round_not_a_skip():
+    """r11 advice regression lock: a legitimately recorded 0.0 must be
+    treated as a prior round (any real measurement is >2x from 0), not
+    falsy-conflated with "no prior round" — the second silent-skip class
+    after the envelope bug."""
+    assert bench._drift_exceeds_2x([0.5, 0.6], 0.0)  # fires, not skipped
+    note = bench._total_drift_note(5.0, 0.0)
+    assert note is not None and "prev was 0" in note
+    # and None still means genuinely no prior round
+    assert not bench._drift_exceeds_2x([0.5], None)
+    assert bench._total_drift_note(5.0, None) is None
+
+
 def test_total_10pct_drift_produces_note_against_driver_record(tmp_path):
     _write_driver_record(tmp_path, 10, _PARSED)
     prev_total = bench._prev_round_value(

@@ -124,8 +124,10 @@ HEADLINE = [
     "classifier_pr_curve",
     "mix_unimax_sample",
     # round-11 — UniMax draw (lang-partitioned md5 row_number + broadcast
-    # quota join), audio near-dup (mapInPandas fingerprints + 4x8-bit
-    # band equi-join, pigeonhole-exact recall at Hamming <= 3)
+    # quota join), audio near-dup (mapInPandas fingerprints + 4x15-bit
+    # band equi-join over the packed 61-bit two-word signature,
+    # pigeonhole-exact recall at Hamming <= 3; 4x8-bit keys were the
+    # measured r11 saturation failure and were replaced)
     "mix_unimax_draw",
     "media_audio_neardup",
     # wide 256-bit aHash (8x32-bit band keys — the measured image
