@@ -109,13 +109,18 @@ def _lm_tercile_keepers(cutd: DataFrame) -> DataFrame:
     doc-grain sort or row_number anywhere."""
     from pyspark.sql import Window
 
-    from .trigram_q import trigram_doc_scores
+    from .trigram_q import _with_arr, trigram_doc_scores
 
+    # r12: tokenize the cut text ONCE into a cached (doc_id, arr) frame
+    # shared by all four LM passes (train trigram/bigram/unigram tables
+    # + the scored stream) — previously each pass re-split/lowered the
+    # whole cut corpus even though cutd itself was cached
+    arr = _with_arr(cutd.select("doc_id", "text")).cache()
     # one row per scored doc; two consumers (histogram + keep filter),
     # so pin it — without the cache the full trigram-LM pipeline would
     # execute twice (the perplexity_q/dedup_q cache discipline)
     lm_lang = (
-        trigram_doc_scores(cutd, cutd)
+        trigram_doc_scores(arr, arr)
         .select("doc_id", F.expr("lp_sum_micro div n_trigrams").alias("score_micro"))
         .join(cutd.select("doc_id", "lang"), "doc_id")
         .cache()
@@ -144,14 +149,16 @@ def _lm_tercile_keepers(cutd: DataFrame) -> DataFrame:
 
 def pipeline_ccnet_recipe(spark: SparkSession, sf: str) -> DataFrame:
     from .pipeline_q import _ngram_hashes, neardup_keepers
-    from .substr_q import cut_dup_spans
+    from .substr_q import _cut_frame
     from .text_ops import lang_scores, quality_stats
 
     d = load(spark, sf, "documents")
 
     # 1: boilerplate cut over the raw corpus; every later stage reads
-    # the cut text
-    cut = cut_dup_spans(d.select("doc_id", "text"), min_freq=_BOILER_FREQ)
+    # the cut text. _cut_frame tokenizes the corpus ONCE into a cached
+    # token frame shared by the find and cut passes (r12: previously the
+    # raw text was split a third time here just for n_raw_tokens).
+    cut = _cut_frame(d.select("doc_id", "text"), min_freq=_BOILER_FREQ)
     # cache: the Spark-side MATERIALIZE discipline (the oracle's CTEs
     # are MATERIALIZED for the same reason). cutd feeds LID, quality,
     # the trigram model AND its scored stream, the s2..s5 semi-join
@@ -163,7 +170,7 @@ def pipeline_ccnet_recipe(spark: SparkSession, sf: str) -> DataFrame:
     cutd = (
         cut.select(
             "doc_id",
-            F.size(F.split("text", " ")).cast("long").alias("n_raw_tokens"),
+            F.size("tok").cast("long").alias("n_raw_tokens"),
             F.when(F.col("clean_text") == "", 0)
             .otherwise(F.size(F.split("clean_text", " ")))
             .cast("long")

@@ -75,6 +75,15 @@ def _pow_list(b: int, p: int, l: int) -> list[int]:
     return [pow(b, l - 1 - j, p) for j in range(l)]
 
 
+def _with_tokens(docs: DataFrame) -> DataFrame:
+    """Ensure a `tok` token-array column (split once; frames that carry
+    a pre-tokenized `tok` pass through untouched — the single-tokenize
+    perf path hands every consumer ONE cached token frame)."""
+    if "tok" in docs.columns:
+        return docs
+    return docs.withColumn("tok", F.split("text", " "))
+
+
 def _grams(docs: DataFrame, l: int = _L) -> DataFrame:
     """(doc_id, n_tokens, pos, h): 60-bit polynomial hash of the
     L-token window at every start position, from ONE md5 per token.
@@ -86,14 +95,21 @@ def _grams(docs: DataFrame, l: int = _L) -> DataFrame:
     slice copy, no per-window md5 (the v1 scheme md5-ed an
     `array_join` of every window: ~L× the corpus through the hash).
     Docs shorter than L emit nothing (they cannot contain a
-    duplicated span)."""
+    duplicated span).
+
+    Accepts either a raw (doc_id, text) frame or a pre-tokenized frame
+    with a `tok` column (see ``_with_tokens``): the find-and-cut
+    queries pass one CACHED token frame so the gram pass and the cut
+    pass share a single tokenization of the corpus (r11 SCALE.md: the
+    double tokenization was the steepest 64x scaler at 2.20x/4x rows).
+    """
     horner = [
         f"aggregate(sequence(i, i + {l} - 1), cast(0 as bigint),"
         f" (a, j) -> (a * {b} + element_at(th, j)) % {p})"
         for b, p in ((_B1, _P1), (_B2, _P2))
     ]
     return (
-        docs.select("doc_id", F.split("text", " ").alias("tok"))
+        _with_tokens(docs).select("doc_id", "tok")
         .where(F.size("tok") >= l)
         .select(
             "doc_id",
@@ -197,16 +213,23 @@ def dup_spans(docs: DataFrame, l: int = _L, min_freq: int = 2) -> DataFrame:
     return merge_windows(dup, l)
 
 
-def cut_dup_spans(docs: DataFrame, l: int = _L, min_freq: int = 2) -> DataFrame:
-    """(doc_id, text, clean_text): every duplicated-span token removed.
-    One left join of docs against their collected span list (vast
-    majority of docs have none), then a zero-shuffle array filter."""
-    spans = dup_spans(docs, l, min_freq).groupBy("doc_id").agg(
+def _cut_frame(docs: DataFrame, l: int = _L, min_freq: int = 2) -> DataFrame:
+    """(doc_id, <passthrough cols>, tok, clean_text): the find-and-cut
+    pipeline over ONE cached token-array frame.
+
+    The corpus is tokenized exactly once: the cached `tok` frame feeds
+    BOTH the gram/frequency pass (find) and the span-removal filter
+    (cut) — previously each pass re-read and re-split the full corpus,
+    which made this the steepest 64x scaler (2.20x runtime per 4x rows,
+    SCALE.md r11). The cache spills to disk at scale, exactly like the
+    oracle's MATERIALIZED cut CTE; consumers needing token counts read
+    `size(tok)` instead of re-splitting text."""
+    tokd = _with_tokens(docs).cache()
+    spans = dup_spans(tokd, l, min_freq).groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("spans")
     )
     return (
-        docs.join(spans, "doc_id", "left")
-        .withColumn("tok", F.split("text", " "))
+        tokd.join(spans, "doc_id", "left")
         .withColumn(
             "clean_text",
             F.expr(
@@ -218,8 +241,17 @@ def cut_dup_spans(docs: DataFrame, l: int = _L, min_freq: int = 2) -> DataFrame:
                 " s -> s.t), ' ')"
             ),
         )
-        .select("doc_id", "text", "clean_text")
+        .drop("spans")
     )
+
+
+def cut_dup_spans(docs: DataFrame, l: int = _L, min_freq: int = 2) -> DataFrame:
+    """(doc_id, text, clean_text): every duplicated-span token removed.
+    One left join of docs against their collected span list (vast
+    majority of docs have none), then a zero-shuffle array filter.
+    Built on ``_cut_frame`` — one tokenization, cached, shared by the
+    find and cut passes."""
+    return _cut_frame(docs, l, min_freq).select("doc_id", "text", "clean_text")
 
 
 def substr_cut_docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -228,12 +260,13 @@ def substr_cut_docs(spark: SparkSession, sf: str) -> DataFrame:
     a value match proves both engines dropped EXACTLY the same token
     positions from every document (the planted-fixture pytest proves
     the positions are the right ones; this proves them cross-engine at
-    corpus scale)."""
-    cut = cut_dup_spans(load(spark, sf, "documents"))
+    corpus scale). n_tokens reads size(tok) off the shared cached token
+    frame — no third split of the corpus."""
+    cut = _cut_frame(load(spark, sf, "documents").select("doc_id", "text"))
     return (
         cut.select(
             "doc_id",
-            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            F.size("tok").cast("long").alias("n_tokens"),
             F.when(F.col("clean_text") == "", 0)
             .otherwise(F.size(F.split("clean_text", " ")))
             .cast("long")
@@ -393,13 +426,17 @@ def substr_cut_stats(spark: SparkSession, sf: str) -> DataFrame:
     too-low L cuts boilerplate AND legitimate common phrases.
 
     Scale shape: the span table (output of the banded-free frequency
-    pass) joined back to documents on doc_id, one hash agg per source.
+    pass) joined back to documents on doc_id, one hash agg per source —
+    both sides reading ONE cached tokenization of the corpus.
     """
-    docs = load(spark, sf, "documents").select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    tokd = (
+        load(spark, sf, "documents")
+        .select("doc_id", "source", F.split("text", " ").alias("tok"))
+        .cache()
     )
+    docs = tokd.select("doc_id", "source", F.size("tok").alias("n_tokens"))
     per_doc = (
-        dup_spans(load(spark, sf, "documents"))
+        dup_spans(tokd)
         .groupBy("doc_id")
         .agg(
             F.sum(
@@ -495,13 +532,14 @@ def pipeline_dedup_then_cut(spark: SparkSession, sf: str) -> DataFrame:
     from .pipeline_q import pipeline_clean_corpus
 
     survivors = pipeline_clean_corpus(spark, sf).select("doc_id")
-    d = (
+    tokd = (
         load(spark, sf, "documents")
         .join(survivors, "doc_id")
-        .select("doc_id", "source", "text")
+        .select("doc_id", "source", F.split("text", " ").alias("tok"))
+        .cache()
     )
     per_doc = (
-        dup_spans(d)
+        dup_spans(tokd)
         .groupBy("doc_id")
         .agg(
             F.sum(
@@ -509,9 +547,7 @@ def pipeline_dedup_then_cut(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("cut_tokens")
         )
     )
-    docs = d.select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
-    )
+    docs = tokd.select("doc_id", "source", F.size("tok").alias("n_tokens"))
     return (
         docs.join(per_doc, "doc_id", "left")
         .groupBy("source")

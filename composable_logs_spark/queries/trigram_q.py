@@ -41,11 +41,23 @@ _ALPHA2 = 0.16  # one literal on both engines: NOT 0.4*0.4 (ulp drift)
 _HOLDOUT_MOD = 10
 
 
-def _ngrams(d: DataFrame, n: int, *names: str) -> DataFrame:
-    """(doc_id, w1..wn) stream of adjacent n-grams per doc."""
-    toks = d.select(
+def _with_arr(d: DataFrame) -> DataFrame:
+    """Ensure the (doc_id, arr) tokenized form: frames already carrying
+    an `arr` column pass through untouched, so a caller can hand the
+    SAME cached tokenization to the trigram/bigram/unigram builders AND
+    the scoring stream (the CCNet recipe's stage 3 previously re-split
+    the cut text four times — train tri/bi/uni plus the scored
+    stream)."""
+    if "arr" in d.columns:
+        return d
+    return d.select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("arr")
     )
+
+
+def _ngrams(d: DataFrame, n: int, *names: str) -> DataFrame:
+    """(doc_id, w1..wn) stream of adjacent n-grams per doc."""
+    toks = _with_arr(d)
     fields = ", ".join(
         f"element_at(arr, i + {k}) AS {names[k]}" for k in range(n)
     )
@@ -62,7 +74,8 @@ def _ngrams(d: DataFrame, n: int, *names: str) -> DataFrame:
 
 
 def trigram_model(train: DataFrame) -> dict[str, DataFrame]:
-    """The stupid-backoff count tables from a (doc_id, text) frame:
+    """The stupid-backoff count tables from a (doc_id, text) frame (or
+    a pre-tokenized (doc_id, arr) frame — see ``_with_arr``):
     tri_s (w1 w2 w3, c3, cb12), bi_s (w2 w3, cb23, c2), uni (w, c1) and
     the 1-row nv (n_toks, v). Returned as plain frames so callers can
     persist them — the streaming scorer (streaming/incremental_trigram)
@@ -76,9 +89,8 @@ def trigram_model(train: DataFrame) -> dict[str, DataFrame]:
     # denominator (round-10 ADVICE). Bigram/trigram streams need no
     # filter: the [''] array has size 1 and fails the size>=n guard.
     uni = (
-        train.select(
-            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
-        )
+        _with_arr(train)
+        .select(F.explode("arr").alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
