@@ -113,13 +113,23 @@ def _escape(s: str) -> str:
 
 
 def evaluate_notebook(
-    nb: dict, parameters: Optional[dict[str, Any]] = None
+    nb: dict,
+    parameters: Optional[dict[str, Any]] = None,
+    on_cell: Optional[Any] = None,
 ) -> tuple[dict, Optional[BaseException]]:
     """Papermill-style execution: inject a parameters cell, exec code
     cells in one namespace, capture stdout into cell outputs. Returns
     (evaluated notebook, first error or None) — the partially evaluated
     notebook is returned even on failure (reference logs it as an
-    artifact regardless, tasks/tasks.py:44-66)."""
+    artifact regardless, tasks/tasks.py:44-66).
+
+    ``on_cell(nb)``: called with the notebook state after EVERY executed
+    cell (including the failing one) — papermill's incremental-save
+    model. ``make_jupytext_task`` checkpoints the partial notebook as an
+    artifact through it, which is what makes a hard-killed stuck
+    notebook (reference test_stuck_notebook.py) still leave its partial
+    ``notebook.ipynb`` behind: the kill can lose at most the
+    currently-running cell, never the completed ones."""
     nb = json.loads(json.dumps(nb))  # deep copy
     cells = nb.get("cells", [])
     if parameters:
@@ -159,11 +169,15 @@ def evaluate_notebook(
                     "traceback": traceback.format_exception(e),
                 }
             ]
+            if on_cell is not None:
+                on_cell(nb)
             break
         text = buf.getvalue()
         cell["outputs"] = (
             [{"output_type": "stream", "name": "stdout", "text": text}] if text else []
         )
+        if on_cell is not None:
+            on_cell(nb)
     return nb, error
 
 
@@ -173,16 +187,30 @@ def make_jupytext_task(
     task_parameters: Optional[dict[str, Any]] = None,
     num_cpus: int = 1,
     timeout_s: Optional[float] = None,
+    executor: str = "process",
 ):
     """D2: a DAG node that evaluates a jupytext notebook, always logging
     the evaluated ``notebook.ipynb`` artifact (even on failure; the
-    summariser derives ``notebook.html``)."""
+    summariser derives ``notebook.html``).
+
+    ``executor="process"`` (default) runs the notebook in a forked
+    child — the analogue of papermill's separate kernel process, so a
+    ``timeout_s`` on a STUCK cell hard-kills the kernel (reference
+    test_stuck_notebook.py) while every completed cell's state
+    survives: the notebook is checkpointed as the ``notebook.ipynb``
+    artifact after each cell (papermill's incremental save), each
+    checkpoint durably fsync'd before the next cell starts, and the
+    summariser keeps the LAST version per artifact name (the directory
+    sink's overwrite-by-name semantics). Pass ``executor="thread"`` for
+    bodies that must share the driver process (e.g. notebooks using the
+    shared SparkSession through a closure)."""
 
     @task(
         task_id=task_id,
         task_parameters={**(task_parameters or {}), "task.type": "jupytext"},
         num_cpus=num_cpus,
         timeout_s=timeout_s,
+        executor=executor,
     )
     def run_notebook(*upstream):
         ctx = get_task_context()
@@ -191,7 +219,15 @@ def make_jupytext_task(
             k.split(".", 1)[1].replace(".", "_"): v
             for k, v in ctx.parameters.items()
         }
-        evaluated, error = evaluate_notebook(nb, {"P": params})
+
+        def checkpoint(state: dict) -> None:
+            # papermill incremental save: the artifact name is constant;
+            # the summariser's last-value-wins keeps the newest state
+            ctx.log_artefact("notebook.ipynb", json.dumps(state))
+
+        evaluated, error = evaluate_notebook(
+            nb, {"P": params}, on_cell=checkpoint
+        )
         ctx.log_artefact("notebook.ipynb", json.dumps(evaluated))
         if error is not None:
             raise error

@@ -112,6 +112,12 @@ _context_local = threading.local()
 class TaskContext:
     parameters: dict[str, Any]
     _emit: Callable[[str, str, Any], None] = None  # type: ignore[assignment]
+    # W3C traceparent of the OWNING task span ("00-{trace}-{span}-01") —
+    # what the reference hands task code for out-of-band attribution
+    # (its MLFlow client uses it as the basic-auth username so shim-
+    # logged values land under the task's execute-task span,
+    # mlflow_server/server.py:41-72)
+    traceparent: Optional[str] = None
 
     def log_value(self, name: str, value: Any) -> None:
         self._emit(SPAN_NAMED_VALUE, name, value)
@@ -266,7 +272,7 @@ def _collect_nodes(sinks: list[Node]) -> list[Node]:
     return order
 
 
-def _process_child_main(fn, args, parameters, conn, data_path) -> None:
+def _process_child_main(fn, args, parameters, conn, data_path, traceparent=None) -> None:
     """Entry point of a process-executor task body (fork child).
 
     Each logged value/artefact is written DURABLY (append + flush +
@@ -294,7 +300,9 @@ def _process_child_main(fn, args, parameters, conn, data_path) -> None:
             f.flush()
             _os.fsync(f.fileno())
 
-    _context_local.ctx = TaskContext(parameters=parameters, _emit=_emit)
+    _context_local.ctx = TaskContext(
+        parameters=parameters, _emit=_emit, traceparent=traceparent
+    )
     try:
         value = fn(*args)
         try:
@@ -310,7 +318,7 @@ def _process_child_main(fn, args, parameters, conn, data_path) -> None:
 
 
 def _run_body_in_process(
-    fn, args, parameters, timeout_s: Optional[float], on_data
+    fn, args, parameters, timeout_s: Optional[float], on_data, traceparent=None
 ) -> tuple[Optional[BaseException], Any]:
     """D6 hard-kill path: run the body in a forked child; timeout =
     SIGKILL of the child (the analogue of the reference's ray.kill on the
@@ -334,7 +342,7 @@ def _run_body_in_process(
     _os.close(fd)
     proc = ctx_mp.Process(
         target=_process_child_main,
-        args=(fn, args, parameters, child_conn, data_path),
+        args=(fn, args, parameters, child_conn, data_path, traceparent),
         daemon=True,
     )
     proc.start()
@@ -516,8 +524,12 @@ def run_dag(
                 sd = SerializedData.encode(value)
                 append_data_span(span_name, name, sd.type, sd.encoding, sd.encoded_content)
 
+            # the task span's W3C traceparent (ids are "0x"-prefixed hex)
+            task_traceparent = f"00-{trace_id[2:]}-{task_span_id[2:]}-01"
             ctx = TaskContext(
-                parameters={**wf_params, **n.parameters}, _emit=emit_data_span
+                parameters={**wf_params, **n.parameters},
+                _emit=emit_data_span,
+                traceparent=task_traceparent,
             )
 
             job_group = f"task-{task_span_id}"
@@ -565,6 +577,7 @@ def run_dag(
                         {**wf_params, **n.parameters},
                         n.timeout_s,
                         append_data_span,
+                        traceparent=task_traceparent,
                     )
             elif n.timeout_s is None:
                 try:

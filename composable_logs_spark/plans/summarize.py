@@ -268,12 +268,29 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
     )
 
     # --- artifacts (artefact spans; notebook.html derived from .ipynb) ----
+    # Last-value-wins per (task, name): repeated log_artefact calls with
+    # one name keep only the NEWEST content — the reference's observable
+    # semantics (its directory sink writes artifacts at name-derived
+    # paths, so a re-log overwrites the same file,
+    # cli_pynb_log_parser.py), and what makes papermill-style
+    # incremental notebook checkpoints (functions/notebooks.py) collapse
+    # to the final state instead of one row per executed cell. The
+    # window partitions by (run_id, task_span_id, name) — per-task
+    # artifact counts, never corpus-wide; span_id breaks same-µs ties
+    # deterministically.
+    from pyspark.sql import Window as _W
+
+    _art_w = _W.partitionBy("run_id", "task_span_id", "name").orderBy(
+        F.desc("start_time"), F.desc("span_id")
+    )
     artifacts_base = (
         spans.where(
             (F.col("name") == S.SPAN_ARTEFACT) & (F.col("status.status_code") == "OK")
         )
         .select(*data_span_cols)
         .join(owned, ["run_id", "span_id"], "inner")
+        .withColumn("_rn", F.row_number().over(_art_w))
+        .where(F.col("_rn") == 1)
         .select(
             "run_id",
             "task_span_id",

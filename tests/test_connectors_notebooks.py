@@ -215,6 +215,133 @@ def test_jupytext_task_logs_artifact_even_on_failure(spark, tmp_path):
     assert tr["is_success"] is False
 
 
+def test_stuck_notebook_timeout_kills_kernel_and_keeps_partial(spark, tmp_path):
+    """Reference parity (tests/.../notebook_tasks/test_stuck_notebook.py):
+    a notebook whose cell never returns under ``timeout_s`` must (1)
+    fail the task with the timeout error, (2) HARD-kill the kernel
+    process — not merely abandon a thread, and (3) still log the
+    partially evaluated notebook.ipynb with every completed cell's
+    outputs (papermill's incremental save; each checkpoint is durably
+    fsync'd before the next cell starts, so the SIGKILL can lose at
+    most the stuck cell itself)."""
+    import os
+    import time
+
+    from composable_logs_spark.functions import make_jupytext_task
+    from composable_logs_spark.orchestrator import Failure, run_dag
+
+    pid_file = tmp_path / "kernel.pid"
+    src = f"""# %%
+print("first cell ran")
+
+# %%
+with open({str(pid_file)!r}, "w") as f:
+    import os
+    f.write(str(os.getpid()))
+    f.flush()
+    os.fsync(f.fileno())
+while True:  # stuck kernel: pure-CPU spin, uninterruptible by threads
+    pass
+
+# %%
+print("never runs")
+"""
+    node = make_jupytext_task(src, task_id="nb-stuck", timeout_s=3.0)
+    t0 = time.time()
+    res = run_dag(node(), log_dir=tmp_path / "spans")
+    elapsed = time.time() - t0
+    assert isinstance(res, Failure)
+    assert any("Timeout error" in str(e) for e in res.error.exceptions)
+    assert elapsed < 20
+
+    # (2) the kernel process was SIGKILLed, not left spinning
+    pid = int(pid_file.read_text())
+    for _ in range(50):
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            break
+        time.sleep(0.1)
+    else:
+        raise AssertionError(f"stuck notebook kernel {pid} is still alive")
+
+    # (3) the PARTIAL notebook survived the kill, attributed to the task
+    s = summarize_spans(read_span_jsonl(spark, tmp_path / "spans"))
+    tr = s.task_runs.collect()[0]
+    assert tr["task_type"] == "jupytext" and tr["is_success"] is False
+    arts = {r["name"]: r for r in s.artifacts.collect()}
+    assert set(arts) == {"notebook.ipynb", "notebook.html"}
+    nb = json.loads(bytes(arts["notebook.ipynb"]["content"]).decode())
+    code = [c for c in nb["cells"] if c["cell_type"] == "code"]
+    # cell 0 is the injected parameters cell; cell 1 completed before
+    # the kill and kept its output; the stuck cell never produced any
+    assert any(
+        "first cell ran" in o.get("text", "") for o in code[1]["outputs"]
+    )
+    assert code[2]["outputs"] == [] and code[3]["outputs"] == []
+
+
+def test_mlflow_logged_from_notebook_task_lands_under_task_span(spark, tmp_path):
+    """Reference parity (test_mlflow_server/test_use_mlflow_from_notebook
+    .py): a NOTEBOOK task logs params/metrics/an artifact through the
+    MLFlow shim, authenticating with the task's own traceparent
+    (TaskContext.traceparent — what the reference exports to its mlflow
+    client as the basic-auth username). The shim-written spans must
+    land under the task's execute-task span so the summariser
+    attributes them to that task run alongside the notebook artifact."""
+    requests = pytest.importorskip("requests")  # noqa: F841 — notebook uses it
+    from composable_logs_spark.functions import make_jupytext_task
+    from composable_logs_spark.orchestrator import Success, run_dag
+    from composable_logs_spark.orchestrator.mlflow_shim import MlflowShimServer
+
+    log_dir = tmp_path / "spans"
+    writer = SpanWriter(log_dir)
+    src = """# %%
+import requests
+from composable_logs_spark.orchestrator.core import get_task_context
+
+ctx = get_task_context()
+url = P["mlflow_url"]
+auth = (ctx.traceparent, "pwd")
+
+# %%
+r = requests.post(url + "/api/2.0/mlflow/runs/create", json={}, auth=auth)
+run_id = r.json()["run"]["info"]["run_id"]
+requests.post(url + "/api/2.0/mlflow/runs/log-parameter",
+              json={"run_id": run_id, "key": "alpha", "value": 0.1}, auth=auth)
+requests.post(url + "/api/2.0/mlflow/runs/log-metric",
+              json={"run_id": run_id, "key": "rmse", "value": 0.25}, auth=auth)
+requests.put(url + f"/mlflow-artifacts/{run_id}/model.bin",
+             data=b"\\x01\\x02", auth=auth)
+requests.post(url + "/api/2.0/mlflow/runs/update",
+              json={"run_id": run_id, "status": "FINISHED"}, auth=auth)
+print("logged")
+"""
+    with MlflowShimServer(writer) as srv:
+        node = make_jupytext_task(
+            src,
+            task_id="nb-mlflow",
+            task_parameters={"mlflow_url": srv.url},
+        )
+        res = run_dag(node(), log_dir=log_dir)
+    assert isinstance(res, Success)
+
+    s = summarize_spans(read_span_jsonl(spark, log_dir))
+    tr = s.task_runs.collect()[0]
+    assert tr["task_id"] == "nb-mlflow" and tr["is_success"] is True
+
+    # shim-logged values are attributed to THIS task run (same span id)
+    vals = {r["name"]: r for r in s.logged_values.collect()}
+    assert vals["param.alpha"]["value_str"] == "0.1"  # D14: stringified
+    assert vals["metric.rmse"]["value_double"] == 0.25
+    assert all(r["task_span_id"] == tr["span_id"] for r in vals.values())
+
+    arts = {r["name"]: r for r in s.artifacts.collect()}
+    assert set(arts) == {"notebook.ipynb", "notebook.html", "model.bin"}
+    assert bytes(arts["model.bin"]["content"]) == b"\x01\x02"
+    assert arts["model.bin"]["task_span_id"] == tr["span_id"]
+
+
 def test_ftp_artifact_server_stock_ftplib_flow(spark, tmp_path):
     # VERDICT r1 missing #2: the reference serves an FTP artifact repo
     # (mlflow_server/server.py:259-326); mlflow's FTPArtifactRepository
