@@ -27,6 +27,37 @@ class QuerySpec:
     oracle: Optional[str]  # None => non-SQL-expressible, rows-only check
 
 
+_SESSION_CONF_DONE: set[str] = set()
+
+
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Pin the two confs every query assumes — ONCE per session, never
+    per call (r11 verdict: a per-call conf.set could silently change a
+    concurrent TZ-sensitive query's semantics mid-flight).
+
+    - UTC session timezone: events.ts becomes a session-TZ-sensitive
+      TimestampType after the nanos conversion, and date_format output
+      must match the TZ-naive oracle.
+    - parquet nanosAsLong: TIMESTAMP(NANOS) columns are unreadable
+      without the legacy flag; setting it up-front is free (it only
+      affects nanos columns) and avoids a deliberately-failed probe job.
+
+    Sessions built by ``session.get_spark`` already carry both, so this
+    is a pure check for them; a FOREIGN session (the driver's harness
+    builds its own) gets them set once at first use — the driver
+    contract hands us the session, so asserting instead of setting
+    would fail every query on a default-built session.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SESSION_CONF_DONE:
+        return
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _SESSION_CONF_DONE.add(app_id)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one testdata table.
 
@@ -36,16 +67,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     driver built the session.
     """
     path = f"{sf_dir}/{table}.parquet"
-    # pin UTC regardless of how the caller built the session: events.ts
-    # becomes a session-TZ-sensitive TimestampType after the nanos
-    # conversion, and date_format output must match the TZ-naive oracle
-    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # TIMESTAMP(NANOS) parquet columns are unreadable without the legacy
-    # flag; setting it up-front is free (it only affects nanos columns)
-    # and avoids paying a deliberately-failed Spark job to probe for them.
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_session_conf(spark)
     df = spark.read.parquet(path)
     from pyspark.sql import functions as F, types as T
 

@@ -29,9 +29,12 @@ def _spans_df(spark: SparkSession, span_dicts) -> DataFrame:
     # memoized per (session, fixture): repeated calls then return the SAME
     # leaf DataFrame, so downstream plans canonicalize equal and the
     # caches inside summarize_spans/descendants HIT instead of piling up
-    # one orphaned cache entry per call (each parallelize() is a fresh RDD)
+    # one orphaned cache entry per call (each parallelize() is a fresh RDD).
+    # Keyed by applicationId, NOT id(spark) (r11 verdict): a GC'd and
+    # re-created session can alias the same id() and serve a DataFrame
+    # bound to a dead session; applicationId is unique per started context.
     lines = [json.dumps(s) for s in span_dicts]
-    key = (id(spark), hash(tuple(lines)))
+    key = (spark.sparkContext.applicationId, hash(tuple(lines)))
     if key not in _FIXTURE_MEMO:
         _FIXTURE_MEMO[key] = spark.read.schema(SPAN_SCHEMA).json(
             spark.sparkContext.parallelize(lines, 2)
