@@ -1,6 +1,10 @@
 """Streaming image near-dup: stream-vs-batch equivalence against the
-aHash index, growth-index stream-internal matching, and restart/replay
-idempotence (checkpoint + dedup-on-read of the grown index)."""
+wide (256-bit) signature index, growth-index stream-internal matching,
+and restart/replay idempotence (checkpoint + dedup-on-read of the grown
+index). r12: the index runs on the WIDE signature (8 x 32-bit bands —
+the measured 8-bit-band saturation remedy), so the batch comparator is
+``media_phash_neardup_wide`` and the planted test images (2x2 blocks
+per logical bit) produce 4x the 64-bit Hamming distances."""
 
 import numpy as np
 from pyspark.sql import functions as F
@@ -9,7 +13,7 @@ from composable_logs_spark.operators.codecs import encode_pnm
 from composable_logs_spark.queries import load
 from composable_logs_spark.queries.media_dedup_q import (
     _VARIANT_OFFSET,
-    media_phash_neardup,
+    media_phash_neardup_wide,
     pnm_corpus_from_documents,
 )
 from composable_logs_spark.streaming.incremental_media import (
@@ -50,7 +54,7 @@ def test_stream_matches_batch_pairs(spark, sf_dir, tmp_path):
     streamed = {(r["media_id"], r["dup_of"], r["hamming"]) for r in got}
     expected = {
         (r["media_b"], r["media_a"], r["hamming"])
-        for r in media_phash_neardup(spark, sf_dir).collect()
+        for r in media_phash_neardup_wide(spark, sf_dir).collect()
         if r["media_b"] >= _VARIANT_OFFSET
     }
     assert streamed == expected
@@ -107,7 +111,7 @@ def test_intra_batch_pairs_are_caught(spark, tmp_path):
     finally:
         q.stop()
     assert {(r["media_id"], r["dup_of"], r["hamming"]) for r in got} == {
-        (200, 100, 1)
+        (200, 100, 4)  # one logical bit = a 2x2 block = 4 of the 256 bits
     }
 
 
@@ -125,7 +129,7 @@ def test_growing_index_and_replay_idempotence(spark, tmp_path):
     mid = [0] * 16 + [1] * 32 + [0] * 16
     evens = [1 if j % 2 == 0 else 0 for j in range(64)]
     evens_flip = list(evens)
-    evens_flip[62] = 0  # Hamming 1 from `evens`; ~32 from the others
+    evens_flip[62] = 0  # one logical bit (= wide Hamming 4) from `evens`
 
     index_sig = build_ahash_index(
         spark.createDataFrame(
@@ -153,7 +157,7 @@ def test_growing_index_and_replay_idempotence(spark, tmp_path):
     finally:
         q.stop()
     assert {(r["media_id"], r["dup_of"], r["hamming"]) for r in got} == {
-        (200, 100, 1)
+        (200, 100, 4)  # one logical bit = a 2x2 block = 4 of the 256 bits
     }
 
     # restart from the same checkpoint: no file is reprocessed, no pair
@@ -177,6 +181,6 @@ def test_growing_index_and_replay_idempotence(spark, tmp_path):
     finally:
         q2.stop()
     # 300 re-sends the `evens` image: identical to 100 (Hamming 0) and
-    # one flipped bit away from 200
+    # one flipped logical bit (wide Hamming 4) away from 200
     pairs2 = {(r["media_id"], r["dup_of"], r["hamming"]) for r in got2}
-    assert pairs2 == {(300, 100, 0), (300, 200, 1)}
+    assert pairs2 == {(300, 100, 0), (300, 200, 4)}
