@@ -95,10 +95,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # r11 window comment promised to rotate (text_bigram_logprob,
 # text_c4_filters, text_char_entropy), then the full 45-name r8-stale
 # block in name order (5 of which are the substr family already listed
-# under rule 2), and one filler from the oldest r9 block
-# (ann_ivf_recall — also this round's 64x-recall measurement target).
+# under rule 2). Rule (1) adds the one query NEW this round
+# (dedup_minhash_est_error, the sketch-calibration query), which takes
+# the seat the draft window gave to an r9 filler (ann_ivf_recall — still
+# this round's 64x-recall measurement target, just not gate-rotated).
 # After this round the newest-green floor moves to r9.
 _FRONT_WINDOW = [
+    # (1) new this round: MinHash estimated-vs-exact Jaccard calibration
+    "dedup_minhash_est_error",
     # (2) implementation changed this round (perf refactor, values
     # unchanged): the ccnet recipe + the substr family
     "pipeline_ccnet_recipe",
@@ -123,8 +127,6 @@ _FRONT_WINDOW = [
     "unpivot_part_metrics", "window_ntile_customers", "window_order_gaps",
     "window_rolling_week_spend", "window_running_customer_spend",
     "window_top3_parts_per_supplier",
-    # (3c) filler: the oldest r9 name in name order
-    "ann_ivf_recall",
 ]
 
 

@@ -204,11 +204,10 @@ def minhash_mh(docs: DataFrame) -> DataFrame:
     return sig
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) -> (doc_id, hashes, band0..band{B-1}) at the
-    production (b=4, r=3) banding."""
-    sig = minhash_mh(docs)
-    band_cols = [
+def _band_cols() -> list:
+    """The production (b=4, r=3) band keys as column expressions over a
+    frame carrying mh0..mh{K-1} (md5 of the '|'-joined row values)."""
+    return [
         F.md5(
             F.concat_ws(
                 "|",
@@ -217,7 +216,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(_BANDS)
     ]
-    return sig.select("doc_id", "hashes", *band_cols)
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, hashes, band0..band{B-1}) at the
+    production (b=4, r=3) banding."""
+    sig = minhash_mh(docs)
+    return sig.select("doc_id", "hashes", *_band_cols())
 
 
 def bands_long(sig: DataFrame) -> DataFrame:
@@ -279,12 +284,11 @@ def minhash_pairs(docs: DataFrame) -> DataFrame:
     return verified
 
 
-def _minhash_sql(corpus_sql: str | None = None) -> str:
-    """The LSH pair oracle over any (doc_id, text) corpus source —
-    defaults to the planted near-dup corpus; compositions (ccnet_q)
-    pass their own survivor CTE so the oracle's pair stage runs over
-    exactly the frame the Spark side hands minhash_pairs."""
-    corpus_sql = _NEAR_DUP_CORPUS_SQL if corpus_sql is None else corpus_sql
+def _lsh_cte_prefix(corpus_sql: str) -> str:
+    """The shared oracle CTE chain corpus -> shingles -> 31-bit hashes ->
+    K minhashes -> band keys -> exploded bands -> candidate pairs, used by
+    the pair oracle (`_minhash_sql`) and the sketch-calibration oracle
+    (`_est_error_sql`)."""
     mh_cols = ",\n         ".join(
         f"list_min(list_transform(hs, h -> (h * {_A[s]} + {_B[s]}) % {_M})) AS mh{s}"
         for s in range(_K)
@@ -330,7 +334,16 @@ cand AS (
   FROM bands_long a JOIN bands_long b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
   WHERE a.doc_id < b.doc_id
-)
+)"""
+
+
+def _minhash_sql(corpus_sql: str | None = None) -> str:
+    """The LSH pair oracle over any (doc_id, text) corpus source —
+    defaults to the planted near-dup corpus; compositions (ccnet_q)
+    pass their own survivor CTE so the oracle's pair stage runs over
+    exactly the frame the Spark side hands minhash_pairs."""
+    corpus_sql = _NEAR_DUP_CORPUS_SQL if corpus_sql is None else corpus_sql
+    return f"""{_lsh_cte_prefix(corpus_sql)}
 SELECT doc_a, doc_b,
        round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
              / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) AS jaccard
@@ -339,6 +352,135 @@ JOIN sig sa ON sa.doc_id = doc_a
 JOIN sig sb ON sb.doc_id = doc_b
 WHERE round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
             / len(list_distinct(list_concat(sa.hs, sb.hs))), 4) >= {_JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash sketch calibration: estimated vs exact Jaccard over the LSH
+# candidate set. The "measure, don't guess" query for the sketch itself:
+# the K-minhash match fraction is an unbiased Jaccard estimator with
+# stddev ~ sqrt(J(1-J)/K); this query MEASURES its error on this corpus,
+# bucketed by exact Jaccard decile, so a banding/threshold choice (and
+# the bandsweep query's theoretical curve) can be checked against
+# observed estimator quality before trusting a K=12 sketch at 100 TB.
+#
+# All aggregation is exact integer arithmetic (match counts, micro-unit
+# Jaccard via the (x*20000+u) div (2u) HALF-UP device, error numerators
+# over the common denominator 12*10000) — sums are order-independent, so
+# the two engines agree to the digit regardless of partitioning.
+def dedup_minhash_est_error(spark: SparkSession, sf: str) -> DataFrame:
+    sig = minhash_mh(
+        _near_dup_corpus(spark, sf).select("doc_id", "text")
+    ).cache()
+
+    bl = bands_long(sig.select("doc_id", *_band_cols()))
+    cand = (
+        bl.alias("a")
+        .join(bl.alias("b"), ["band_idx", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    feat = sig.select(
+        "doc_id",
+        "hashes",
+        F.array(*[F.col(f"mh{s}") for s in range(_K)]).alias("mh"),
+    )
+    pairs = (
+        cand.join(
+            feat.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hashes").alias("sh_a"),
+                F.col("mh").alias("mh_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            feat.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("hashes").alias("sh_b"),
+                F.col("mh").alias("mh_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    "mh_a", "mh_b", lambda x, y: (x == y).cast("long")
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + e,
+            ).alias("n_match"),
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("n_union"),
+        )
+        # exact Jaccard in micro-units, HALF-UP, pure integer arithmetic
+        .withColumn(
+            "exact_micro",
+            F.expr("(n_inter * 20000 + n_union) div (2 * n_union)"),
+        )
+        # |est - exact| over the common denominator K*10000
+        .withColumn(
+            "err_numer",
+            F.abs(F.col("n_match") * 10000 - F.col("exact_micro") * _K),
+        )
+    )
+
+    denom = float(_K * 10000)
+    return (
+        pairs.groupBy(
+            F.least(F.expr("exact_micro div 1000"), F.lit(9).cast("long")).alias(
+                "jaccard_decile"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("n_match") / (F.count("*") * float(_K)), 4).alias("mean_est"),
+            F.round(F.sum("exact_micro") / (F.count("*") * 10000.0), 4).alias(
+                "mean_exact"
+            ),
+            F.round(F.sum("err_numer") / (F.count("*") * denom), 4).alias(
+                "mean_abs_err"
+            ),
+            F.round(F.max("err_numer") / denom, 4).alias("max_abs_err"),
+        )
+        .orderBy("jaccard_decile")
+    )
+
+
+def _est_error_sql() -> str:
+    match_sum = " + ".join(
+        f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END" for s in range(_K)
+    )
+    return f"""{_lsh_cte_prefix(_NEAR_DUP_CORPUS_SQL)},
+pairs AS (
+  SELECT ({match_sum}) AS n_match,
+         len(list_intersect(sa.hs, sb.hs)) AS n_inter,
+         len(list_distinct(list_concat(sa.hs, sb.hs))) AS n_union
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b
+),
+scored AS (
+  SELECT n_match,
+         (n_inter * 20000 + n_union) // (2 * n_union) AS exact_micro
+  FROM pairs
+),
+erred AS (
+  SELECT n_match, exact_micro,
+         abs(n_match * 10000 - exact_micro * {_K}) AS err_numer
+  FROM scored
+)
+SELECT least(exact_micro // 1000, 9) AS jaccard_decile,
+       count(*) AS n_pairs,
+       round(sum(n_match) / (count(*) * {float(_K)}), 4) AS mean_est,
+       round(sum(exact_micro) / (count(*) * 10000.0), 4) AS mean_exact,
+       round(sum(err_numer) / (count(*) * {float(_K * 10000)}), 4) AS mean_abs_err,
+       round(max(err_numer) / {float(_K * 10000)}, 4) AS max_abs_err
+FROM erred
+GROUP BY 1
+ORDER BY 1
 """
 
 
@@ -1018,6 +1160,7 @@ QUERIES = {
         dedup_minhash_bandsweep, _bandsweep_sql()
     ),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _minhash_sql()),
+    "dedup_minhash_est_error": QuerySpec(dedup_minhash_est_error, _est_error_sql()),
     "dedup_simhash": QuerySpec(dedup_simhash, _simhash_sql()),
     "dedup_ngram_jaccard": QuerySpec(dedup_ngram_jaccard, NGRAM_SQL),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, _emb_dedup_sql()),
