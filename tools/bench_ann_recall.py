@@ -47,9 +47,15 @@ def main() -> None:
     spark = get_spark("bench_ann_recall")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # repartition to full width BEFORE caching: the single-file scaled
+    # parquet arrives as ~8 splits, and every Lloyd round's assign stage
+    # (N x k distance evaluations, the dominant cost) would otherwise run
+    # 8-wide on a 32-core box — the 3db3865 parallelism-floor lesson in
+    # cached-frame form. One cheap shuffle, paid once.
     corpus = (
         spark.read.parquet(f"{DIR}/embeddings.parquet")
         .select("vec_id", _as_double(F.col("embedding")).alias("vec"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .cache()
     )
     n = corpus.count()
