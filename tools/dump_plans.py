@@ -133,6 +133,10 @@ HEADLINE = [
     # wide 256-bit aHash (8x32-bit band keys — the measured image
     # band-saturation remedy; same band-then-verify plan, 2^32 keys)
     "media_phash_neardup_wide",
+    # round-12 — sketch calibration (one cached minhash pass feeds the
+    # band equi-join AND the per-pair estimator compare; exact integer
+    # micro-unit aggregation, decile-grain output)
+    "dedup_minhash_est_error",
 ]
 
 
