@@ -167,6 +167,19 @@ def pipeline_ccnet_recipe(spark: SparkSession, sf: str) -> DataFrame:
     # Doc-grain rows; persists spill to disk at scale, exactly like the
     # oracle's materialization. Pinned because the returned plan is lazy
     # (dedup_q.py:255 discipline).
+    # Explicit full width BEFORE the cache (r12, found by the 16x stage
+    # profile): cutd's lineage ends in the cut-span shuffle, whose BYTES
+    # are tiny (spans are narrow), so AQE coalesces it to ~3 partitions
+    # — and every consumer below is a CPU-bound per-doc pass (LID
+    # regexes, quality stats, trigram tokenize+score, minhash, n-gram
+    # hashes) that then ran 3-wide on a 32-core box (measured: the
+    # recipe's 16x stages crawled as (31+1)/32 stragglers; lang_scores
+    # alone took 18.5 s). AQE sizes partitions by shuffle bytes; a
+    # cached frame whose downstream cost is per-row CPU over text needs
+    # width set by its CONSUMERS. One repartition of the cut text, paid
+    # once, feeds all six consumers; on a real cluster defaultParallelism
+    # is total executor cores, which is exactly the width a
+    # full-scan-everything consumer set wants.
     cutd = (
         cut.select(
             "doc_id",
@@ -178,6 +191,7 @@ def pipeline_ccnet_recipe(spark: SparkSession, sf: str) -> DataFrame:
             F.col("clean_text").alias("text"),
         )
         .join(d.select("doc_id", "lang"), "doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
         .cache()
     )
 
