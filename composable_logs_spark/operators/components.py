@@ -18,9 +18,12 @@ Scale reasoning: near-duplicate graphs are star/clique-shaped (a cluster
 of variants all pairwise-linked by LSH), so diameters are tiny (2-3) and
 the loop exits after ~3 rounds regardless of corpus size. For adversarial
 long-chain graphs the known fix is pointer-doubling (large-star/small-star
-rounds, cf. the public "Connected Components in MapReduce" literature),
-which this module intentionally skips: dedup graphs never need it, and
-the simple form is one shuffle per round cheaper.
+rounds, cf. the public "Connected Components in MapReduce" literature);
+``connected_components_doubling`` below implements that O(log diameter)
+path for graphs whose chains ARE long — identity stitching, session
+linkage, order chains — where hash-to-min's round count (= diameter)
+would be the scale killer. Dedup callers keep the simple form: one
+shuffle per round cheaper, and their diameters never grow.
 
 Convergence detection is FREE of an extra comparison join: labels only
 ever decrease, so the global sum of labels is strictly decreasing until
@@ -52,20 +55,9 @@ def connected_components(
 
     Returns ``(id, component)`` with one row per input node.
     """
-    sym = (
-        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-        .where(F.col("src") != F.col("dst"))
-        .unionByName(
-            edges.select(
-                F.col("dst").cast("long").alias("src"),
-                F.col("src").cast("long").alias("dst"),
-            )
-        )
-        .distinct()
-    )
     # symmetrised adjacency is reused every round — materialise once and
     # cut its (potentially expensive, e.g. full LSH pipeline) lineage
-    sym = sym.localCheckpoint(eager=True)
+    sym = _symmetrise(edges).localCheckpoint(eager=True)
 
     labels = nodes.select(F.col("id").cast("long")).distinct().select(
         "id", F.col("id").alias("component")
@@ -91,4 +83,87 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    return labels
+
+
+def _symmetrise(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src") != F.col("dst"))
+        .unionByName(
+            edges.select(
+                F.col("dst").cast("long").alias("src"),
+                F.col("src").cast("long").alias("dst"),
+            )
+        )
+        .distinct()
+    )
+
+
+def connected_components_doubling(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iters: int = 24,
+    return_rounds: bool = False,
+):
+    """Connected components in O(log diameter) rounds: min-label
+    propagation fused with POINTER JUMPING (the shortcutting step of the
+    public large-star/small-star "Connected Components in MapReduce and
+    Beyond" family).
+
+    Each round is (1) the same neighbour-min as ``connected_components``,
+    then (2) one label-table self-join ``component <- component(component)``
+    that halves every pointer chain. A length-d chain therefore resolves
+    in ~log2(d) rounds instead of d — the difference between 5 rounds and
+    5 000 on an identity-stitching graph with million-node chains. Cost
+    per round: one O(|E|) equi-join + agg plus one O(|V|) self-join, all
+    on uniformly-hashed id keys.
+
+    Correctness invariants (why the same scalar-sum convergence test is
+    sound): ``component(v) <= v`` always, both steps are elementwise
+    monotone non-increasing, so the global label sum strictly decreases
+    until fixpoint; a fixpoint of the fused round is in particular a
+    fixpoint of neighbour-min, which labels every node with its
+    component's minimum id.
+
+    Same contract as ``connected_components``; ``return_rounds=True``
+    additionally returns the executed round count (used by tests to pin
+    the logarithmic behaviour, and by scale notes to report it).
+    """
+    sym = _symmetrise(edges).localCheckpoint(eager=True)
+    labels = (
+        nodes.select(F.col("id").cast("long"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0] or 0
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        nbr = sym.join(labels, sym.dst == labels.id).select(
+            F.col("src").alias("id"), F.col("component")
+        )
+        stepped = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: component <- component(component). Every label is
+        # a node id (labels start as ids and only ever take mins of ids),
+        # so the lookup always hits; coalesce guards the invariant anyway.
+        ptr = stepped.select(
+            F.col("id").alias("p_id"), F.col("component").alias("p_comp")
+        )
+        labels = (
+            stepped.join(ptr, stepped.component == ptr.p_id, "left")
+            .select("id", F.coalesce("p_comp", "component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0] or 0
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    if return_rounds:
+        return labels, rounds
     return labels

@@ -73,16 +73,18 @@ def _postings(docs: DataFrame) -> DataFrame:
     )
 
 
-def bm25_topk(
-    spark: SparkSession,
+def bm25_scores(
     tf: DataFrame,
-    queries: list[tuple[int, str]] | None = None,
-    k: int = _TOP_K,
+    qterms: DataFrame,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Rank any (doc_id, term, tf, dl) postings frame against the query
-    workload — shared verbatim by the batch registry query and the
-    streaming incremental index, so the two cannot drift."""
-    queries = _BM25_QUERIES if queries is None else queries
+    """Exact-integer BM25 per-document scores for any (query_id, term[,
+    extra group cols]) query-terms frame over a (doc_id, term, tf, dl)
+    postings frame — the scoring core shared by the batch registry
+    query, the streaming incremental index, AND the RRF hybrid fusion
+    (rrf_q), so the three cannot drift. Returns one row per
+    (*group_cols, doc_id) with ``n_terms_matched`` and ``score_micro``."""
+    group_cols = ["query_id"] if group_cols is None else group_cols
     totals = tf.groupBy("doc_id").agg(F.max("dl").alias("dl")).agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
@@ -103,10 +105,6 @@ def bm25_topk(
             .cast("long")
             .alias("idf_micro"),
         )
-    )
-    qterms = spark.createDataFrame(
-        [(qid, q, t) for qid, q in queries for t in sorted(set(q.split()))],
-        "query_id int, query string, term string",
     )
     # NO broadcast hint on idf: it is VOCAB-sized (10^8+ rows at web
     # scale — the same boundary the BPE vocab join documents); joining
@@ -135,10 +133,27 @@ def bm25_topk(
             ),
         )
     )
-    per_doc = scored.groupBy("query_id", "query", "doc_id").agg(
+    return scored.groupBy(*group_cols, "doc_id").agg(
         F.count("*").cast("long").alias("n_terms_matched"),
         F.sum("contrib").alias("score_micro"),
     )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    tf: DataFrame,
+    queries: list[tuple[int, str]] | None = None,
+    k: int = _TOP_K,
+) -> DataFrame:
+    """Rank any (doc_id, term, tf, dl) postings frame against the query
+    workload — shared verbatim by the batch registry query and the
+    streaming incremental index, so the two cannot drift."""
+    queries = _BM25_QUERIES if queries is None else queries
+    qterms = spark.createDataFrame(
+        [(qid, q, t) for qid, q in queries for t in sorted(set(q.split()))],
+        "query_id int, query string, term string",
+    )
+    per_doc = bm25_scores(tf, qterms, group_cols=["query_id", "query"])
     # salted two-phase top-k per query (similarity_q pattern)
     order = [F.col("score_micro").desc(), F.col("doc_id")]
     salted = per_doc.withColumn(

@@ -1,0 +1,224 @@
+"""Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+fuse a sparse BM25 ranking with a dense embedding-cosine ranking —
+the standard two-tower retrieval shape a training-data / RAG pipeline
+runs over its corpus, and the composition query the separate
+``text_bm25_topk`` and ``ann_cosine_top5`` surfaces don't cover.
+
+Workload: every 100th document is a query against the rest of the
+corpus. The sparse side scores the query document's distinct terms
+through the shared exact-integer BM25 core (``bm25_q.bm25_scores`` —
+one implementation, zero drift); the dense side is round-6dp cosine
+over the aligned ``embeddings`` row (vec_id == doc_id by construction,
+TESTDATA.md). Each side keeps its top-``_CAND_K`` candidates
+(self-match excluded), then
+
+    rrf(d) = sum_i 1 / (60 + rank_i(d))      [missing list -> 0]
+
+fuses them. Cross-engine exactness: the reciprocal is kept in INTEGER
+micro-units — ``1_000_000 div (60 + rank)`` — so the fused score is an
+exact bigint in both engines (a double 1/(60+r) sum would be ordered
+differently only with >2 rankers, but the integer form removes the
+class of problem outright); ties break by doc_id.
+
+100 TB shape: the corpus-sized relations are the postings table and
+the embedding scan, each touched ONCE; query-side frames (ids, terms,
+vectors) are broadcast onto them. Both per-ranker top-k's are the
+salted two-phase merge (``similarity_q._topk_two_phase`` pattern) —
+never a partition-less window — and the fusion join runs over
+``#queries * 2 * _CAND_K`` rows only. The final per-query rank window
+is bounded at 2*_CAND_K rows per partition key.
+
+Reference anchor: none (north-star scope, SURVEY.md §2.10) — the
+reference has no retrieval surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from . import QuerySpec, load
+from .bm25_q import _postings, bm25_scores
+
+_QUERY_STRIDE = 100  # every 100th doc queries the corpus
+_CAND_K = 20  # per-ranker candidate depth
+_TOP_K = 5  # fused results kept per query
+_RRF_C = 60  # the standard RRF constant
+_SALT_BUCKETS = 32
+
+
+def _ranked_topk(scored: DataFrame, order_col, k: int, rank_name: str) -> DataFrame:
+    """Salted two-phase per-query top-k (similarity_q pattern): local
+    top-k inside hash-salt buckets, global merge over buckets*k rows."""
+    order = [order_col.desc(), F.col("doc_id")]
+    salted = scored.withColumn(
+        "_salt", F.pmod(F.hash(F.col("doc_id")), F.lit(_SALT_BUCKETS))
+    )
+    local = salted.withColumn(
+        "_lr",
+        F.row_number().over(W.partitionBy("query_id", "_salt").orderBy(*order)),
+    ).where(F.col("_lr") <= k)
+    return (
+        local.withColumn(
+            "rank",
+            F.row_number().over(W.partitionBy("query_id").orderBy(*order)).cast("int"),
+        )
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", F.col("rank").alias(rank_name))
+    )
+
+
+def retrieval_rrf_hybrid(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    emb = load(spark, sf, "embeddings")
+
+    # ---- sparse ranking: BM25 of the query doc's distinct terms
+    tf = _postings(docs)
+    qterms = (
+        docs.where(F.col("doc_id") % _QUERY_STRIDE == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+        )
+        .distinct()
+    )
+    sparse = bm25_scores(tf, F.broadcast(qterms)).where(
+        F.col("doc_id") != F.col("query_id")
+    )
+    sparse_top = _ranked_topk(sparse, F.col("score_micro"), _CAND_K, "bm25_rank")
+
+    # ---- dense ranking: round-6dp cosine over the aligned embedding row
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qvecs = vecs.where(F.col("vec_id") % _QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    dense = (
+        vecs.crossJoin(F.broadcast(qvecs))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (norm("v") * norm("qv")), 6).alias("cosine_r"),
+        )
+    )
+    dense_top = _ranked_topk(dense, F.col("cosine_r"), _CAND_K, "cos_rank")
+
+    # ---- integer RRF fusion over the union of both candidate lists
+    fused = (
+        sparse_top.join(dense_top, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf_micro",
+            F.coalesce(
+                F.expr(f"{1_000_000} div ({_RRF_C} + bm25_rank)"), F.lit(0).cast("long")
+            )
+            + F.coalesce(
+                F.expr(f"{1_000_000} div ({_RRF_C} + cos_rank)"), F.lit(0).cast("long")
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("fused_rank") <= _TOP_K)
+        .select(
+            "query_id", "doc_id", "bm25_rank", "cos_rank", "rrf_micro", "fused_rank"
+        )
+    )
+
+
+_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM (SELECT doc_id, max(dl) AS dl FROM tf GROUP BY doc_id)
+),
+idf AS (
+  SELECT term,
+         CAST(round(ln((t.n_docs - df + 0.5) / (df + 0.5) + 1) * 1e6)
+           AS BIGINT) AS idf_micro
+  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+  CROSS JOIN totals t
+),
+qterms AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(toks) AS term
+  FROM toks WHERE doc_id % {_QUERY_STRIDE} = 0
+),
+sparse AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(sum((i.idf_micro * (22 * tf.tf * t.sum_dl))
+           // (10 * tf.tf * t.sum_dl + 3 * t.sum_dl + 9 * tf.dl * t.n_docs))
+           AS BIGINT) AS score_micro
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN idf i USING (term)
+  CROSS JOIN totals t
+  WHERE tf.doc_id <> q.query_id
+  GROUP BY q.query_id, tf.doc_id
+),
+sparse_top AS (
+  SELECT query_id, doc_id, rank AS bm25_rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+    FROM sparse
+  ) WHERE rank <= {_CAND_K}
+),
+dense AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+         round(
+           list_sum(list_transform(range(1, 65),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))),
+           6) AS cosine_r
+  FROM embeddings e
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % {_QUERY_STRIDE} = 0) q
+  WHERE e.vec_id <> q.vec_id
+),
+dense_top AS (
+  SELECT query_id, doc_id, rank AS cos_rank FROM (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine_r DESC, doc_id) AS INT) AS rank
+    FROM dense
+  ) WHERE rank <= {_CAND_K}
+),
+fused AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.doc_id, d.doc_id) AS doc_id,
+         s.bm25_rank, d.cos_rank,
+         CAST(coalesce({1_000_000} // ({_RRF_C} + s.bm25_rank), 0)
+            + coalesce({1_000_000} // ({_RRF_C} + d.cos_rank), 0) AS BIGINT)
+           AS rrf_micro
+  FROM sparse_top s
+  FULL OUTER JOIN dense_top d
+    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, bm25_rank, cos_rank, rrf_micro, fused_rank
+FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS INT) AS fused_rank
+  FROM fused
+)
+WHERE fused_rank <= {_TOP_K}
+"""
+
+QUERIES = {
+    "retrieval_rrf_hybrid": QuerySpec(retrieval_rrf_hybrid, _ORACLE),
+}

@@ -69,3 +69,56 @@ def test_components_random_graphs_match_union_find(spark):
         edges = spark.createDataFrame(edge_list or [(0, 0)], ["src", "dst"])
         got = _rows(connected_components(nodes, edges))
         assert got == uf_components(n, edge_list), (n, edge_list)
+
+
+def test_doubling_matches_simple_on_random_graphs(spark):
+    """connected_components_doubling is a drop-in: same labelling as the
+    hash-to-min form on random graphs."""
+    import random
+
+    from composable_logs_spark.operators.components import (
+        connected_components_doubling,
+    )
+
+    rng = random.Random(7)
+    for _ in range(3):
+        n = rng.randint(5, 30)
+        m = rng.randint(0, n * 2)
+        edge_list = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        edges = spark.createDataFrame(edge_list or [(0, 0)], ["src", "dst"])
+        simple = _rows(connected_components(nodes, edges))
+        doubled = _rows(connected_components_doubling(nodes, edges))
+        assert doubled == simple, (n, edge_list)
+
+
+def test_doubling_round_count_is_logarithmic(spark):
+    """The whole point: a length-d chain resolves in ~log2(d) fused
+    rounds, where hash-to-min needs d. Chain-64 must finish well under
+    its diameter (63) — and in fact under 10 rounds."""
+    from composable_logs_spark.operators.components import (
+        connected_components_doubling,
+    )
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    labels, rounds = connected_components_doubling(nodes, edges, return_rounds=True)
+    assert _rows(labels) == {(i, 0) for i in range(n)}
+    assert rounds <= 10, rounds  # log2(63) ~ 6 propagation+jump rounds
+
+
+def test_doubling_succeeds_where_simple_iteration_cap_fails(spark):
+    """On the same chain with the same small iteration budget, hash-to-min
+    (1 hop/round) cannot finish while pointer doubling can — the
+    documented reason the doubling variant exists."""
+    from composable_logs_spark.operators.components import (
+        connected_components_doubling,
+    )
+
+    n = 40  # diameter 39 > 8 budget
+    truth = {(i, 0) for i in range(n)}
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    assert _rows(connected_components(nodes, edges, max_iters=8)) != truth
+    assert _rows(connected_components_doubling(nodes, edges, max_iters=8)) == truth

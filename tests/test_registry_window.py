@@ -7,12 +7,15 @@ into an executable invariant computed from the committed
 CORRECTNESS_r*.json records, so a stale window fails CI instead of
 waiting for a judge to notice.
 
-Round-12 window (see ``_FRONT_WINDOW``): the query NEW this round
-(dedup_minhash_est_error), the 6 queries whose implementation changed
+Round-12 window (see ``_FRONT_WINDOW``): the queries NEW this round
+(dedup_minhash_est_error, components_chain_doubling,
+retrieval_rrf_hybrid), the 6 queries whose implementation changed
 this round (the ccnet recipe + substr family single-tokenize perf
 refactor; values unchanged, plans changed), the 3 r7-stale names the
-r11 comment promised to rotate, and the full 45-name r8-stale block
-(5 already listed as changed).
+r11 comment promised to rotate, and the r8-stale block in name order
+(5 already listed as changed; the two tail seats the late additions
+took — window_rolling_week_spend, window_running_customer_spend —
+rotate in r13).
 """
 
 import glob
