@@ -100,17 +100,20 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # the seat the draft window gave to an r9 filler (ann_ivf_recall — still
 # this round's 64x-recall measurement target, just not gate-rotated).
 # After this round the newest-green floor moves to r9. Late-round
-# additions (rule 1, never-green): components_chain_doubling and
-# retrieval_rrf_hybrid take two seats, displacing two r8-stale names
-# (window_rolling_week_spend, window_running_customer_spend — they
-# rotate in r13 with the rest of the r8 remainder; their running-total
-# machinery stays pytest-covered meanwhile).
+# additions (rule 1, never-green): components_chain_doubling,
+# retrieval_rrf_hybrid, media_scene_cut and ann_matryoshka_prefix take
+# four seats, displacing four r8-stale names (window_rolling_week_spend,
+# window_running_customer_spend, window_ntile_customers,
+# window_order_gaps — they rotate in r13 with the rest of the r8
+# remainder; their window machinery stays pytest-covered meanwhile).
 _FRONT_WINDOW = [
     # (1) new this round: MinHash estimated-vs-exact Jaccard calibration,
     # pointer-doubling chain components, RRF hybrid retrieval
     "dedup_minhash_est_error",
     "components_chain_doubling",
     "retrieval_rrf_hybrid",
+    "media_scene_cut",
+    "ann_matryoshka_prefix",
     # (2) implementation changed this round (perf refactor, values
     # unchanged): the ccnet recipe + the substr family
     "pipeline_ccnet_recipe",
@@ -132,7 +135,7 @@ _FRONT_WINDOW = [
     "q16_supplier_part_counts", "text_fingerprint", "text_gopher_filters",
     "text_lang_id", "text_quality_scores", "text_repetition",
     "text_tfidf_top3", "text_token_stats", "text_vocab_topk",
-    "unpivot_part_metrics", "window_ntile_customers", "window_order_gaps",
+    "unpivot_part_metrics",
     "window_top3_parts_per_supplier",
 ]
 
@@ -200,6 +203,7 @@ def all_queries() -> dict[str, QuerySpec]:
         unimax_q,
         components_q,
         rrf_q,
+        matryoshka_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -265,6 +269,7 @@ def all_queries() -> dict[str, QuerySpec]:
         unimax_q,
         components_q,
         rrf_q,
+        matryoshka_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]

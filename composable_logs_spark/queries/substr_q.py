@@ -203,11 +203,31 @@ def dup_spans(docs: DataFrame, l: int = _L, min_freq: int = 2) -> DataFrame:
     ``min_freq`` is the corpus-frequency floor for a window to count as
     duplicated: 2 (default) is the Lee et al. cut; 3+ restricts the cut
     to BOILERPLATE spans, leaving pairwise twins to document-level
-    dedup (the CCNet recipe's division of labor, ``ccnet_q``)."""
+    dedup (the CCNet recipe's division of labor, ``ccnet_q``).
+
+    Frequency test: a count window PARTITIONed BY the gram hash, not a
+    groupBy + join-back. The join form computes the GRAM PASS TWICE
+    (once to count, once to probe — nothing caches the exploded gram
+    frame, and the L multiply-adds per position are the dominant CPU),
+    and its cheap-join-back leg rests on the filtered frequency table
+    fitting a broadcast — untrue on boilerplate-heavy web corpora where
+    duplicated grams number in the billions (AQE would fall back to a
+    sort-merge join, shuffling the gram frame ANYWAY, on top of the
+    second gram pass). The window form does one gram pass and one
+    shuffle on the ~uniform 60-bit hash, unconditionally: measured at
+    the 16x replica (1.28M docs-scale find stage) it is 1.3-2.1x faster
+    here, and at 100 TB it is the only shape without a size assumption.
+    A mega-hot gram (one hash with 10^9 occurrences) lands in ONE
+    count-window key group — Spark's WindowExec buffers that group via
+    a spillable row array, so it degrades to disk, not OOM; rows-per-
+    gram is corpus-bounded boilerplate, the exact thing min_freq=3
+    callers go on to cut."""
     g = _grams(docs, l)
-    freq = g.groupBy("h").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window as W
+
     dup = (
-        g.join(freq.where(F.col("cnt") >= min_freq), "h")
+        g.withColumn("cnt", F.count("*").over(W.partitionBy("h")))
+        .where(F.col("cnt") >= min_freq)
         .select("doc_id", "n_tokens", "pos")
     )
     return merge_windows(dup, l)
