@@ -101,11 +101,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # this round's 64x-recall measurement target, just not gate-rotated).
 # After this round the newest-green floor moves to r9. Late-round
 # additions (rule 1, never-green): components_chain_doubling,
-# retrieval_rrf_hybrid, media_scene_cut and ann_matryoshka_prefix take
-# four seats, displacing four r8-stale names (window_rolling_week_spend,
-# window_running_customer_spend, window_ntile_customers,
-# window_order_gaps — they rotate in r13 with the rest of the r8
-# remainder; their window machinery stays pytest-covered meanwhile).
+# retrieval_rrf_hybrid, media_scene_cut, ann_matryoshka_prefix and
+# text_kneser_ney_bigram take five seats, displacing five r8-stale
+# names (window_rolling_week_spend, window_running_customer_spend,
+# window_ntile_customers, window_order_gaps, unpivot_part_metrics —
+# they rotate in r13 with the rest of the r8 remainder; their
+# machinery stays pytest-covered meanwhile).
 _FRONT_WINDOW = [
     # (1) new this round: MinHash estimated-vs-exact Jaccard calibration,
     # pointer-doubling chain components, RRF hybrid retrieval
@@ -114,6 +115,7 @@ _FRONT_WINDOW = [
     "retrieval_rrf_hybrid",
     "media_scene_cut",
     "ann_matryoshka_prefix",
+    "text_kneser_ney_bigram",
     # (2) implementation changed this round (perf refactor, values
     # unchanged): the ccnet recipe + the substr family
     "pipeline_ccnet_recipe",
@@ -135,7 +137,6 @@ _FRONT_WINDOW = [
     "q16_supplier_part_counts", "text_fingerprint", "text_gopher_filters",
     "text_lang_id", "text_quality_scores", "text_repetition",
     "text_tfidf_top3", "text_token_stats", "text_vocab_topk",
-    "unpivot_part_metrics",
     "window_top3_parts_per_supplier",
 ]
 
@@ -204,6 +205,7 @@ def all_queries() -> dict[str, QuerySpec]:
         components_q,
         rrf_q,
         matryoshka_q,
+        kn_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -270,6 +272,7 @@ def all_queries() -> dict[str, QuerySpec]:
         components_q,
         rrf_q,
         matryoshka_q,
+        kn_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]

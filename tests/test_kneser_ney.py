@@ -1,0 +1,93 @@
+"""Kneser-Ney bigram: the continuation-probability property (the
+reason KN exists) plus smoothing-path accounting."""
+
+from pyspark.sql import functions as F
+
+from composable_logs_spark.queries.kn_q import kn_doc_scores
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_continuation_beats_raw_frequency(spark):
+    """'francisco' and 'report' are equally frequent in train (6 tokens
+    each), but francisco only ever follows 'san' (1 context) while
+    report follows 6 distinct contexts. After the seen-but-novel
+    context 'fresh', KN must prefer report — raw-frequency smoothing
+    (add-1) would tie them. This is the textbook San-Francisco test."""
+    train = _frame(
+        spark,
+        [(1, "san francisco")] * 6
+        + [
+            (10, "alpha report"),
+            (11, "beta report"),
+            (12, "gamma report"),
+            (13, "delta report"),
+            (14, "eps report"),
+            (15, "zeta report"),
+            (16, "fresh air"),
+        ],
+    )
+    scored = _frame(spark, [(100, "fresh francisco"), (101, "fresh report")])
+    rows = {r["doc_id"]: r for r in kn_doc_scores(train, scored).collect()}
+    # both ride the full KN path: context 'fresh' seen, both words have
+    # continuation mass
+    assert rows[100]["n_kn"] == 1 and rows[101]["n_kn"] == 1
+    assert rows[101]["lp_sum_micro"] > rows[100]["lp_sum_micro"]
+
+
+def test_smoothing_path_accounting(spark):
+    """Seen bigram -> kn path; seen word after an unseen context ->
+    cont path; a word in no train bigram -> floor path."""
+    train = _frame(spark, [(1, "the cat sat"), (2, "the dog sat")])
+    scored = _frame(
+        spark,
+        [
+            (100, "the cat"),  # seen bigram: kn
+            (101, "zzz cat"),  # unseen context, seen word: cont
+            (102, "the qqq"),  # seen context, word in no bigram: floor
+        ],
+    )
+    rows = {r["doc_id"]: r for r in kn_doc_scores(train, scored).collect()}
+    assert (rows[100]["n_kn"], rows[100]["n_cont"], rows[100]["n_floor"]) == (1, 0, 0)
+    assert (rows[101]["n_kn"], rows[101]["n_cont"], rows[101]["n_floor"]) == (0, 1, 0)
+    assert (rows[102]["n_kn"], rows[102]["n_cont"], rows[102]["n_floor"]) == (0, 0, 1)
+    # seen bigram must outscore both smoothed paths
+    assert rows[100]["lp_sum_micro"] > rows[101]["lp_sum_micro"]
+    assert rows[100]["lp_sum_micro"] > rows[102]["lp_sum_micro"]
+
+
+def test_discount_conserves_probability_mass(spark):
+    """For a seen context u, the KN conditional must sum to ~1 over the
+    full vocabulary-of-continuations: sum_w p(w|u) = 1 exactly when
+    every w with continuation mass is enumerated (the discount D taken
+    from seen pairs is exactly redistributed via N1+(u.)). Checked in
+    exact rational arithmetic on a small corpus via the same integer
+    numerator/denominator the query uses."""
+    from fractions import Fraction
+
+    corpus = ["the cat sat", "the dog sat", "a cat ran", "the cat ran"]
+    bic: dict = {}
+    for doc in corpus:
+        t = doc.split()
+        for i in range(len(t) - 1):
+            bic[(t[i], t[i + 1])] = bic.get((t[i], t[i + 1]), 0) + 1
+    big_b = len(bic)
+    cu = {}
+    n1u = {}
+    n1w = {}
+    for (u, w), c in bic.items():
+        cu[u] = cu.get(u, 0) + c
+        n1u[u] = n1u.get(u, 0) + 1
+        n1w[w] = n1w.get(w, 0) + 1
+    u = "the"
+    total = Fraction(0)
+    for w in n1w:  # every word with continuation mass
+        c = bic.get((u, w), 0)
+        num = max(4 * c - 3, 0) * big_b + 3 * n1u[u] * n1w[w]
+        den = 4 * cu[u] * big_b
+        total += Fraction(num, den)
+    # sum over all continuation-bearing words of N1+(.w) is big_b, so
+    # the interpolation weight integrates to exactly D*N1+(u.)/c(u)
+    assert total == 1
