@@ -66,7 +66,12 @@ def connected_components(
     prev_sum = labels.agg(F.sum("component")).collect()[0][0] or 0
 
     for _ in range(max_iters):
-        nbr = sym.join(labels, sym.dst == labels.id).select(
+        # shuffle_hash hint: labels is NODE-sized, and Spark's 64 MB
+        # broadcast threshold happily driver-collects a few million
+        # labels (measured 30 s/round at the 16x replica vs 2 s hashed)
+        # — a plan that cannot exist at corpus scale; the hint pins the
+        # scale-correct shuffled hash join at every size
+        nbr = sym.join(labels.hint("shuffle_hash"), sym.dst == labels.id).select(
             F.col("src").alias("id"), F.col("component")
         )
         labels = (
@@ -141,13 +146,25 @@ def connected_components_doubling(
     rounds = 0
     for _ in range(max_iters):
         rounds += 1
-        nbr = sym.join(labels, sym.dst == labels.id).select(
+        # shuffle_hash on both node-sized join sides: see the
+        # broadcast-threshold note in ``connected_components`` — a
+        # driver-broadcast of millions of labels measured 30 s/round
+        # here and is impossible at corpus scale
+        nbr = sym.join(labels.hint("shuffle_hash"), sym.dst == labels.id).select(
             F.col("src").alias("id"), F.col("component")
         )
+        # materialise the neighbour-min result BEFORE the pointer jump:
+        # the jump consumes `stepped` on BOTH join sides, and without a
+        # checkpoint Spark recomputes the union+agg once per side — the
+        # measured cost of that (plus the re-shuffles it drags in) grew
+        # round-over-round at the 16x replica (10.8 -> 92.7 s/round);
+        # with the checkpoint each round is two bounded jobs over
+        # materialised 16-byte rows
         stepped = (
             labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
         )
         # pointer jump: component <- component(component). Every label is
         # a node id (labels start as ids and only ever take mins of ids),
@@ -156,7 +173,9 @@ def connected_components_doubling(
             F.col("id").alias("p_id"), F.col("component").alias("p_comp")
         )
         labels = (
-            stepped.join(ptr, stepped.component == ptr.p_id, "left")
+            stepped.join(
+                ptr.hint("shuffle_hash"), stepped.component == ptr.p_id, "left"
+            )
             .select("id", F.coalesce("p_comp", "component").alias("component"))
             .localCheckpoint(eager=True)
         )
