@@ -102,11 +102,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # After this round the newest-green floor moves to r9. Late-round
 # additions (rule 1, never-green): components_chain_doubling,
 # retrieval_rrf_hybrid, media_scene_cut, ann_matryoshka_prefix and
-# text_kneser_ney_bigram take five seats, displacing five r8-stale
-# names (window_rolling_week_spend, window_running_customer_spend,
-# window_ntile_customers, window_order_gaps, unpivot_part_metrics —
-# they rotate in r13 with the rest of the r8 remainder; their
-# machinery stays pytest-covered meanwhile).
+# text_kneser_ney_bigram and media_video_neardup take six seats,
+# displacing six r8-stale names (window_rolling_week_spend,
+# window_running_customer_spend, window_ntile_customers,
+# window_order_gaps, unpivot_part_metrics, text_vocab_topk — they
+# rotate in r13 with the rest of the r8 remainder; their machinery
+# stays pytest-covered meanwhile).
 _FRONT_WINDOW = [
     # (1) new this round: MinHash estimated-vs-exact Jaccard calibration,
     # pointer-doubling chain components, RRF hybrid retrieval
@@ -116,6 +117,7 @@ _FRONT_WINDOW = [
     "media_scene_cut",
     "ann_matryoshka_prefix",
     "text_kneser_ney_bigram",
+    "media_video_neardup",
     # (2) implementation changed this round (perf refactor, values
     # unchanged): the ccnet recipe + the substr family
     "pipeline_ccnet_recipe",
@@ -136,7 +138,7 @@ _FRONT_WINDOW = [
     "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
     "q16_supplier_part_counts", "text_fingerprint", "text_gopher_filters",
     "text_lang_id", "text_quality_scores", "text_repetition",
-    "text_tfidf_top3", "text_token_stats", "text_vocab_topk",
+    "text_tfidf_top3", "text_token_stats",
     "window_top3_parts_per_supplier",
 ]
 

@@ -137,6 +137,20 @@ HEADLINE = [
     # band equi-join AND the per-pair estimator compare; exact integer
     # micro-unit aggregation, decile-grain output)
     "dedup_minhash_est_error",
+    # round-12 continued — pointer-doubling CC (shuffle_hash-hinted
+    # label joins, NEVER a driver broadcast of the node-sized table),
+    # RRF hybrid (two salted top-k branches + full-outer fusion on
+    # integer micro-units), scene cut (pure per-row array math — no
+    # explode, no window, no Exchange before the final shuffle-free
+    # project), Matryoshka prefix retrieval (one scan scoring both
+    # representations, cached signature rows), Kneser-Ney bigram (three
+    # count-table equi-joins + broadcast 3-scalar row — the trigram plan
+    # one rung down)
+    "components_chain_doubling",
+    "retrieval_rrf_hybrid",
+    "media_scene_cut",
+    "ann_matryoshka_prefix",
+    "text_kneser_ney_bigram",
 ]
 
 
