@@ -151,6 +151,9 @@ HEADLINE = [
     "media_scene_cut",
     "ann_matryoshka_prefix",
     "text_kneser_ney_bigram",
+    # video temporal near-dup: profile-keyed candidates + exact verify,
+    # fingerprints from one shuffle-free per-row pass
+    "media_video_neardup",
 ]
 
 
