@@ -86,60 +86,45 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # records). Rotation policy per round: (1) every query that has never had
 # a driver hash-green row, (2) every query whose semantics or oracle
 # changed this round, (3) fill with the longest-unverified green block in
-# name order. Round 12 window: no queries added; the 6 whose
-# implementation changed this round (pipeline_ccnet_recipe: stage passes
-# share one tokenized materialization; the substr family: the gram pass
-# now runs over a single cached token-array frame instead of re-splitting
-# text per consumer — values proven unchanged at 3 SFs, listed under rule
-# (2) because the executed plan changed), then the 3 r7-stale names the
-# r11 window comment promised to rotate (text_bigram_logprob,
-# text_c4_filters, text_char_entropy), then the full 45-name r8-stale
-# block in name order (5 of which are the substr family already listed
-# under rule 2). Rule (1) adds the one query NEW this round
-# (dedup_minhash_est_error, the sketch-calibration query), which takes
-# the seat the draft window gave to an r9 filler (ann_ivf_recall — still
-# this round's 64x-recall measurement target, just not gate-rotated).
-# After this round the newest-green floor moves to r9. Late-round
-# additions (rule 1, never-green): components_chain_doubling,
-# retrieval_rrf_hybrid, media_scene_cut, ann_matryoshka_prefix and
-# text_kneser_ney_bigram and media_video_neardup take six seats,
-# displacing six r8-stale names (window_rolling_week_spend,
-# window_running_customer_spend, window_ntile_customers,
-# window_order_gaps, unpivot_part_metrics, text_vocab_topk — they
-# rotate in r13 with the rest of the r8 remainder; their machinery
-# stays pytest-covered meanwhile).
+# name order. Round 13 window: rule (1) seats the queries NEW this round
+# as they land (inserted at the head, displacing rule-3 fillers from the
+# tail); rule (2) seats the queries whose plans changed under the r12
+# ADVICE fixes (media_scene_cut + media_video_neardup: true byte sums
+# instead of the lossy UTF-8 codepoint sum; ann_matryoshka_prefix:
+# zero-prefix-norm guard mirrored in the oracle; retrieval_rrf_hybrid +
+# text_bm25_topk: corpus-derived qterms no longer force-broadcast;
+# components_chain_doubling: non-convergence now raises); rule (3) then
+# rotates the 6 r8-stale names the r12 window displaced, and fills the
+# remaining seats from the 45-name r9-stale block in name order — the
+# r9 names that don't fit rotate in r14.
 _FRONT_WINDOW = [
-    # (1) new this round: MinHash estimated-vs-exact Jaccard calibration,
-    # pointer-doubling chain components, RRF hybrid retrieval
-    "dedup_minhash_est_error",
-    "components_chain_doubling",
-    "retrieval_rrf_hybrid",
-    "media_scene_cut",
-    "ann_matryoshka_prefix",
-    "text_kneser_ney_bigram",
-    "media_video_neardup",
-    # (2) implementation changed this round (perf refactor, values
-    # unchanged): the ccnet recipe + the substr family
-    "pipeline_ccnet_recipe",
-    "dedup_exact_substring", "pipeline_dedup_then_cut",
-    "substr_cut_docs", "substr_cut_stats", "substr_winnow_stats",
-    # (3a) the r7-stale leftover block (promised rotation)
-    "text_bigram_logprob", "text_c4_filters", "text_char_entropy",
-    # (3b) the r8-stale block, name order (minus the substr family above)
-    "agg_percentiles_events", "asof_join_purchase_click",
-    "asof_join_with_tolerance", "bloom_pruned_urgent_revenue",
-    "cluster_docs_hashed_tf", "decontaminate_against_benchmark",
-    "dedup_chunks", "dedup_cluster_assign", "dedup_corpus_keep",
-    "dq_check_customers", "dsir_select_topk", "event_transitions",
-    "events_rate_anomaly", "funnel_conversion", "gapfill_hourly_locf",
-    "media_byte_histogram", "media_checksums", "media_frame_sample",
-    "pagerank_purchase_graph", "pii_scrub_customers",
-    "pipeline_clean_corpus", "q11_important_stock",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_counts", "text_fingerprint", "text_gopher_filters",
-    "text_lang_id", "text_quality_scores", "text_repetition",
-    "text_tfidf_top3", "text_token_stats",
-    "window_top3_parts_per_supplier",
+    # (1) new this round — inserted at the head as each lands, displacing
+    # the tail r9 fillers (sample_stratified_hash, session_window_stats,
+    # scd2_user_history are the next three out)
+    # (2) implementation changed this round (r12 ADVICE fixes)
+    "media_scene_cut", "media_video_neardup", "ann_matryoshka_prefix",
+    "retrieval_rrf_hybrid", "text_bm25_topk", "components_chain_doubling",
+    # (3a) the r8-stale block the r12 window displaced (promised rotation)
+    "text_vocab_topk", "unpivot_part_metrics", "window_ntile_customers",
+    "window_order_gaps", "window_rolling_week_spend",
+    "window_running_customer_spend",
+    # (3b) fill from the r9-stale block, name order; the remainder
+    # (sample_stratified_hash onward) rotates in r14
+    "ann_ivf_recall", "ann_ivfpq_rerank", "ann_ivfpq_residual",
+    "ann_mips_norm_prune", "ann_pq_adc", "attribution_time_decay",
+    "cdc_apply_changes", "classifier_calibration", "classifier_group_auc",
+    "community_label_propagation", "dedup_minhash_bandsweep",
+    "dedup_semantic", "dedup_semantic_k16", "domain_reweight_doremi",
+    "embedding_hard_negatives", "er_fellegi_sunter",
+    "media_audio_fingerprint", "media_dhash_neardup", "media_phash_neardup",
+    "q17_small_qty_revenue", "q18_large_volume_customers",
+    "q19_bracket_revenue", "q20_potential_promotion",
+    "q21_waiting_suppliers", "q22_idle_rich_customers",
+    "q2_min_cost_supplier", "q4_late_order_priority", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "retention_cohorts", "sample_quality_weighted",
+    "sample_stratified_hash", "scd2_user_history", "session_window_stats",
+    "stream_dedup_events", "stream_sliding_counts",
 ]
 
 
