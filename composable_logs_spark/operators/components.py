@@ -88,6 +88,16 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # partially-converged labels are plausible-looking but WRONG and
+        # the returned frame gives callers no way to tell — fail loud.
+        # Hash-to-min's round count is the component diameter, so this
+        # fires exactly when the graph needs the doubling variant.
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iters} rounds "
+            f"(label sum still moving: {prev_sum}) — component diameter "
+            "exceeds the budget; use connected_components_doubling"
+        )
     return labels
 
 
@@ -183,6 +193,17 @@ def connected_components_doubling(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # exhausting max_iters without hitting the sum fixpoint means the
+        # labels are PARTIALLY converged — plausible-looking but wrong.
+        # Callers can't detect that from the returned frame, so fail loud:
+        # at 24 doubling rounds a non-converged graph has chains past
+        # 2^24 hops, which is a data/parameter problem, not a normal exit.
+        raise RuntimeError(
+            f"connected_components_doubling: no fixpoint after {max_iters} "
+            f"rounds (label sum still moving: {prev_sum}) — labels would be "
+            "partially converged; raise max_iters"
+        )
     if return_rounds:
         return labels, rounds
     return labels

@@ -109,9 +109,13 @@ def bm25_scores(
     # NO broadcast hint on idf: it is VOCAB-sized (10^8+ rows at web
     # scale — the same boundary the BPE vocab join documents); joining
     # after the query filter keeps it query-vocab-sized anyway, and
-    # AQE's runtime size gate upgrades to broadcast when it fits
+    # AQE's runtime size gate upgrades to broadcast when it fits.
+    # NO broadcast hint on qterms either: callers with a fixed bounded
+    # workload (bm25_topk's 6 queries) pass F.broadcast(qterms)
+    # themselves; corpus-DERIVED workloads (rrf_q samples the corpus)
+    # must not be forced driver-side — AQE's size gate decides.
     scored = (
-        tf.join(F.broadcast(qterms), "term")
+        tf.join(qterms, "term")
         .join(idf, "term")
         .crossJoin(F.broadcast(totals))
         .withColumn(
@@ -153,7 +157,11 @@ def bm25_topk(
         [(qid, q, t) for qid, q in queries for t in sorted(set(q.split()))],
         "query_id int, query string, term string",
     )
-    per_doc = bm25_scores(tf, qterms, group_cols=["query_id", "query"])
+    # the fixed workload is a driver-built literal of a few dozen rows —
+    # the one case where a hard broadcast is always right
+    per_doc = bm25_scores(
+        tf, F.broadcast(qterms), group_cols=["query_id", "query"]
+    )
     # salted two-phase top-k per query (similarity_q pattern)
     order = [F.col("score_micro").desc(), F.col("doc_id")]
     salted = per_doc.withColumn(

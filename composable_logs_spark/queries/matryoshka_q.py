@@ -66,15 +66,26 @@ def ann_matryoshka_prefix(spark: SparkSession, sf: str) -> DataFrame:
         F.col("norm").alias("qnorm"),
         F.col("pnorm").alias("qpnorm"),
     )
-    # ONE corpus pass scores both representations per candidate row
+    # ONE corpus pass scores both representations per candidate row.
+    # Zero-norm convention, pinned on BOTH engines: cosine vs a zero
+    # vector is 0.0, not NaN/Inf — an all-zero prefix (perfectly
+    # possible for a real embedding's first 16 dims) would otherwise
+    # divide by zero, and Spark and DuckDB disagree on NaN ordering, so
+    # one pathological vector would nondeterministically reorder top-k
+    # instead of ranking last.
+    def _cos(dot, na, nb):
+        return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
+            F.round(dot / (na * nb), 4)
+        )
+
     scored = e.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
-        F.round(
-            _dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 4
+        _cos(
+            _dot(F.col("vec"), F.col("qvec")), F.col("norm"), F.col("qnorm")
         ).alias("cos_full"),
-        F.round(
-            _dot(F.col("pvec"), F.col("qpvec")) / (F.col("pnorm") * F.col("qpnorm")), 4
+        _cos(
+            _dot(F.col("pvec"), F.col("qpvec")), F.col("pnorm"), F.col("qpnorm")
         ).alias("cos_prefix"),
     )
     # cache the (query_id, vec_id, 2 cosines) frame: 24-byte rows, one
@@ -123,11 +134,13 @@ q AS (SELECT vec_id AS query_id, vec AS qvec, pvec AS qpvec,
       FROM e WHERE vec_id < {_N_QUERIES}),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         round(list_sum(list_transform(range(1, 65), i -> e.vec[i] * q.qvec[i]))
-               / (e.nrm * q.qnrm), 4) AS cos_full,
-         round(list_sum(list_transform(range(1, {_PREFIX_D} + 1),
-                                       i -> e.pvec[i] * q.qpvec[i]))
-               / (e.pnrm * q.qpnrm), 4) AS cos_prefix
+         CASE WHEN e.nrm = 0 OR q.qnrm = 0 THEN 0.0 ELSE
+           round(list_sum(list_transform(range(1, 65), i -> e.vec[i] * q.qvec[i]))
+                 / (e.nrm * q.qnrm), 4) END AS cos_full,
+         CASE WHEN e.pnrm = 0 OR q.qpnrm = 0 THEN 0.0 ELSE
+           round(list_sum(list_transform(range(1, {_PREFIX_D} + 1),
+                                         i -> e.pvec[i] * q.qpvec[i]))
+                 / (e.pnrm * q.qpnrm), 4) END AS cos_prefix
   FROM e JOIN q ON e.vec_id <> q.query_id
 ),
 full_top AS (

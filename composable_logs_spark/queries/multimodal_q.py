@@ -137,20 +137,34 @@ def scene_fingerprints(media: DataFrame) -> DataFrame:
     unrelated 8-frame clips) — the full quantized profile is a
     cryptographically strong key, so the pair join has bounded
     occupancy at any corpus size."""
-    staged = media.select(
-        "media_id",
-        F.expr("cast(length(payload) div 64 as int)").alias("nf"),
-        "payload",
-    ).withColumn(
-        "fsum",
-        # frame i's byte sum: payload is ASCII by construction, so
-        # ascii(chr) over the cast-to-string frame reads the byte value
-        F.expr(
-            "transform(sequence(0, nf - 1), i -> aggregate("
-            " split(cast(substring(payload, cast(i * 64 + 1 as int), 64)"
-            "       as string), ''),"
-            " cast(0 as bigint), (a, c) -> a + ascii(c)))"
-        ),
+    staged = (
+        media.select(
+            "media_id",
+            F.expr("cast(length(payload) div 64 as int)").alias("nf"),
+            "payload",
+        )
+        .withColumn(
+            # substring on BINARY slices bytes (no decode, O(1) offsets);
+            # hex() the 64-byte frame so the fold below reads TRUE byte
+            # values — a cast-to-string here would UTF-8-decode and
+            # collapse every byte >= 0x80 to U+FFFD (65533), making
+            # distinct non-ASCII frames hash identical
+            "fhex",
+            F.expr(
+                "transform(sequence(0, nf - 1),"
+                " i -> hex(substring(payload, cast(i * 64 + 1 as int), 64)))"
+            ),
+        )
+        .withColumn(
+            "fsum",
+            F.expr(
+                "transform(fhex, fh -> aggregate(sequence(0, 63),"
+                " cast(0 as bigint),"
+                " (a, j) -> a + cast(conv(substring(fh, j * 2 + 1, 2), 16, 10)"
+                "               as bigint)))"
+            ),
+        )
+        .drop("fhex")
     )
     deltas = (
         "zip_with(slice(fsum, 2, nf - 1), slice(fsum, 1, nf - 1),"
@@ -208,19 +222,25 @@ _CUT_T = 256  # brightness-sum jump that counts as a scene change
 
 def _scene_sql_over(src: str) -> str:
     """DuckDB replica of ``scene_fingerprints`` over any
-    (media_id, text) relation — payloads are the utf-8 text bytes, so
-    byte sums are ascii sums over character slices."""
+    (media_id, text) relation — payloads are the utf-8 BYTES of the
+    text, so the replica hexes the encoded blob and folds hex-digit
+    pairs, mirroring the engine's byte-true sums (not a character/
+    codepoint sum, which would diverge on any non-ASCII byte)."""
     return f"""
 WITH m AS (
-  SELECT media_id, text, CAST(length(text) // 64 AS INT) AS nf
+  SELECT media_id, hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) // 64 AS INT) AS nf
   FROM {src}
 ),
 sums AS (
   SELECT media_id, nf,
     list_transform(range(0, nf), i ->
-      CAST(list_sum(list_transform(
-        string_split_regex(substring(text, CAST(i * 64 + 1 AS INT), 64), ''),
-        c -> ascii(c))) AS BIGINT)) AS fsum
+      CAST(list_sum(list_transform(range(0, 64), j ->
+        (strpos('0123456789ABCDEF',
+                substring(hx, CAST((i * 64 + j) * 2 + 1 AS INT), 1)) - 1) * 16
+        + strpos('0123456789ABCDEF',
+                 substring(hx, CAST((i * 64 + j) * 2 + 2 AS INT), 1)) - 1
+      )) AS BIGINT)) AS fsum
   FROM m WHERE nf >= 2
 ),
 cuts AS (

@@ -21,8 +21,12 @@ differently only with >2 rankers, but the integer form removes the
 class of problem outright); ties break by doc_id.
 
 100 TB shape: the corpus-sized relations are the postings table and
-the embedding scan, each touched ONCE; query-side frames (ids, terms,
-vectors) are broadcast onto them. Both per-ranker top-k's are the
+the embedding scan, each touched ONCE. Query-side frames join onto
+them — the fixed-size ones (vectors for the brute-force dense
+baseline) under an explicit broadcast, the corpus-DERIVED terms frame
+with no hint (AQE's size gate decides; forcing a 1%-of-corpus frame
+driver-side is the OOM shape the repo bans). Both per-ranker top-k's
+are the
 salted two-phase merge (``similarity_q._topk_two_phase`` pattern) —
 never a partition-less window — and the fusion join runs over
 ``#queries * 2 * _CAND_K`` rows only. The final per-query rank window
@@ -82,7 +86,11 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
-    sparse = bm25_scores(tf, F.broadcast(qterms)).where(
+    # NO broadcast hint: qterms is corpus-DERIVED (every _QUERY_STRIDEth
+    # doc x its distinct terms — ~1% of the token stream, unbounded in
+    # corpus size), so forcing it driver-side risks OOM at scale; AQE's
+    # size gate upgrades the join to broadcast whenever it actually fits
+    sparse = bm25_scores(tf, qterms).where(
         F.col("doc_id") != F.col("query_id")
     )
     sparse_top = _ranked_topk(sparse, F.col("score_micro"), _CAND_K, "bm25_rank")

@@ -39,6 +39,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from ..queries.multimodal_q import _V_TOL, scene_fingerprints
 
@@ -91,8 +92,6 @@ def stream_scene_against_index(
     videos; per micro-batch emit verified (media_id, dup_of,
     max_frame_delta) rows — new video vs indexed video, newer vs older
     within the batch. Returns the StreamingQuery."""
-    import os
-
     _FP_SCHEMA = index_fp.schema
 
     stream = (
@@ -102,10 +101,19 @@ def stream_scene_against_index(
     )
 
     def _current_index() -> DataFrame:
-        if index_growth_dir and os.path.isdir(index_growth_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(index_growth_dir)
-        ):
-            grown = spark.read.schema(_FP_SCHEMA).parquet(index_growth_dir)
+        # probe by ATTEMPTING the read, not os.path: in deployment the
+        # growth dir lives on the cluster filesystem (HDFS/S3), where a
+        # driver-local isdir() is always false and the grown index would
+        # be silently ignored — later arrivals would never match earlier
+        # ones. A failed read (dir absent / no files yet) means "no
+        # growth yet"; the explicit schema avoids schema inference on
+        # the probe.
+        if index_growth_dir:
+            try:
+                grown = spark.read.schema(_FP_SCHEMA).parquet(index_growth_dir)
+                grown.schema  # force plan resolution so absence surfaces here
+            except AnalysisException:
+                return index_fp
             return index_fp.unionByName(grown).dropDuplicates(["media_id"])
         return index_fp
 

@@ -110,8 +110,12 @@ def test_doubling_round_count_is_logarithmic(spark):
 
 def test_doubling_succeeds_where_simple_iteration_cap_fails(spark):
     """On the same chain with the same small iteration budget, hash-to-min
-    (1 hop/round) cannot finish while pointer doubling can — the
-    documented reason the doubling variant exists."""
+    (1 hop/round) cannot finish — and must RAISE rather than return
+    plausible-looking partially-converged labels — while pointer
+    doubling converges: the documented reason the doubling variant
+    exists."""
+    import pytest
+
     from composable_logs_spark.operators.components import (
         connected_components_doubling,
     )
@@ -120,5 +124,23 @@ def test_doubling_succeeds_where_simple_iteration_cap_fails(spark):
     truth = {(i, 0) for i in range(n)}
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
-    assert _rows(connected_components(nodes, edges, max_iters=8)) != truth
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(nodes, edges, max_iters=8)
     assert _rows(connected_components_doubling(nodes, edges, max_iters=8)) == truth
+
+
+def test_doubling_raises_on_exhausted_budget(spark):
+    """The doubling variant must also fail loud when max_iters is
+    exhausted before the sum fixpoint — callers cannot detect partial
+    convergence from the returned frame."""
+    import pytest
+
+    from composable_logs_spark.operators.components import (
+        connected_components_doubling,
+    )
+
+    n = 40  # needs ~6 fused rounds; 2 is not enough
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components_doubling(nodes, edges, max_iters=2)
