@@ -49,6 +49,14 @@ def _prev_round_value(
     guard read the top level, never found "queries"/"value", and was a
     no-op for two rounds). Flat records (this script's own stdout shape)
     are still accepted. ``records_dir``/``sf_dir`` exist for unit tests.
+
+    Records come from TWO places, newest round wins: the driver's
+    BENCH_r*.json envelopes, and this script's own committed
+    ``bench_records/r*.json`` full records — the durable copy, because
+    the driver envelope keeps only the stdout tail and has recorded
+    ``parsed: null`` (r12), which silently blinded the guard for the
+    following round. At the same round number the bench_records copy is
+    preferred (it is always the full JSON).
     """
     import glob
     import re
@@ -56,9 +64,16 @@ def _prev_round_value(
     if not (sf_dir or SF_DIR).rstrip("/").endswith("sf0.1"):
         return None
     here = records_dir or os.path.dirname(os.path.abspath(__file__))
+
+    def _round_of(p: str) -> int:
+        return int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+
     recs = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        glob.glob(os.path.join(here, "BENCH_r*.json"))
+        + glob.glob(os.path.join(here, "bench_records", "r*.json")),
+        # at a tied round number the bench_records path sorts LAST so
+        # the reversed scan below prefers the full record
+        key=lambda p: (_round_of(p), "bench_records" in p),
     )
     for p in reversed(recs):
         try:
@@ -72,6 +87,31 @@ def _prev_round_value(
         except (OSError, ValueError):
             continue
     return None
+
+
+def _write_round_record(payload: dict, records_dir: str | None = None) -> str | None:
+    """Persist the full bench JSON to ``bench_records/r{N}.json`` (N =
+    newest driver BENCH round + 1, i.e. the round currently being
+    built), so per-query timings survive even when the driver envelope
+    truncates stdout. Only at the driver's sf (0.1) — smaller-SF
+    iteration runs are not round records. Returns the path written."""
+    import glob
+    import re
+
+    if payload.get("sf") != 0.1:
+        return None
+    here = records_dir or os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+    ]
+    n = (max(rounds) if rounds else 0) + 1
+    out_dir = os.path.join(here, "bench_records")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"r{n}.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    return path
 
 def _drift_exceeds_2x(passes: list[float], prev: float | None) -> bool:
     """True when this round's best pass is >2x away from the previous
@@ -330,19 +370,17 @@ def main() -> None:
         headline_notes["_total"] = total_note
     if headline_notes:
         extra["headline_outlier_notes"] = headline_notes
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "queries_extra": extra,
-                "sf": float(sf),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "queries_extra": extra,
+        "sf": float(sf),
+    }
+    _write_round_record(payload)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -99,8 +99,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # r9 names that don't fit rotate in r14.
 _FRONT_WINDOW = [
     # (1) new this round — inserted at the head as each lands, displacing
-    # the tail r9 fillers (sample_stratified_hash, session_window_stats,
-    # scd2_user_history are the next three out)
+    # r9 fillers from the tail (they rotate in r14 with the rest)
+    "text_kneser_ney_trigram",
     # (2) implementation changed this round (r12 ADVICE fixes)
     "media_scene_cut", "media_video_neardup", "ann_matryoshka_prefix",
     "retrieval_rrf_hybrid", "text_bm25_topk", "components_chain_doubling",
@@ -124,7 +124,7 @@ _FRONT_WINDOW = [
     "q7_nation_volume", "q8_market_share", "q9_product_profit",
     "retention_cohorts", "sample_quality_weighted",
     "sample_stratified_hash", "scd2_user_history", "session_window_stats",
-    "stream_dedup_events", "stream_sliding_counts",
+    "stream_dedup_events",
 ]
 
 

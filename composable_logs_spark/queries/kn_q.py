@@ -156,6 +156,172 @@ def kn_doc_scores(train: DataFrame, scored: DataFrame) -> DataFrame:
     )
 
 
+def kn3_model(train: DataFrame) -> dict[str, DataFrame]:
+    """Interpolated-KN TRIGRAM count tables, every lower order derived
+    from the trigram TYPE table (the textbook continuation counts, Chen
+    & Goodman 1999 §3): tric (u,v,w, c3), ctx3 (u,v, cuv, n1uv), mid
+    (v,w, ncvw — distinct left-neighbour count of bigram vw), midctx
+    (v, ncv, ntv), cont (w, n1w — distinct v preceding w), uni (floor
+    counts), and the 1-row bnv (big_b = trigram-derived bigram type
+    count, n_toks, v)."""
+    tric = _ngrams(train, 3, "u", "v", "w").groupBy("u", "v", "w").agg(
+        F.count("*").alias("c3")
+    )
+    ctx3 = tric.groupBy("u", "v").agg(
+        F.sum("c3").alias("cuv"), F.count("*").alias("n1uv")
+    )
+    mid = tric.groupBy("v", "w").agg(F.count("*").alias("ncvw"))
+    midctx = mid.groupBy("v").agg(
+        F.sum("ncvw").alias("ncv"), F.count("*").alias("ntv")
+    )
+    cont = mid.groupBy("w").agg(F.count("*").alias("n1w"))
+    uni = (
+        _with_arr(train)
+        .select(F.explode("arr").alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    # vocab size is "vsz", NOT "v": the trigram token columns are
+    # (u, v, w) and a bnv "v" would be ambiguous after the cross join
+    bnv = mid.agg(F.count("*").alias("big_b")).crossJoin(
+        F.broadcast(
+            uni.agg(F.sum("c1").alias("n_toks"), F.count("*").alias("vsz"))
+        )
+    )
+    return {
+        "tric": tric, "ctx3": ctx3, "mid": mid, "midctx": midctx,
+        "cont": cont, "uni": uni, "bnv": bnv,
+    }
+
+
+def kn3_doc_scores(train: DataFrame, scored: DataFrame) -> DataFrame:
+    """(doc_id, n_trigrams, n_kn3, n_kn2, n_cont, n_floor,
+    lp_sum_micro) for every ``scored`` doc with >= 3 tokens under the
+    interpolated-KN trigram model trained on ``train``.
+
+    Per held-out trigram (u, v, w), D = 3/4 at both orders:
+
+      kn3 (context uv seen, w a known continuation):
+          p = max(c3-D,0)/cuv + D*n1uv/cuv * p2(w|v)
+      kn2 (uv unseen, v seen as a trigram middle):
+          p = p2(w|v) = max(ncvw-D,0)/ncv + D*ntv/ncv * n1w/B
+      cont (v unseen as middle, w a known continuation): p = n1w/B
+      floor (w in no train trigram): p = (c(w)+1)/(N+V)
+
+    Exact-integer clearing (the bigram query's discipline, one order
+    up): with D = 3/4 the kn3 sum is the single bigint ratio
+
+        max(4*c3-3,0)*4*ncv*B + 3*n1uv*(max(4*ncvw-3,0)*B + 3*ntv*n1w)
+        ---------------------------------------------------------------
+                              16*cuv*ncv*B
+
+    so both engines divide the same two bigints once. Overflow guard
+    before the multiply (37*cuv*ncv*B bounds every term; raise, never
+    wrap — Spark's non-ANSI mode wraps silently where DuckDB raises)."""
+    m = kn3_model(train)
+    h = _ngrams(scored, 3, "u", "v", "w")
+    joined = (
+        h.join(m["tric"], ["u", "v", "w"], "left")
+        .join(m["ctx3"], ["u", "v"], "left")
+        .join(m["mid"], ["v", "w"], "left")
+        .join(m["midctx"], "v", "left")
+        .join(m["cont"], "w", "left")
+        .join(m["uni"].select(F.col("tok").alias("w"), "c1"), "w", "left")
+        .crossJoin(F.broadcast(m["bnv"]))
+    )
+    guard = (
+        "CASE WHEN CAST(37 * cuv AS DOUBLE) * ncv * big_b >= 9.0e18"
+        " THEN raise_error('kn3: 37*c(uv)*nc(v)*B exceeds int64 —"
+        " re-scale the type-count unit down') ELSE 1 END"
+    )
+    kn3_num = (
+        "(greatest(4 * coalesce(c3, 0) - 3, cast(0 as bigint)) * 4 * ncv * big_b"
+        " + 3 * n1uv * (greatest(4 * coalesce(ncvw, 0) - 3, cast(0 as bigint))"
+        "               * big_b + 3 * ntv * n1w))"
+    )
+    kn2_num = (
+        "(greatest(4 * coalesce(ncvw, 0) - 3, cast(0 as bigint)) * big_b"
+        " + 3 * ntv * n1w)"
+    )
+    lp = (
+        F.when(
+            F.col("cuv").isNotNull() & F.col("n1w").isNotNull(),
+            F.log(
+                F.expr(f"cast({kn3_num} * {guard} as double)")
+                / F.expr("cast(16 * cuv * ncv * big_b as double)")
+            ),
+        )
+        .when(
+            F.col("ncv").isNotNull() & F.col("n1w").isNotNull(),
+            F.log(
+                F.expr(f"cast({kn2_num} as double)")
+                / F.expr("cast(4 * ncv * big_b as double)")
+            ),
+        )
+        .when(
+            F.col("n1w").isNotNull(),
+            F.log(F.col("n1w").cast("double") / F.col("big_b").cast("double")),
+        )
+        .otherwise(
+            F.log(
+                (F.coalesce(F.col("c1"), F.lit(0)) + 1).cast("double")
+                / (F.col("n_toks") + F.col("vsz")).cast("double")
+            )
+        )
+    )
+    path = (
+        F.when(
+            F.col("cuv").isNotNull() & F.col("n1w").isNotNull(), F.lit("kn3")
+        )
+        .when(F.col("ncv").isNotNull() & F.col("n1w").isNotNull(), F.lit("kn2"))
+        .when(F.col("n1w").isNotNull(), F.lit("cont"))
+        .otherwise(F.lit("floor"))
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.round(lp * 1e6).cast("long").alias("lp_micro"),
+            path.alias("path"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.sum(F.when(F.col("path") == "kn3", 1).otherwise(0))
+            .cast("long")
+            .alias("n_kn3"),
+            F.sum(F.when(F.col("path") == "kn2", 1).otherwise(0))
+            .cast("long")
+            .alias("n_kn2"),
+            F.sum(F.when(F.col("path") == "cont", 1).otherwise(0))
+            .cast("long")
+            .alias("n_cont"),
+            F.sum(F.when(F.col("path") == "floor", 1).otherwise(0))
+            .cast("long")
+            .alias("n_floor"),
+            F.sum("lp_micro").alias("lp_sum_micro"),
+        )
+    )
+
+
+def text_kneser_ney_trigram(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    train = d.where(F.col("doc_id") % _HOLDOUT_MOD != 0)
+    heldout = d.where(F.col("doc_id") % _HOLDOUT_MOD == 0)
+    return kn3_doc_scores(train, heldout).select(
+        "doc_id",
+        "n_trigrams",
+        "n_kn3",
+        "n_kn2",
+        "n_cont",
+        "n_floor",
+        "lp_sum_micro",
+        F.round(
+            F.col("lp_sum_micro") / (F.col("n_trigrams") * 1e6), 4
+        ).alias("avg_logprob"),
+    )
+
+
 def text_kneser_ney_bigram(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select("doc_id", "text")
     train = d.where(F.col("doc_id") % _HOLDOUT_MOD != 0)
@@ -243,6 +409,99 @@ FROM scored
 GROUP BY doc_id
 """
 
+_ORACLE3 = f"""
+WITH tr AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+  FROM documents WHERE doc_id % {_HOLDOUT_MOD} != 0
+),
+ho AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+  FROM documents WHERE doc_id % {_HOLDOUT_MOD} = 0
+),
+tric AS (
+  SELECT arr[x] AS u, arr[x + 1] AS v, arr[x + 2] AS w,
+         CAST(count(*) AS BIGINT) AS c3
+  FROM tr, UNNEST(generate_series(1, len(arr) - 2)) AS g(x)
+  WHERE len(arr) >= 3
+  GROUP BY 1, 2, 3
+),
+ctx3 AS (
+  SELECT u, v, CAST(sum(c3) AS BIGINT) AS cuv,
+         CAST(count(*) AS BIGINT) AS n1uv
+  FROM tric GROUP BY u, v
+),
+mid AS (
+  SELECT v, w, CAST(count(*) AS BIGINT) AS ncvw FROM tric GROUP BY v, w
+),
+midctx AS (
+  SELECT v, CAST(sum(ncvw) AS BIGINT) AS ncv,
+         CAST(count(*) AS BIGINT) AS ntv
+  FROM mid GROUP BY v
+),
+cont AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n1w FROM mid GROUP BY w
+),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(arr) AS tok FROM tr) WHERE len(tok) > 0 GROUP BY tok
+),
+bnv AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM mid) AS big_b,
+         (SELECT CAST(sum(c1) AS BIGINT) FROM uni) AS n_toks,
+         (SELECT CAST(count(*) AS BIGINT) FROM uni) AS v
+),
+h AS (
+  SELECT doc_id, arr[x] AS u, arr[x + 1] AS v, arr[x + 2] AS w
+  FROM ho, UNNEST(generate_series(1, len(arr) - 2)) AS g(x)
+  WHERE len(arr) >= 3
+),
+scored AS (
+  SELECT h.doc_id,
+         CASE WHEN c.cuv IS NOT NULL AND n.n1w IS NOT NULL THEN 'kn3'
+              WHEN mc.ncv IS NOT NULL AND n.n1w IS NOT NULL THEN 'kn2'
+              WHEN n.n1w IS NOT NULL THEN 'cont'
+              ELSE 'floor' END AS path,
+         CAST(round(CASE
+           WHEN c.cuv IS NOT NULL AND n.n1w IS NOT NULL THEN
+             ln(CAST(greatest(4 * coalesce(t.c3, 0) - 3, 0) * 4 * mc.ncv
+                       * b.big_b
+                     + 3 * c.n1uv
+                       * (greatest(4 * coalesce(m.ncvw, 0) - 3, 0) * b.big_b
+                          + 3 * mc.ntv * n.n1w) AS DOUBLE)
+                / CAST(16 * c.cuv * mc.ncv * b.big_b AS DOUBLE))
+           WHEN mc.ncv IS NOT NULL AND n.n1w IS NOT NULL THEN
+             ln(CAST(greatest(4 * coalesce(m.ncvw, 0) - 3, 0) * b.big_b
+                     + 3 * mc.ntv * n.n1w AS DOUBLE)
+                / CAST(4 * mc.ncv * b.big_b AS DOUBLE))
+           WHEN n.n1w IS NOT NULL THEN
+             ln(CAST(n.n1w AS DOUBLE) / CAST(b.big_b AS DOUBLE))
+           ELSE
+             ln(CAST(coalesce(u2.c1, 0) + 1 AS DOUBLE)
+                / CAST(b.n_toks + b.v AS DOUBLE))
+         END * 1000000, 0) AS BIGINT) AS lp_micro
+  FROM h
+  LEFT JOIN tric t ON t.u = h.u AND t.v = h.v AND t.w = h.w
+  LEFT JOIN ctx3 c ON c.u = h.u AND c.v = h.v
+  LEFT JOIN mid m ON m.v = h.v AND m.w = h.w
+  LEFT JOIN midctx mc ON mc.v = h.v
+  LEFT JOIN cont n ON n.w = h.w
+  LEFT JOIN uni u2 ON u2.tok = h.w
+  CROSS JOIN bnv b
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN path = 'kn3' THEN 1 ELSE 0 END) AS BIGINT) AS n_kn3,
+       CAST(sum(CASE WHEN path = 'kn2' THEN 1 ELSE 0 END) AS BIGINT) AS n_kn2,
+       CAST(sum(CASE WHEN path = 'cont' THEN 1 ELSE 0 END) AS BIGINT) AS n_cont,
+       CAST(sum(CASE WHEN path = 'floor' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_floor,
+       CAST(sum(lp_micro) AS BIGINT) AS lp_sum_micro,
+       round(sum(lp_micro) / (count(*) * 1000000.0), 4) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+"""
+
 QUERIES = {
     "text_kneser_ney_bigram": QuerySpec(text_kneser_ney_bigram, _ORACLE),
+    "text_kneser_ney_trigram": QuerySpec(text_kneser_ney_trigram, _ORACLE3),
 }

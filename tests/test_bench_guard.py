@@ -106,6 +106,41 @@ def test_zero_prev_value_is_a_prior_round_not_a_skip():
     assert bench._total_drift_note(5.0, None) is None
 
 
+def test_round_record_written_and_read_back(tmp_path):
+    """r12 verdict item 6: the driver envelope kept only the stdout tail
+    (parsed=null), losing per-query timings. bench.py now writes the
+    full JSON to bench_records/r{N}.json and the guard reads prev-round
+    values from it — even when the driver envelope for the same round is
+    truncated."""
+    # driver rounds 9 and 10 exist; round 10's envelope is TRUNCATED
+    _write_driver_record(tmp_path, 9, dict(_PARSED, value=99.0))
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps({"n": 10, "rc": 0, "sf": 0.1, "tail": "…", "parsed": None})
+    )
+    # bench ran during round 11 and persisted its full record
+    path = bench._write_round_record(dict(_PARSED), records_dir=str(tmp_path))
+    assert path is not None and path.endswith(os.path.join("bench_records", "r11.json"))
+    kw = dict(records_dir=str(tmp_path), sf_dir="/root/testdata/sf0.1")
+    # the guard now sees round 11's full values, not round 9's stale ones
+    assert bench._prev_round_value("value", "", **kw) == 8.711
+    assert bench._prev_round_value("q1_pricing_summary", "queries", **kw) == 0.499
+    # non-driver SF runs are not round records
+    assert bench._write_round_record(dict(_PARSED, sf=0.01), records_dir=str(tmp_path)) is None
+
+
+def test_round_record_preferred_over_truncated_envelope_same_round(tmp_path):
+    """Same round number on both sides: the full bench_records copy must
+    win over a driver envelope whose parsed is null."""
+    _write_driver_record(tmp_path, 7, dict(_PARSED, value=42.0))
+    bench._write_round_record(dict(_PARSED, value=7.5), records_dir=str(tmp_path))
+    # driver's own r8 envelope lands later, truncated
+    (tmp_path / "BENCH_r8.json").write_text(
+        json.dumps({"n": 8, "rc": 0, "sf": 0.1, "tail": "", "parsed": None})
+    )
+    kw = dict(records_dir=str(tmp_path), sf_dir="/root/testdata/sf0.1")
+    assert bench._prev_round_value("value", "", **kw) == 7.5
+
+
 def test_total_10pct_drift_produces_note_against_driver_record(tmp_path):
     _write_driver_record(tmp_path, 10, _PARSED)
     prev_total = bench._prev_round_value(
