@@ -101,6 +101,7 @@ _FRONT_WINDOW = [
     # (1) new this round — inserted at the head as each lands, displacing
     # r9 fillers from the tail (they rotate in r14 with the rest)
     "text_kneser_ney_trigram",
+    "cluster_docs_minibatch",
     # (2) implementation changed this round (r12 ADVICE fixes)
     "media_scene_cut", "media_video_neardup", "ann_matryoshka_prefix",
     "retrieval_rrf_hybrid", "text_bm25_topk", "components_chain_doubling",
@@ -124,7 +125,6 @@ _FRONT_WINDOW = [
     "q7_nation_volume", "q8_market_share", "q9_product_profit",
     "retention_cohorts", "sample_quality_weighted",
     "sample_stratified_hash", "scd2_user_history", "session_window_stats",
-    "stream_dedup_events",
 ]
 
 

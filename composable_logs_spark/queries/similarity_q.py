@@ -262,13 +262,17 @@ _KM_CORPUS_SQL = (
 
 
 def _km_cte_chain(
-    corpus_sql: str = _KM_CORPUS_SQL, k: int = _KM_K
+    corpus_sql: str = _KM_CORPUS_SQL,
+    k: int = _KM_K,
+    final_assign_src: str | None = None,
 ) -> tuple[list[str], str]:
     """The unrolled-Lloyd CTE chain through ``finaln`` (assigned +
     normed corpus); returns (ctes, name of the final centroid CTE) so
     the k-means probe, the multi-probe query, and SemDeDup (which
     trains over an AUGMENTED corpus with its own cell count, hence the
-    parameters) share it."""
+    parameters) share it. ``final_assign_src`` lets the mini-batch
+    variant (cluster_docs_q) TRAIN on a sampled corpus while the final
+    assignment pass covers a different (full) relation."""
 
     def assign(cent_cte: str, src: str) -> str:
         return f"""(
@@ -302,7 +306,9 @@ def _km_cte_chain(
         ctes.append(f"assign{i} AS {assign(prev_cent, 'corpus')}")
         ctes.append(f"cent{i} AS {recompute(f'assign{i}')}")
         prev_cent = f"cent{i}"
-    ctes.append(f"finala AS {assign(prev_cent, 'corpus')}")
+    ctes.append(
+        f"finala AS {assign(prev_cent, final_assign_src or 'corpus')}"
+    )
     ctes.append(
         """finaln AS (
   SELECT vec_id, vec, cell,

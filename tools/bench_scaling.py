@@ -52,6 +52,9 @@ QUERIES = [
     "text_bm25_topk",
     "text_gopher_filters",
     "cluster_docs_hashed_tf",
+    # round-13: the sub-linear-training variant, tracked alongside the
+    # exact query so the slope difference is measured, not asserted
+    "cluster_docs_minibatch",
 ]
 
 # SPARK_GRAFT_SCALING_QUERIES=a,b,c trims the list — the 128x+ replicas
