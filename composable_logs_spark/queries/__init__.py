@@ -102,6 +102,7 @@ _FRONT_WINDOW = [
     # r9 fillers from the tail (they rotate in r14 with the rest)
     "text_kneser_ney_trigram",
     "cluster_docs_minibatch",
+    "media_keyframe_spatial_neardup",
     # (2) implementation changed this round (r12 ADVICE fixes)
     "media_scene_cut", "media_video_neardup", "ann_matryoshka_prefix",
     "retrieval_rrf_hybrid", "text_bm25_topk", "components_chain_doubling",
@@ -124,7 +125,7 @@ _FRONT_WINDOW = [
     "q2_min_cost_supplier", "q4_late_order_priority", "q6_forecast_revenue",
     "q7_nation_volume", "q8_market_share", "q9_product_profit",
     "retention_cohorts", "sample_quality_weighted",
-    "sample_stratified_hash", "scd2_user_history", "session_window_stats",
+    "sample_stratified_hash", "scd2_user_history",
 ]
 
 
@@ -193,6 +194,7 @@ def all_queries() -> dict[str, QuerySpec]:
         rrf_q,
         matryoshka_q,
         kn_q,
+        media_keyframe_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -260,6 +262,7 @@ def all_queries() -> dict[str, QuerySpec]:
         rrf_q,
         matryoshka_q,
         kn_q,
+        media_keyframe_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]

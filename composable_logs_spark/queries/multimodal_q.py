@@ -166,8 +166,14 @@ def scene_fingerprints(media: DataFrame) -> DataFrame:
         )
         .drop("fhex")
     )
+    # greatest(nf - 1, 0): the nf >= 2 filter below makes the slice
+    # lengths logically safe, but Catalyst may REORDER predicates when a
+    # caller's filter (e.g. n_cuts >= 1 in the keyframe query) collapses
+    # into the same conjunction — then slice evaluates on nf = 0 rows
+    # and raises INVALID_PARAMETER_VALUE. Total expressions only.
     deltas = (
-        "zip_with(slice(fsum, 2, nf - 1), slice(fsum, 1, nf - 1),"
+        "zip_with(slice(fsum, 2, greatest(nf - 1, 0)),"
+        " slice(fsum, 1, greatest(nf - 1, 0)),"
         " (a, b) -> abs(a - b))"
     )
     return (
@@ -204,6 +210,9 @@ def scene_fingerprints(media: DataFrame) -> DataFrame:
                 )
             ).alias("profile_md5"),
             "fsum",
+            # the cut POSITIONS themselves (1-based frame-after-the-cut
+            # indices) — the keyframe query anchors spatial hashes here
+            F.expr("transform(cuts, s -> s.at)").alias("cut_ats"),
         )
     )
 
@@ -214,7 +223,7 @@ def media_scene_cut(spark: SparkSession, sf: str) -> DataFrame:
     cover. See ``scene_fingerprints`` for the plan."""
     return scene_fingerprints(
         synthetic_media_from_documents(spark, sf).select("media_id", "payload")
-    ).drop("profile_md5", "fsum")
+    ).drop("profile_md5", "fsum", "cut_ats")
 
 
 _CUT_T = 256  # brightness-sum jump that counts as a scene change
