@@ -51,9 +51,18 @@ _RRF_C = 60  # the standard RRF constant
 _SALT_BUCKETS = 32
 
 
-def _ranked_topk(scored: DataFrame, order_col, k: int, rank_name: str) -> DataFrame:
+def _ranked_topk(
+    scored: DataFrame,
+    order_col,
+    k: int,
+    rank_name: str,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Salted two-phase per-query top-k (similarity_q pattern): local
-    top-k inside hash-salt buckets, global merge over buckets*k rows."""
+    top-k inside hash-salt buckets, global merge over buckets*k rows.
+    ``keep`` carries extra columns (e.g. the raw score) through — used
+    by the incremental index, whose per-batch candidate lists must be
+    re-rankable at merge time."""
     order = [order_col.desc(), F.col("doc_id")]
     salted = scored.withColumn(
         "_salt", F.pmod(F.hash(F.col("doc_id")), F.lit(_SALT_BUCKETS))
@@ -68,47 +77,43 @@ def _ranked_topk(scored: DataFrame, order_col, k: int, rank_name: str) -> DataFr
             F.row_number().over(W.partitionBy("query_id").orderBy(*order)).cast("int"),
         )
         .where(F.col("rank") <= k)
-        .select("query_id", "doc_id", F.col("rank").alias(rank_name))
+        .select("query_id", "doc_id", F.col("rank").alias(rank_name), *keep)
     )
 
 
-def retrieval_rrf_hybrid(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
-    emb = load(spark, sf, "embeddings")
-
-    # ---- sparse ranking: BM25 of the query doc's distinct terms
-    tf = _postings(docs)
-    qterms = (
-        docs.where(F.col("doc_id") % _QUERY_STRIDE == 0)
+def query_terms(docs: DataFrame, stride: int = _QUERY_STRIDE) -> DataFrame:
+    """(query_id, term): distinct terms of every ``stride``-th document —
+    the fixed sparse-side query workload."""
+    return (
+        docs.where(F.col("doc_id") % stride == 0)
         .select(
             F.col("doc_id").alias("query_id"),
             F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
         )
         .distinct()
     )
-    # NO broadcast hint: qterms is corpus-DERIVED (every _QUERY_STRIDEth
-    # doc x its distinct terms — ~1% of the token stream, unbounded in
-    # corpus size), so forcing it driver-side risks OOM at scale; AQE's
-    # size gate upgrades the join to broadcast whenever it actually fits
-    sparse = bm25_scores(tf, qterms).where(
-        F.col("doc_id") != F.col("query_id")
-    )
-    sparse_top = _ranked_topk(sparse, F.col("score_micro"), _CAND_K, "bm25_rank")
 
-    # ---- dense ranking: round-6dp cosine over the aligned embedding row
-    vecs = emb.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    qvecs = vecs.where(F.col("vec_id") % _QUERY_STRIDE == 0).select(
+
+def query_vecs(vecs: DataFrame, stride: int = _QUERY_STRIDE) -> DataFrame:
+    """(query_id, qv): the dense-side query vectors, aligned by id."""
+    return vecs.where(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
+
+
+def dense_scores(vecs: DataFrame, qvecs: DataFrame) -> DataFrame:
+    """(query_id, doc_id, cosine_r): round-6dp cosine of every corpus
+    vector against every query vector, self-matches excluded. The qvecs
+    side is explicitly broadcast: the brute-force baseline is a cross
+    join, and replicating the (bounded-stride) query panel is the only
+    sane physical strategy for it — the IVF family is the scale path."""
     dot = F.aggregate(
         F.zip_with("v", "qv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
     norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(F.col(c), F.lit(0.0), lambda a, x: a + x * x)
     )
-    dense = (
+    return (
         vecs.crossJoin(F.broadcast(qvecs))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -117,9 +122,12 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf: str) -> DataFrame:
             F.round(dot / (norm("v") * norm("qv")), 6).alias("cosine_r"),
         )
     )
-    dense_top = _ranked_topk(dense, F.col("cosine_r"), _CAND_K, "cos_rank")
 
-    # ---- integer RRF fusion over the union of both candidate lists
+
+def fuse_rrf(sparse_top: DataFrame, dense_top: DataFrame) -> DataFrame:
+    """Integer RRF fusion over the union of both candidate lists.
+    Inputs are the per-ranker (query_id, doc_id, <rank>) frames; the
+    final per-query window is bounded at 2*_CAND_K rows per key."""
     fused = (
         sparse_top.join(dense_top, ["query_id", "doc_id"], "full_outer")
         .withColumn(
@@ -139,6 +147,49 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "query_id", "doc_id", "bm25_rank", "cos_rank", "rrf_micro", "fused_rank"
         )
+    )
+
+
+def rrf_rank(
+    tf: DataFrame,
+    qterms: DataFrame,
+    dense_scored: DataFrame,
+) -> DataFrame:
+    """Fuse a BM25 postings frame with a pre-scored dense frame — the
+    core shared by the batch registry query and the streaming
+    incremental index (streaming/incremental_rrf), so the two cannot
+    drift. ``dense_scored`` is any (query_id, doc_id, cosine_r) frame
+    whose per-query top-_CAND_K equals the full corpus's (the
+    incremental index passes a union of per-batch candidate lists —
+    cosine is corpus-stat-independent, so per-batch top-k merge is
+    exact)."""
+    # NO broadcast hint: qterms is corpus-DERIVED (every _QUERY_STRIDEth
+    # doc x its distinct terms — ~1% of the token stream, unbounded in
+    # corpus size), so forcing it driver-side risks OOM at scale; AQE's
+    # size gate upgrades the join to broadcast whenever it actually fits
+    sparse = bm25_scores(tf, qterms).where(
+        F.col("doc_id") != F.col("query_id")
+    )
+    sparse_top = _ranked_topk(sparse, F.col("score_micro"), _CAND_K, "bm25_rank")
+    dense_top = _ranked_topk(dense_scored, F.col("cosine_r"), _CAND_K, "cos_rank")
+    return fuse_rrf(sparse_top, dense_top)
+
+
+def to_vecs(emb: DataFrame) -> DataFrame:
+    """(vec_id, v): embeddings widened to double for exact-6dp rounding
+    parity with the DuckDB oracle."""
+    return emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+
+def retrieval_rrf_hybrid(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    vecs = to_vecs(load(spark, sf, "embeddings"))
+    return rrf_rank(
+        _postings(docs),
+        query_terms(docs),
+        dense_scores(vecs, query_vecs(vecs)),
     )
 
 
