@@ -26,6 +26,12 @@ from typing import Any, Optional
 
 from ..orchestrator.core import task, get_task_context
 
+# Per-cell full checkpoints are exact (lose at most the running cell on
+# a kill) but O(cells²) bytes; past this size the saver switches to a
+# geometric byte budget (see make_jupytext_task).
+_CKPT_EVERY_CELL_MAX_BYTES = 256 * 1024
+_CKPT_GROWTH = 1.5
+
 
 def jupytext_to_ipynb(py_src: str) -> dict:
     """C15: percent-format python text -> nbformat-v4 notebook dict."""
@@ -123,13 +129,17 @@ def evaluate_notebook(
     notebook is returned even on failure (reference logs it as an
     artifact regardless, tasks/tasks.py:44-66).
 
-    ``on_cell(nb)``: called with the notebook state after EVERY executed
-    cell (including the failing one) — papermill's incremental-save
-    model. ``make_jupytext_task`` checkpoints the partial notebook as an
-    artifact through it, which is what makes a hard-killed stuck
+    ``on_cell(nb[, cell])``: called after EVERY executed cell (including
+    the failing one) — papermill's incremental-save model; two-parameter
+    callbacks also receive the just-executed cell dict so the caller can
+    account checkpoint cost per cell without re-serializing the whole
+    notebook. ``make_jupytext_task`` checkpoints the partial notebook as
+    an artifact through it, which is what makes a hard-killed stuck
     notebook (reference test_stuck_notebook.py) still leave its partial
     ``notebook.ipynb`` behind: the kill can lose at most the
-    currently-running cell, never the completed ones."""
+    currently-running cell, never the completed ones (for large
+    notebooks, at most the current byte-budget window — see
+    ``make_jupytext_task``)."""
     nb = json.loads(json.dumps(nb))  # deep copy
     cells = nb.get("cells", [])
     if parameters:
@@ -147,6 +157,17 @@ def evaluate_notebook(
     ns: dict[str, Any] = {"__name__": "__main__"}
     error: Optional[BaseException] = None
     count = 0
+
+    def notify(cell: dict) -> None:
+        if on_cell is None:
+            return
+        import inspect
+
+        if len(inspect.signature(on_cell).parameters) >= 2:
+            on_cell(nb, cell)
+        else:
+            on_cell(nb)
+
     for cell in cells:
         if cell.get("cell_type") != "code":
             continue
@@ -169,15 +190,13 @@ def evaluate_notebook(
                     "traceback": traceback.format_exception(e),
                 }
             ]
-            if on_cell is not None:
-                on_cell(nb)
+            notify(cell)
             break
         text = buf.getvalue()
         cell["outputs"] = (
             [{"output_type": "stream", "name": "stdout", "text": text}] if text else []
         )
-        if on_cell is not None:
-            on_cell(nb)
+        notify(cell)
     return nb, error
 
 
@@ -201,9 +220,21 @@ def make_jupytext_task(
     artifact after each cell (papermill's incremental save), each
     checkpoint durably fsync'd before the next cell starts, and the
     summariser keeps the LAST version per artifact name (the directory
-    sink's overwrite-by-name semantics). Pass ``executor="thread"`` for
-    bodies that must share the driver process (e.g. notebooks using the
-    shared SparkSession through a closure)."""
+    sink's overwrite-by-name semantics).
+
+    Checkpoint cost is SIZE-BOUNDED: a full save per cell is O(cells²)
+    bytes for a large notebook, so once the notebook outgrows
+    ``_CKPT_EVERY_CELL_MAX_BYTES`` the per-cell save switches to a
+    geometric byte budget — checkpoint only when the notebook has grown
+    ``_CKPT_GROWTH``x since the last save. Checkpoint sizes then grow
+    geometrically, so total checkpoint bytes stay O(final size), and a
+    SIGKILL loses at most the current budget window (~1/3 of the
+    notebook at growth 1.5) instead of "at most one cell" — small
+    notebooks (under the threshold) keep the exact per-cell guarantee.
+    The terminal state is always logged in full, including on cell
+    error, so only hard kills ever see a stale window. Pass
+    ``executor="thread"`` for bodies that must share the driver process
+    (e.g. notebooks using the shared SparkSession through a closure)."""
 
     @task(
         task_id=task_id,
@@ -220,9 +251,21 @@ def make_jupytext_task(
             for k, v in ctx.parameters.items()
         }
 
-        def checkpoint(state: dict) -> None:
+        # size-bounded incremental save state (see docstring): approx
+        # notebook size is accumulated per cell — never re-serializing
+        # the whole notebook just to decide whether to save it
+        approx = [0.0, 0.0]  # [approx total bytes, bytes at last save]
+
+        def checkpoint(state: dict, cell: dict) -> None:
             # papermill incremental save: the artifact name is constant;
             # the summariser's last-value-wins keeps the newest state
+            approx[0] += len(json.dumps(cell))
+            if (
+                approx[0] > _CKPT_EVERY_CELL_MAX_BYTES
+                and approx[0] < approx[1] * _CKPT_GROWTH
+            ):
+                return  # inside the byte-budget window: skip the save
+            approx[1] = approx[0]
             ctx.log_artefact("notebook.ipynb", json.dumps(state))
 
         evaluated, error = evaluate_notebook(

@@ -373,3 +373,53 @@ def test_ftp_artifact_server_stock_ftplib_flow(spark, tmp_path):
     assert r["context"]["trace_id"] == "0x" + "a" * 32
     assert r["parent_id"] == "0x" + "b" * 16
     assert r["attributes"]["name"] == "run-artifacts/model.bin"
+
+
+def test_checkpoint_bytes_are_size_bounded(spark, tmp_path):
+    """A large notebook must not write O(cells²) checkpoint bytes: past
+    _CKPT_EVERY_CELL_MAX_BYTES the per-cell save switches to a geometric
+    byte budget, so total checkpoint traffic stays linear in the final
+    notebook size while the LAST artifact still carries every cell's
+    output (last-value-wins semantics unchanged)."""
+    from composable_logs_spark.functions import make_jupytext_task
+    from composable_logs_spark.orchestrator import Success, run_dag
+
+    n_cells, out_bytes = 24, 50 * 1024
+    src = "\n\n".join(
+        f'# %%\nprint("c{i:02d}" + "x" * {out_bytes})' for i in range(n_cells)
+    )
+    node = make_jupytext_task(src, task_id="nb-big", executor="thread")
+    res = run_dag(node(), log_dir=tmp_path / "spans")
+    assert isinstance(res, Success)
+
+    import glob
+
+    ckpt_bytes, n_saves = 0, 0
+    for p in glob.glob(str(tmp_path / "spans" / "*.jsonl")):
+        with open(p, encoding="utf-8") as f:
+            for line in f:
+                rec = json.loads(line)
+                if (rec.get("attributes") or {}).get("name") == "notebook.ipynb":
+                    ckpt_bytes += len(rec["attributes"]["content_encoded"])
+                    n_saves += 1
+
+    final_size = n_cells * out_bytes  # lower bound on the final notebook
+    quadratic = final_size * (n_cells + 1) / 2  # per-cell-full-save cost
+    # linear-with-constant bound: threshold region + geometric tail +
+    # final save is well under 6x the final size; the quadratic scheme
+    # writes ~12x here and grows with cell count
+    assert ckpt_bytes < 6 * final_size, (ckpt_bytes, final_size)
+    assert ckpt_bytes < quadratic / 2
+    # the budget skipped saves (it is not save-every-cell any more)...
+    assert n_saves < n_cells
+    # ...but the final artifact still has every cell's output
+    s = summarize_spans(read_span_jsonl(spark, tmp_path / "spans"))
+    arts = {r["name"]: r for r in s.artifacts.collect()}
+    nb = json.loads(bytes(arts["notebook.ipynb"]["content"]).decode())
+    outs = "".join(
+        o.get("text", "")
+        for c in nb["cells"]
+        if c["cell_type"] == "code"
+        for o in c.get("outputs", [])
+    )
+    assert all(f"c{i:02d}" in outs for i in range(n_cells))
