@@ -96,13 +96,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # components_chain_doubling: non-convergence now raises); rule (3) then
 # rotates the 6 r8-stale names the r12 window displaced, and fills the
 # remaining seats from the 45-name r9-stale block in name order — the
-# r9 names that don't fit rotate in r14.
+# r9 names that don't fit (retention_cohorts, sample_quality_weighted,
+# sample_stratified_hash, scd2_user_history onward) rotate in r14.
 _FRONT_WINDOW = [
     # (1) new this round — inserted at the head as each lands, displacing
     # r9 fillers from the tail (they rotate in r14 with the rest)
     "text_kneser_ney_trigram",
     "cluster_docs_minibatch",
     "media_keyframe_spatial_neardup",
+    "dedup_containment",
+    "graph_adamic_adar",
+    "text_heaps_law",
+    "anonymity_k_audit",
     # (2) implementation changed this round (r12 ADVICE fixes)
     "media_scene_cut", "media_video_neardup", "ann_matryoshka_prefix",
     "retrieval_rrf_hybrid", "text_bm25_topk", "components_chain_doubling",
@@ -111,7 +116,7 @@ _FRONT_WINDOW = [
     "window_order_gaps", "window_rolling_week_spend",
     "window_running_customer_spend",
     # (3b) fill from the r9-stale block, name order; the remainder
-    # (sample_stratified_hash onward) rotates in r14
+    # (retention_cohorts onward) rotates in r14
     "ann_ivf_recall", "ann_ivfpq_rerank", "ann_ivfpq_residual",
     "ann_mips_norm_prune", "ann_pq_adc", "attribution_time_decay",
     "cdc_apply_changes", "classifier_calibration", "classifier_group_auc",
@@ -124,8 +129,6 @@ _FRONT_WINDOW = [
     "q21_waiting_suppliers", "q22_idle_rich_customers",
     "q2_min_cost_supplier", "q4_late_order_priority", "q6_forecast_revenue",
     "q7_nation_volume", "q8_market_share", "q9_product_profit",
-    "retention_cohorts", "sample_quality_weighted",
-    "sample_stratified_hash", "scd2_user_history",
 ]
 
 
@@ -195,6 +198,10 @@ def all_queries() -> dict[str, QuerySpec]:
         matryoshka_q,
         kn_q,
         media_keyframe_q,
+        containment_q,
+        linkpred_q,
+        heaps_q,
+        anonymity_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -263,6 +270,10 @@ def all_queries() -> dict[str, QuerySpec]:
         matryoshka_q,
         kn_q,
         media_keyframe_q,
+        containment_q,
+        linkpred_q,
+        heaps_q,
+        anonymity_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
