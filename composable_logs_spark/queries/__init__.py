@@ -96,8 +96,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # components_chain_doubling: non-convergence now raises); rule (3) then
 # rotates the 6 r8-stale names the r12 window displaced, and fills the
 # remaining seats from the 45-name r9-stale block in name order — the
-# r9 names that don't fit (retention_cohorts, sample_quality_weighted,
-# sample_stratified_hash, scd2_user_history onward) rotate in r14.
+# r9 names that don't fit (q9_product_profit, retention_cohorts,
+# sample_quality_weighted, sample_stratified_hash, scd2_user_history
+# onward) rotate in r14.
 _FRONT_WINDOW = [
     # (1) new this round — inserted at the head as each lands, displacing
     # r9 fillers from the tail (they rotate in r14 with the rest)
@@ -108,6 +109,7 @@ _FRONT_WINDOW = [
     "graph_adamic_adar",
     "text_heaps_law",
     "anonymity_k_audit",
+    "graph_kcore",
     # (2) implementation changed this round (r12 ADVICE fixes)
     "media_scene_cut", "media_video_neardup", "ann_matryoshka_prefix",
     "retrieval_rrf_hybrid", "text_bm25_topk", "components_chain_doubling",
@@ -128,7 +130,7 @@ _FRONT_WINDOW = [
     "q19_bracket_revenue", "q20_potential_promotion",
     "q21_waiting_suppliers", "q22_idle_rich_customers",
     "q2_min_cost_supplier", "q4_late_order_priority", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q7_nation_volume", "q8_market_share",
 ]
 
 
@@ -202,6 +204,7 @@ def all_queries() -> dict[str, QuerySpec]:
         linkpred_q,
         heaps_q,
         anonymity_q,
+        kcore_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -274,6 +277,7 @@ def all_queries() -> dict[str, QuerySpec]:
         linkpred_q,
         heaps_q,
         anonymity_q,
+        kcore_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
