@@ -110,6 +110,7 @@ _FRONT_WINDOW = [
     "text_heaps_law",
     "anonymity_k_audit",
     "graph_kcore",
+    "ts_holt_linear",
     # (2) implementation changed this round (r12 ADVICE fixes)
     "media_scene_cut", "media_video_neardup", "ann_matryoshka_prefix",
     "retrieval_rrf_hybrid", "text_bm25_topk", "components_chain_doubling",
@@ -130,7 +131,7 @@ _FRONT_WINDOW = [
     "q19_bracket_revenue", "q20_potential_promotion",
     "q21_waiting_suppliers", "q22_idle_rich_customers",
     "q2_min_cost_supplier", "q4_late_order_priority", "q6_forecast_revenue",
-    "q7_nation_volume", "q8_market_share",
+    "q7_nation_volume",
 ]
 
 
@@ -205,6 +206,7 @@ def all_queries() -> dict[str, QuerySpec]:
         heaps_q,
         anonymity_q,
         kcore_q,
+        holt_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -278,6 +280,7 @@ def all_queries() -> dict[str, QuerySpec]:
         heaps_q,
         anonymity_q,
         kcore_q,
+        holt_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
