@@ -96,12 +96,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # components_chain_doubling: non-convergence now raises); rule (3) then
 # rotates the 6 r8-stale names the r12 window displaced, and fills the
 # remaining seats from the 45-name r9-stale block in name order — the
-# r9 names that don't fit (q4_late_order_priority, q6_forecast_revenue, q7_nation_volume, q9_product_profit,
+# r9 names that don't fit (q2_min_cost_supplier, q4_late_order_priority,
+# q6_forecast_revenue, q7_nation_volume, q9_product_profit,
 # retention_cohorts, sample_quality_weighted, sample_stratified_hash,
 # scd2_user_history onward) rotate in r14.
 _FRONT_WINDOW = [
     # (1) new this round — inserted at the head as each lands, displacing
     # r9 fillers from the tail (they rotate in r14 with the rest)
+    "events_conformal_audit",
     "events_bootstrap_ci",
     "ts_holt_winters",
     "text_chi2_feature_select",
@@ -133,7 +135,6 @@ _FRONT_WINDOW = [
     "q17_small_qty_revenue", "q18_large_volume_customers",
     "q19_bracket_revenue", "q20_potential_promotion",
     "q21_waiting_suppliers", "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
 ]
 
 
@@ -212,6 +213,7 @@ def all_queries() -> dict[str, QuerySpec]:
         chi2_q,
         holt_winters_q,
         bootstrap_q,
+        conformal_q,
     )
 
     out: dict[str, QuerySpec] = {}
@@ -289,6 +291,7 @@ def all_queries() -> dict[str, QuerySpec]:
         chi2_q,
         holt_winters_q,
         bootstrap_q,
+        conformal_q,
     ):
         out.update(mod.QUERIES)
     missing = [n for n in _FRONT_WINDOW if n not in out]
