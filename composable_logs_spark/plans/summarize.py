@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.closure import descendants
-from ..operators.spans_ops import span_edges
 from ..spanlog import schema as S
 
 def _empty_map():
@@ -72,24 +71,58 @@ def _duration_s(start_col, end_col):
 
 
 def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
-    spans = _with_run_id(spans).cache()
+    # --- pre-digested narrow cache (r13 optimization round) -------------
+    # The cache used to hold FULL spans (context struct, raw events
+    # array, links, attributes). Profiling the 940k-span big fixture
+    # showed every consumer branch re-scanning that wide cache and the
+    # attribute pass shuffling whole map-typed rows (SortMergeJoin with
+    # 2.7 min cumulative shuffle-write time). Digest ONCE at cache time:
+    # span_id hoisted out of the context struct, the per-span exception
+    # count precomputed (drops the events array — with stacktrace
+    # payloads — from the cache entirely; guide §2.3 "shuffle keys and
+    # metadata instead of payloads"), status_code hoisted. Every value
+    # below is derived exactly as before, so all outputs are
+    # bit-identical (digest-locked by the bench goldens).
+    spans = _with_run_id(spans).select(
+        "run_id",
+        F.col("context.span_id").alias("span_id"),
+        "parent_id",
+        "name",
+        "start_time",
+        "end_time",
+        F.col("status.status_code").alias("status_code"),
+        # == count of exploded events with name=='exception' (A5): the
+        # old explode+filter+groupBy per-span count, folded to a size()
+        F.coalesce(
+            F.size(F.filter(F.col("events"), lambda e: e["name"] == F.lit("exception"))),
+            F.lit(0),
+        ).alias("n_exc_own"),
+        "attributes",
+        "links",
+    ).cache()
 
     # --- closure: span -> owning execute-task span (computed ONCE) ------
     # cached: the bounded closure is a deep join tree consumed by several
     # branches (exceptions/attributes/values/artifacts) — without the
     # cache every consumer re-executes all max_depth joins (this is the
     # reference's _cached_graph memo, opentelemetry_helpers.py:407-419)
-    edges = span_edges(spans)
+    edges = spans.where(F.col("parent_id").isNotNull()).select(
+        "run_id", F.col("parent_id").alias("parent_span_id"), "span_id"
+    )
     closure = descendants(edges).cache()
 
+    # cached separately (r13): task_spans is read by four consumers
+    # (owned, owned_incl, the task_runs base, run_success); uncached,
+    # each re-filtered the full span cache (4 extra 940k-row scans on
+    # the big fixture)
     task_spans = spans.where(F.col("name") == S.SPAN_EXECUTE_TASK).select(
         "run_id",
-        F.col("context.span_id").alias("task_span_id"),
+        F.col("span_id").alias("task_span_id"),
         F.col("parent_id").alias("task_parent_span_id"),
         "start_time",
         "end_time",
         "attributes",
-    )
+    ).cache()
     task_keys = ["run_id", "task_span_id"]
 
     # Map every span to its execute-task ancestor. Tasks never nest in the
@@ -114,41 +147,43 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
     )
 
     # --- per-task exception counts (A5/A6) ------------------------------
-    span_exc = (
-        spans.select(
-            "run_id",
-            F.col("context.span_id").alias("span_id"),
-            F.explode("events").alias("event"),
-        )
-        .where(F.col("event.name") == "exception")
-        .select("run_id", "span_id")
+    # r13: the events array no longer rides the cache; the per-span count
+    # was precomputed at digest time, so the old explode(events) pass
+    # (1.9M generated rows on the big fixture) folds into a filtered
+    # narrow join + sum — identical totals (count of exploded exception
+    # rows == sum of per-span exception counts).
+    span_exc = spans.where(F.col("n_exc_own") > 0).select(
+        "run_id", "span_id", "n_exc_own"
     )
     task_exc = (
         owned_incl.join(span_exc, ["run_id", "span_id"], "inner")
         .groupBy(*task_keys)
-        .agg(F.count("*").alias("n_exc"))
+        .agg(F.sum("n_exc_own").alias("n_exc"))
     )
 
     # --- per-task attribute union (A1/A3) --------------------------------
     # task.* attributes from the task span and its whole subtree, merged
     # with workflow.* attributes from the run's spans. Prefixes are
     # disjoint by validation (wrappers.py:255-260).
-    sub_attrs = (
-        owned_incl.alias("o")
-        .join(
-            spans.alias("s"),
-            (F.col("o.span_id") == F.col("s.context.span_id"))
-            & (F.col("o.run_id") == F.col("s.run_id")),
-            "inner",
-        )
-        .select(
-            F.col("o.run_id"),
-            F.col("o.task_span_id"),
-            F.explode("s.attributes").alias("key", "value"),
-        )
+    #
+    # r13: explode + prefix-filter BEFORE the join (guide §2.3 "project
+    # before the exchange"). The old shape joined owned_incl against the
+    # full cached span rows — shuffling map-typed attribute payloads both
+    # ways through a SortMergeJoin (measured: the two exchanges cost
+    # 2.7 min + 1.1 min cumulative shuffle-write on the 940k-span
+    # fixture) — and exploded AFTER. Exploding a prefix-filtered map
+    # first ships only the narrow (run_id, span_id, key, value) entries
+    # that can survive, and the join carries no wide rows at all. Same
+    # rows out: explode(map_filter(m, p)) == explode(m).where(p).
+    task_attr_entries = spans.select(
+        "run_id",
+        "span_id",
+        F.explode(
+            F.map_filter("attributes", lambda k, _: k.startswith("task."))
+        ).alias("key", "value"),
     )
     task_attr_union = (
-        sub_attrs.where(F.col("key").startswith("task."))
+        owned_incl.join(task_attr_entries, ["run_id", "span_id"], "inner")
         .groupBy(*task_keys, "key")
         .agg(F.collect_set("value").alias("vals"))
     )
@@ -167,9 +202,15 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
     )
 
     # workflow.* attributes per run (A2) — union over ALL spans of the run
+    # (r13: same map_filter-before-explode shape as the task.* pass — the
+    # Generate emits only workflow.* entries instead of every attribute)
     wf_attr_union = (
-        spans.select("run_id", F.explode("attributes").alias("key", "value"))
-        .where(F.col("key").startswith("workflow."))
+        spans.select(
+            "run_id",
+            F.explode(
+                F.map_filter("attributes", lambda k, _: k.startswith("workflow."))
+            ).alias("key", "value"),
+        )
         .groupBy("run_id", "key")
         .agg(F.collect_set("value").alias("vals"))
     )
@@ -208,7 +249,7 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
         spans.where(F.col("name") == S.SPAN_EXECUTE_TASK)
         .select(
             "run_id",
-            F.col("context.span_id").alias("to_span_id"),
+            F.col("span_id").alias("to_span_id"),
             F.explode("links").alias("link"),
         )
         .where(F.col("link.attributes").getItem("type") == "task-dependency")
@@ -230,7 +271,7 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
     # --- logged values (named-value spans, F4 + A8 + decode) ---------------
     data_span_cols = [
         "run_id",
-        F.col("context.span_id").alias("span_id"),
+        "span_id",
         F.col("attributes").getItem("name").alias("name"),
         F.col("attributes").getItem("type").alias("type"),
         F.col("attributes").getItem("encoding").alias("encoding"),
@@ -240,7 +281,7 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
     named_values = (
         spans.where(
             (F.col("name") == S.SPAN_NAMED_VALUE)
-            & (F.col("status.status_code") == "OK")  # F4
+            & (F.col("status_code") == "OK")  # F4
         )
         .select(*data_span_cols)
         .join(owned, ["run_id", "span_id"], "inner")
@@ -285,7 +326,7 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
     )
     artifacts_base = (
         spans.where(
-            (F.col("name") == S.SPAN_ARTEFACT) & (F.col("status.status_code") == "OK")
+            (F.col("name") == S.SPAN_ARTEFACT) & (F.col("status_code") == "OK")
         )
         .select(*data_span_cols)
         .join(owned, ["run_id", "span_id"], "inner")
@@ -319,7 +360,7 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
         F.max(F.to_timestamp("end_time")).alias("end_time"),
     )
     top_spans = spans.where(F.col("name") == S.SPAN_DAG_TOP).select(
-        "run_id", F.col("context.span_id").alias("span_id")
+        "run_id", "span_id"
     )
     run_success = task_runs.groupBy("run_id").agg(
         F.min("is_success").alias("is_success")  # A7: all tasks succeeded
