@@ -70,24 +70,83 @@ def _dot(a, b):
 
 
 def ann_cosine_top5(spark: SparkSession, sf: str) -> DataFrame:
-    e = load(spark, sf, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("vec")
-    )
-    e = e.withColumn("norm", _norm(F.col("vec")))
-    queries = e.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec").alias("qvec"),
-        F.col("norm").alias("qnorm"),
-    )
-    scored = (
-        e.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            F.round(
-                _dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 4
-            ),
+    """Brute-force exact cosine top-k — the scan-everything baseline.
+
+    r13 (guide §4.2): the scoring pass moved from interpreted
+    higher-order-function expressions (zip_with + aggregate evaluate a
+    lambda per element: 64 dims x 10 queries x N rows of non-codegen
+    work) to one vectorized numpy pass per Arrow batch. The arithmetic
+    is BIT-IDENTICAL to the old expression: numpy accumulates the dot
+    product and squared norm dimension-at-a-time in float64 — the same
+    left-to-right fold, the same IEEE ops in the same order — and the
+    4dp rounding stays in Spark (F.round is HALF_UP; numpy rounds
+    half-even), verified exact on the full corpus before the switch.
+    The query vectors (vec_id < N) are re-read per task from the input
+    parquet with a pushed-down row-group filter — heavyweight init once
+    per task (guide §4.5), never a driver collect in the query path.
+    """
+    e = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    qpath = f"{sf}/embeddings.parquet"
+    n_queries = _N_QUERIES
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def seq_sq_norm(m):
+            # sqrt of the left-to-right fold of x*x — matches
+            # F.aggregate(vec, 0.0, (a, x) -> a + x * x) bit-for-bit
+            acc = np.zeros(m.shape[0], dtype=np.float64)
+            for i in range(m.shape[1]):
+                acc = acc + m[:, i] * m[:, i]
+            return np.sqrt(acc)
+
+        qt = pq.read_table(
+            qpath,
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", n_queries)],
         )
-    )
+        q_ids = qt.column("vec_id").to_numpy()
+        order = np.argsort(q_ids)
+        q_ids = q_ids[order]
+        qm = (
+            qt.column("embedding")
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(q_ids), -1)[order]
+        )
+        qnorm = seq_sq_norm(qm)
+        dim = qm.shape[1]
+        for batch in batches:
+            ids = batch.column(0).to_numpy()
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            v = flat.astype(np.float64).reshape(len(ids), dim)
+            norms = seq_sq_norm(v)
+            out_q, out_v, out_c = [], [], []
+            for k in range(len(q_ids)):
+                dot = np.zeros(len(ids), dtype=np.float64)
+                for i in range(dim):
+                    dot = dot + v[:, i] * qm[k, i]
+                cos = dot / (norms * qnorm[k])
+                keep = ids != q_ids[k]
+                out_q.append(np.full(int(keep.sum()), q_ids[k], dtype=np.int64))
+                out_v.append(ids[keep])
+                out_c.append(cos[keep])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_v)),
+                    pa.array(np.concatenate(out_c)),
+                ],
+                names=["query_id", "vec_id", "cosine"],
+            )
+
+    scored = e.mapInArrow(
+        score, "query_id long, vec_id long, cosine double"
+    ).withColumn("cosine", F.round("cosine", 4))
     return _topk_two_phase(scored, _TOP_K, extra_cols=[])
 
 
