@@ -136,12 +136,106 @@ def keyframe_hashes(fp: DataFrame, corpus: DataFrame) -> DataFrame:
     )
 
 
+def _keyframe_rows_arrow(docs: DataFrame) -> DataFrame:
+    """(media_id, n_frames, n_cuts, cut_md5, at, kf_lo, kf_hi) — the
+    exact rows ``keyframe_hashes(scene_fingerprints(corpus), corpus)``
+    yields over ``keyframe_corpus_from_documents(docs)``, computed in
+    one vectorized numpy pass per Arrow batch (guide §4.2).
+
+    r13: the expression pipeline was O(L^2) per variant document — the
+    brightness-shift payload rebuilt ``hex(encode(text))`` inside a
+    per-byte ``transform`` lambda, and every frame sum re-parsed hex
+    digit pairs through interpreted ``aggregate`` lambdas; 5000 docs
+    (1.5 MB!) took >180 s at sf0.1. Everything here is exact integer
+    arithmetic on the same byte values (numpy int64 sums, the same
+    strict ``> _CUT_T`` cut rule, the same ``pixel*64 > framesum`` bit
+    rule) and the same md5-of-comma-joined-cut-positions join key, so
+    the emitted rows are value-identical; test_media_keyframe pins the
+    base/variant pairing and the aHash bit-identity, and the DuckDB
+    oracle hashes the final pairs. The ASCII +1-never-wraps premise of
+    ``keyframe_corpus_from_documents`` is enforced with the same
+    raise-on-violation contract (here: any byte >= 0x80 raises, which
+    subsumes the old silent assumption)."""
+    import numpy as np  # driver-side import keeps worker pickle small
+
+    kf_offset, var_mod, cut_t = _KF_OFFSET, _KF_VAR_MOD, 256
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        weights_lo = (1 << np.arange(32, dtype=np.int64))
+        weights_hi = (1 << np.arange(32, dtype=np.int64))
+
+        def emit(media_id, arr, out):
+            nf = arr.shape[0] // 64
+            if nf < 2:
+                return
+            frames = arr[: nf * 64].reshape(nf, 64)
+            fsum = frames.sum(axis=1)
+            deltas = np.abs(np.diff(fsum))
+            ats = np.nonzero(deltas > cut_t)[0] + 2  # 1-based frame after cut
+            if len(ats) == 0:
+                return
+            cut_md5 = hashlib.md5(
+                ",".join(str(a) for a in ats).encode()
+            ).hexdigest()
+            for at in ats:
+                fr = frames[at - 1]
+                bits = fr * 64 > fsum[at - 1]
+                lo = int((weights_lo * bits[:32]).sum())
+                hi = int((weights_hi * bits[32:]).sum())
+                out.append((media_id, nf, len(ats), cut_md5, int(at), lo, hi))
+
+        for batch in batches:
+            ids = batch.column(0).to_numpy()
+            texts = batch.column(1).to_pylist()
+            out = []
+            for doc_id, text in zip(ids, texts):
+                if doc_id >= kf_offset:
+                    raise ValueError(
+                        "media_keyframe: doc_id collides with the variant offset"
+                    )
+                arr = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(
+                    np.int64
+                )
+                if arr.size and arr.max() >= 0x80:
+                    raise ValueError(
+                        "media_keyframe: non-ASCII byte breaks the +1 "
+                        "brightness-shift contract"
+                    )
+                emit(int(doc_id), arr, out)
+                if doc_id % var_mod == 0:
+                    emit(int(doc_id) + kf_offset, arr + 1, out)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in out], type=pa.int64()),
+                    pa.array([r[1] for r in out], type=pa.int32()),
+                    pa.array([r[2] for r in out], type=pa.int64()),
+                    pa.array([r[3] for r in out], type=pa.string()),
+                    pa.array([r[4] for r in out], type=pa.int32()),
+                    pa.array([r[5] for r in out], type=pa.int64()),
+                    pa.array([r[6] for r in out], type=pa.int64()),
+                ],
+                names=[
+                    "media_id", "n_frames", "n_cuts", "cut_md5",
+                    "at", "kf_lo", "kf_hi",
+                ],
+            )
+
+    return docs.mapInArrow(
+        gen,
+        "media_id long, n_frames int, n_cuts long, cut_md5 string,"
+        " at int, kf_lo long, kf_hi long",
+    )
+
+
 def media_keyframe_spatial_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    corpus = keyframe_corpus_from_documents(
+    kf = _keyframe_rows_arrow(
         load(spark, sf, "documents").select("doc_id", "text")
     )
-    fp = scene_fingerprints(corpus)
-    kf = keyframe_hashes(fp, corpus)
     a = kf.select(
         F.col("media_id").alias("media_a"),
         "n_frames",
