@@ -219,82 +219,123 @@ def text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     return repetition_stats(load(spark, sf, "documents"))
 
 
+def _repetition_int_stats(d: DataFrame) -> DataFrame:
+    """Per-doc EXACT-INTEGER repetition counters in one Arrow pass:
+    (doc_id, n_lines, n_distinct_lines, maxc, top_len, gc2, dup3_chars,
+    gc3). Every fraction/round/boolean stays in Spark SQL downstream,
+    so float semantics are byte-identical to the old expression form.
+
+    r13 (guide §4.2/§4.4): the former pure-expression formulation was
+    correct standalone (5.2 s at sf0.1) but catastrophic the moment a
+    consumer FILTERED on a derived column: Catalyst pushes the
+    predicate through the projection by substituting the full O(g^2)
+    fold expression tree into the Filter (once per column reference —
+    measured 5.2 s -> 53.8 s for pipeline_clean_corpus's rep_keep
+    branch). A MapInArrow node is opaque to predicate pushdown, so the
+    counters are computed exactly once no matter how consumers filter,
+    and Counter-based counting is O(g) per doc instead of the fold's
+    O(g^2).
+
+    Tokenization replicates the Spark expressions bit-for-bit:
+    trim = leading/trailing ASCII spaces only (Spark StringTrim), the
+    split regex [ \\t\\n\\x0B\\f\\r]+ is Java's \\s (Python's \\s also
+    matches unicode whitespace — deliberately NOT used), short docs pad
+    missing gram slots with '' exactly like the zip_with/coalesce
+    construction, and the top-bigram tie-break (higher count, then
+    lexicographically smaller gram over first-occurrence-ordered
+    distincts) matches the old fold's UTF8 binary comparison on this
+    ASCII corpus."""
+
+    def gen(batches):
+        import re
+        from collections import Counter
+
+        import pyarrow as pa
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+        def grams(toks, k):
+            n = len(toks)
+            m = max(n - k + 1, 1)
+            padded = toks + [""] * (k - 1)
+            return [" ".join(padded[i : i + k]) for i in range(m)]
+
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            rows = {
+                "doc_id": [], "n_lines": [], "n_distinct_lines": [],
+                "maxc": [], "top_len": [], "gc2": [], "dup3_chars": [],
+                "gc3": [],
+            }
+            for doc_id, text in zip(ids, texts):
+                lines = text.split("\n")
+                toks = ws.split(text.strip(" "))
+                g2 = grams(toks, 2)
+                g3 = grams(toks, 3)
+                c2 = Counter(g2)
+                best_c, best_g = -1, ""
+                for u in dict.fromkeys(g2):
+                    c = c2[u]
+                    if c > best_c or (c == best_c and u < best_g):
+                        best_c, best_g = c, u
+                c3 = Counter(g3)
+                rows["doc_id"].append(doc_id)
+                rows["n_lines"].append(len(lines))
+                rows["n_distinct_lines"].append(len(set(lines)))
+                rows["maxc"].append(best_c)
+                rows["top_len"].append(len(best_g))
+                rows["gc2"].append(sum(len(g) for g in g2))
+                rows["dup3_chars"].append(
+                    sum(c * len(u) for u, c in c3.items() if c > 1)
+                )
+                rows["gc3"].append(sum(len(g) for g in g3))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rows["doc_id"], type=pa.int64()),
+                    pa.array(rows["n_lines"], type=pa.int32()),
+                    pa.array(rows["n_distinct_lines"], type=pa.int32()),
+                    pa.array(rows["maxc"], type=pa.int64()),
+                    pa.array(rows["top_len"], type=pa.int32()),
+                    pa.array(rows["gc2"], type=pa.int64()),
+                    pa.array(rows["dup3_chars"], type=pa.int64()),
+                    pa.array(rows["gc3"], type=pa.int64()),
+                ],
+                names=[
+                    "doc_id", "n_lines", "n_distinct_lines", "maxc",
+                    "top_len", "gc2", "dup3_chars", "gc3",
+                ],
+            )
+
+    return d.select("doc_id", "text").mapInArrow(
+        gen,
+        "doc_id long, n_lines int, n_distinct_lines int, maxc long,"
+        " top_len int, gc2 long, dup3_chars long, gc3 long",
+    )
+
+
 def repetition_stats(d: DataFrame) -> DataFrame:
-    """Frame-based core (see quality_stats)."""
-    toks = _tokens(F.col("text"))
-    empty = F.lit("")
-    n2 = F.greatest(F.size(toks) - 1, F.lit(1))
-    grams2 = F.zip_with(
-        F.slice(toks, 1, n2),
-        F.slice(toks, 2, n2),
-        lambda x, y: F.concat(F.coalesce(x, empty), F.lit(" "), F.coalesce(y, empty)),
-    )
-    n3 = F.greatest(F.size(toks) - 2, F.lit(1))
-    grams3 = F.zip_with(
-        F.zip_with(
-            F.slice(toks, 1, n3),
-            F.slice(toks, 2, n3),
-            lambda x, y: F.concat(F.coalesce(x, empty), F.lit(" "), F.coalesce(y, empty)),
-        ),
-        F.slice(toks, 3, n3),
-        lambda xy, z: F.concat(xy, F.lit(" "), F.coalesce(z, empty)),
-    )
-    lines = F.split(F.col("text"), "\n")
-
-    def _cnt(grams, u):
-        return F.size(F.filter(grams, lambda g: g == u))
-
-    base = d.select("doc_id", grams2.alias("g2"), grams3.alias("g3"), lines.alias("lines"))
-    # Top bigram as ONE self-contained fold producing (count, gram).
-    # Deliberately NOT expressed as maxc-column + argmax-filter-on-maxc:
-    # Catalyst's predicate pushdown inlines projected columns into
-    # lambdas when a consumer filters on a derived column, and a `maxc`
-    # reference inside a per-element lambda then re-evaluates the whole
-    # array_max per element — O(grams^3) per row (observed: 0.9s -> 90s
-    # at 500 docs when joined+filtered). A single fold keeps the work
-    # O(grams^2) per row no matter how many times collapse duplicates it.
-    best2 = F.aggregate(
-        F.array_distinct("g2"),
-        F.struct(F.lit(-1).cast("long").alias("c"), F.lit("").alias("g")),
-        lambda acc, u: F.when(
-            (_cnt(F.col("g2"), u).cast("long") > acc["c"])
-            | ((_cnt(F.col("g2"), u).cast("long") == acc["c"]) & (u < acc["g"])),
-            F.struct(_cnt(F.col("g2"), u).cast("long").alias("c"), u.alias("g")),
-        ).otherwise(acc),
-    )
-    staged = base.withColumn("best", best2)
-    gram_chars = lambda grams: F.aggregate(  # noqa: E731
-        F.transform(grams, lambda g: F.length(g).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    maxc = F.col("best.c")
-    top_gram = F.col("best.g")
-    dup3_chars = F.aggregate(
-        F.transform(
-            F.filter(F.array_distinct("g3"), lambda u: _cnt(F.col("g3"), u) > 1),
-            lambda u: (_cnt(F.col("g3"), u) * F.length(u)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return staged.select(
+    """Frame-based core (see quality_stats). Integer counters come from
+    the Arrow pass; all divisions, 4dp rounding (Spark HALF_UP) and the
+    pass/fail booleans are Spark expressions over those exact longs, so
+    values are identical to the former all-expression form."""
+    ints = _repetition_int_stats(d)
+    top_frac = F.col("maxc") * F.col("top_len") / F.col("gc2")
+    dup3_frac = F.col("dup3_chars") / F.col("gc3")
+    return ints.select(
         "doc_id",
         F.round(
-            (F.size("lines") - F.size(F.array_distinct("lines")))
-            / F.size("lines").cast("double"),
+            (F.col("n_lines") - F.col("n_distinct_lines"))
+            / F.col("n_lines").cast("double"),
             4,
         ).alias("dup_line_frac"),
         F.round(
-            maxc * F.length(top_gram) / gram_chars(F.col("g2")).cast("double"), 4
+            F.col("maxc") * F.col("top_len") / F.col("gc2").cast("double"), 4
         ).alias("top_bigram_char_frac"),
-        F.round(dup3_chars / gram_chars(F.col("g3")).cast("double"), 4).alias(
+        F.round(F.col("dup3_chars") / F.col("gc3").cast("double"), 4).alias(
             "dup_trigram_char_frac"
         ),
-        (
-            (maxc * F.length(top_gram) / gram_chars(F.col("g2")) <= 0.2)
-            & (dup3_chars / gram_chars(F.col("g3")) <= 0.3)
-        ).alias("passes_repetition"),
+        ((top_frac <= 0.2) & (dup3_frac <= 0.3)).alias("passes_repetition"),
     )
 
 
