@@ -84,8 +84,23 @@ def _base_and_dirty(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]
 
 def er_fellegi_sunter(spark: SparkSession, sf: str) -> DataFrame:
     base, dirty = _base_and_dirty(spark, sf)
+    # r13 (guide §2.6/§6): the streamed side of this broadcast join is a
+    # one-partition scan (the customer file is tiny by BYTES), but each
+    # streamed row fans out to |nation block| candidate pairs that each
+    # pay two levenshteins — the whole block-quadratic scoring stage ran
+    # as ONE task (measured 45-76 s at sf0.1 with 31 cores idle).
+    # Width must come from the CONSUMER's cost, not the scan bytes
+    # (the ccnet cutd lesson): one round-robin repartition to cluster
+    # parallelism spreads the pair generation, 45 s -> ~2 s. Row set is
+    # unchanged; the output orderBy fixes the ordering.
+    base = base.repartition(spark.sparkContext.defaultParallelism)
     pairs = base.join(dirty, base["c_nationkey"] == dirty["d_nationkey"])
-    name_agree = F.levenshtein(F.col("c_name"), F.col("d_name")) <= 1
+    # bounded edit distance (threshold form returns -1 when the distance
+    # exceeds the bound, so ">= 0" is exactly the old "<= 1"): the
+    # banded DP is O(len * k) instead of O(len^2) per pair, and this
+    # comparison runs twice per candidate pair (join condition +
+    # projection) over every block-quadratic candidate
+    name_agree = F.levenshtein(F.col("c_name"), F.col("d_name"), 1) >= 0
     seg_agree = F.col("c_mktsegment") == F.col("d_mktsegment")
     bal_agree = F.abs(F.col("cents") - F.col("d_cents")) <= _BAL_CENTS
     score = (
