@@ -88,7 +88,31 @@ def _vocab(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _train(spark: SparkSession, sf: str):
-    """Run the merge loop; return (merge list, final tokenised vocab)."""
+    """(merge list, final tokenised vocab) for the query surface.
+
+    r13 (guide §1.2 "the distributed algorithm" + §5 driver): the merge
+    LOOP is vocab-sized work, so it runs driver-side over the collected
+    word-count table (``train_bpe_local`` — the module's documented
+    scale path, parity-locked against the K-job loop by
+    test_local_trainer_equals_distributed), and the final vocab is the
+    ONE distributed pass ``apply_merges`` (K chained codegen replaces —
+    sequential application per word, exactly the round-by-round
+    semantics). Before: 8 merge rounds x (pair-count job + argmax
+    collect + eager localCheckpoint) per caller — and both
+    bpe_train_merges AND bpe_encode_stats paid the full loop (sweep:
+    33.8 s + 41.7 s of build). After: one word-count job + an
+    in-process loop."""
+    merges = train_bpe_local(_collect_word_counts(spark, sf))
+    vocab = _vocab(spark, sf).withColumn(
+        "sym", apply_merges(F.col("sym"), merges)
+    )
+    return merges, vocab
+
+
+def _train_distributed(spark: SparkSession, sf: str):
+    """The K-job distributed merge loop — kept as the parity reference
+    for ``train_bpe_local`` (one Spark round per merge; correct at any
+    vocab size, but pays ~2 jobs per merge rank)."""
     vocab = _vocab(spark, sf).cache()
     merges = []
     for rank in range(1, _N_MERGES + 1):

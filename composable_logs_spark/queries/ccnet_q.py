@@ -111,19 +111,27 @@ def _lm_tercile_keepers(cutd: DataFrame) -> DataFrame:
 
     from .trigram_q import _with_arr, trigram_doc_scores
 
-    # r12: tokenize the cut text ONCE into a cached (doc_id, arr) frame
+    # r12: tokenize the cut text ONCE into a pinned (doc_id, arr) frame
     # shared by all four LM passes (train trigram/bigram/unigram tables
     # + the scored stream) — previously each pass re-split/lowered the
-    # whole cut corpus even though cutd itself was cached
-    arr = _with_arr(cutd.select("doc_id", "text")).cache()
+    # whole cut corpus even though cutd itself was pinned.
+    # r13: eager localCheckpoint instead of cache (guide §3.3/§5): a
+    # cache dedupes EXECUTION but every consumer still re-analyzes and
+    # re-plans the full upstream tree — with the trigram-LM lineage
+    # nested under each of the four passes, driver-side planning
+    # dominated the recipe's build wall (measured 282 s of build at
+    # sf0.1). The checkpoint truncates the logical plan to the
+    # materialized result, same rows, computed once per invocation
+    # (nothing persists across runs).
+    arr = _with_arr(cutd.select("doc_id", "text")).localCheckpoint(eager=True)
     # one row per scored doc; two consumers (histogram + keep filter),
-    # so pin it — without the cache the full trigram-LM pipeline would
+    # so pin it — without it the full trigram-LM pipeline would
     # execute twice (the perplexity_q/dedup_q cache discipline)
     lm_lang = (
         trigram_doc_scores(arr, arr)
         .select("doc_id", F.expr("lp_sum_micro div n_trigrams").alias("score_micro"))
         .join(cutd.select("doc_id", "lang"), "doc_id")
-        .cache()
+        .localCheckpoint(eager=True)
     )
     hist = lm_lang.groupBy("lang", "score_micro").agg(F.count("*").alias("c"))
     w = Window.partitionBy("lang").orderBy(F.desc("score_micro"))
@@ -192,7 +200,11 @@ def pipeline_ccnet_recipe(spark: SparkSession, sf: str) -> DataFrame:
         )
         .join(d.select("doc_id", "lang"), "doc_id")
         .repartition(spark.sparkContext.defaultParallelism)
-        .cache()
+        # r13: localCheckpoint, not cache — ~10 downstream consumers
+        # each re-analyzed/re-planned the whole substring-cut lineage
+        # (see the _lm_tercile_keepers note); the checkpoint keeps the
+        # repartition width and cuts the plan at the materialized rows
+        .localCheckpoint(eager=True)
     )
 
     # 2-3: per-doc filters on the cut text, composed by doc_id
@@ -210,7 +222,11 @@ def pipeline_ccnet_recipe(spark: SparkSession, sf: str) -> DataFrame:
     # per-stage counts; s5 feeds counts, the ranked draw, and the
     # decontamination hits — cache both survivor frames (same
     # MATERIALIZE discipline as cutd)
-    s3 = s2.join(qual, "doc_id", "semi").join(lm, "doc_id", "semi").cache()
+    s3 = (
+        s2.join(qual, "doc_id", "semi")
+        .join(lm, "doc_id", "semi")
+        .localCheckpoint(eager=True)  # r13: plan truncation, see cutd
+    )
 
     # 4: near-dup dedup over the stage-3 survivors (n_chars of the cut
     # text as the keep-longest key, computed identically in the oracle)
@@ -231,7 +247,7 @@ def pipeline_ccnet_recipe(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    s5 = s4.join(hits, "doc_id", "anti").cache()
+    s5 = s4.join(hits, "doc_id", "anti").localCheckpoint(eager=True)
 
     # 6: realise the target language mixture over the final pool with
     # exact-integer quotas (shares are /100 rationals)

@@ -80,14 +80,15 @@ def test_local_trainer_equals_distributed(spark, sf_dir):
     K-job loop on the same corpus."""
     from composable_logs_spark.queries.bpe_q import (
         _collect_word_counts,
+        _train_distributed,
         train_bpe_local,
     )
 
     local = train_bpe_local(_collect_word_counts(spark, sf_dir))
-    dist = [
-        (r["merge_rank"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
-        for r in bpe_train_merges(spark, sf_dir).collect()
-    ]
+    # r13: the query surface now trains via train_bpe_local; the K-job
+    # loop is kept as _train_distributed precisely so this parity test
+    # still compares two INDEPENDENT implementations.
+    dist = [(r, l, rt, m, c) for r, l, rt, m, c in _train_distributed(spark, sf_dir)[0]]
     assert local == dist
 
 
