@@ -68,29 +68,84 @@ def bootstrap_ci_mean(events: DataFrame, b: int = _B) -> DataFrame:
     point = base.groupBy("event_type").agg(
         F.sum("cents").alias("tot"), F.count("*").alias("n")
     )
-    rep = base.select(
-        "event_id",
-        "event_type",
-        "cents",
-        F.explode(F.expr(f"sequence(0, {b - 1})")).alias("bi"),
-    ).select(
-        "event_type",
-        "cents",
-        "bi",
-        F.expr(
-            "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), ':',"
-            " CAST(bi AS STRING))), 1, 15), 16, 10) AS BIGINT) % 1000000"
-        ).alias("hv"),
-    )
+
+    # r13 (guide §4.2): the B-way replica expansion previously ran as
+    # explode(sequence) x (md5 + conv-base-conversion + two CASE
+    # ladders) per (event, replica) — B x N rows of interpreted string
+    # hashing through the JVM. One Arrow pass now computes, per input
+    # batch, the per-(event_type, replica) INTEGER partials directly:
+    # hashlib.md5 over the identical "{event_id}:{bi}" bytes, the first
+    # 15 hex digits as an integer (digest[:8] big-endian >> 4 — the
+    # same 60 bits conv() parsed), % 1e6, and the Poisson weight via
+    # searchsorted over the same thresholds (w = #thresholds <= hv,
+    # exactly the CASE ladder). All partial sums are exact integers
+    # (bincount doubles stay < 2^53), so the global integer sums —
+    # and every downstream float op — are bit-identical to the old
+    # expression path. The map-side combine the groupBy used to do
+    # happens inside the same pass, so only |types| x B rows per batch
+    # cross the Python boundary.
+    thresh = _THRESH
+    out_schema = "event_type string, bi int, wsum long, wn long"
+
+    def _partials(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        md5 = hashlib.md5
+        suffixes = [f":{bi}".encode() for bi in range(b)]
+        tarr = np.asarray(thresh, dtype=np.int64)
+        bi_base = np.arange(b, dtype=np.int64)
+        for batch in batches:
+            n_rows = batch.num_rows
+            if n_rows == 0:
+                continue
+            eids = batch.column(0).to_pylist()
+            etypes = batch.column(1).to_pylist()
+            cents = batch.column(2).to_numpy(zero_copy_only=False).astype(np.int64)
+            codes: dict = {}
+            tcode = np.empty(n_rows, dtype=np.int64)
+            for i, t in enumerate(etypes):
+                c = codes.get(t)
+                if c is None:
+                    c = codes[t] = len(codes)
+                tcode[i] = c
+
+            def gen():
+                for e in eids:
+                    pre = str(e).encode()
+                    for s in suffixes:
+                        yield int.from_bytes(md5(pre + s).digest()[:8], "big") >> 4
+
+            hv = np.fromiter(gen(), dtype=np.int64, count=n_rows * b) % 1000000
+            w = np.searchsorted(tarr, hv, side="right")
+            key = np.repeat(tcode, b) * b + np.tile(bi_base, n_rows)
+            nkeys = len(codes) * b
+            wsum = np.bincount(key, weights=w * np.repeat(cents, b), minlength=nkeys)
+            wn = np.bincount(key, weights=w, minlength=nkeys)
+            types_out = np.empty(nkeys, dtype=object)
+            for t, c in codes.items():
+                types_out[c * b : (c + 1) * b] = t
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(list(types_out), type=pa.string()),
+                    pa.array(np.tile(bi_base, len(codes)).astype(np.int32)),
+                    pa.array(wsum.astype(np.int64)),
+                    pa.array(wn.astype(np.int64)),
+                ],
+                names=["event_type", "bi", "wsum", "wn"],
+            )
+
     means = (
-        rep.select(
-            "event_type",
-            "bi",
-            (F.expr(_weight_case("hv")) * F.col("cents")).alias("wc"),
-            F.expr(_weight_case("hv")).alias("w"),
-        )
+        # round-robin width: the replica expansion multiplies per-row
+        # work x B, so stage width must be set by post-expansion cost,
+        # not scan bytes (guide §2.6; a compact parquet input arrives
+        # as 1-2 splits). Parameterised by the session's parallelism.
+        base.repartition(events.sparkSession.sparkContext.defaultParallelism)
+        .mapInArrow(_partials, out_schema)
         .groupBy("event_type", "bi")
-        .agg(F.sum("wc").alias("wsum"), F.sum("w").alias("wn"))
+        .agg(F.sum("wsum").alias("wsum"), F.sum("wn").alias("wn"))
         .where(F.col("wn") > 0)
         .withColumn(
             "mean_b", F.col("wsum").cast("double") / F.col("wn").cast("double")

@@ -118,22 +118,53 @@ def semdedup_frame(
             ),
         )
         .select("vec_id", "cell", "vec", "nrm", "csim")
+        # r13 (guide §3.3/§5): materialize — r is referenced three
+        # times (both sides of the pair join + the final flag join) and
+        # each reference re-ran the whole k-means train/assign chain
+        .localCheckpoint(eager=True)
     )
-    a, b = r.alias("a"), r.alias("b")
-    earlier = (F.col("b.csim") < F.col("a.csim")) | (
-        (F.col("b.csim") == F.col("a.csim"))
-        & (F.col("b.vec_id") < F.col("a.vec_id"))
-    )
-    cos = F.round(
-        _dot(F.col("a.vec"), F.col("b.vec"))
-        / (F.col("a.nrm") * F.col("b.nrm")),
-        4,
-    )
+    # r13 (guide §4.2): the within-cell pair stage previously ran as a
+    # self-join on cell with an interpreted zip_with+aggregate cosine
+    # per pair — sum(cell_i^2) x 64 dims of non-codegen lambda work.
+    # One Arrow pass per cell now computes each vector's MAX cosine to
+    # any earlier-ordered vector: rows sort by the same (csim, vec_id)
+    # key ("earlier" is exactly lexicographic-less, keys unique), the
+    # dot accumulates dimension-at-a-time in float64 (the identical
+    # left-to-right IEEE fold as F.aggregate), and nrm is the SAME
+    # Spark-computed column shipped into the group (never recomputed).
+    # round is monotone non-decreasing, so round(max cos, 4) >= tau
+    # <=> exists a pair with round(cos, 4) >= tau — and the 4dp HALF_UP
+    # round stays in Spark. A vector with no earlier peers reports
+    # -inf, which no threshold passes (the old join simply emitted no
+    # pair). NaN propagates through np.max exactly as Spark's
+    # NaN-is-largest comparison treated a NaN pair: dropped.
+    def _max_earlier_cos(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"vec_id": [], "max_cos": []}).astype(
+                {"vec_id": "int64", "max_cos": "float64"}
+            )
+        order = np.lexsort((pdf["vec_id"].values, pdf["csim"].values))
+        v = np.array(pdf["vec"].tolist(), dtype=np.float64)[order]
+        nrm = pdf["nrm"].values[order]
+        ids = pdf["vec_id"].values[order]
+        acc = np.zeros((n, n), dtype=np.float64)
+        for d in range(v.shape[1]):
+            col = v[:, d]
+            acc += np.multiply.outer(col, col)
+        cos = acc / np.multiply.outer(nrm, nrm)
+        cos[np.triu_indices(n)] = -np.inf  # keep only earlier (j < i)
+        return pd.DataFrame({"vec_id": ids[1:], "max_cos": cos.max(axis=1)[1:]})
+
     dropped = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell")) & earlier)
-        .where(cos >= tau)
-        .select(F.col("a.vec_id").alias("vec_id"))
-        .distinct()
+        r.select("vec_id", "cell", "csim", "nrm", "vec")
+        .groupBy("cell")
+        .applyInPandas(_max_earlier_cos, "vec_id long, max_cos double")
+        .where(F.round(F.col("max_cos"), 4) >= tau)
+        .select("vec_id")
         .withColumn("dropped", F.lit(True))
     )
     return (

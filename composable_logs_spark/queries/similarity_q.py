@@ -269,7 +269,12 @@ def _km_recompute(assigned: DataFrame) -> DataFrame:
 
 def ann_ivf_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     corpus, cents = _train_kmeans(spark, sf)
-    final = _km_assign(corpus, cents).withColumn("norm", _norm(F.col("vec")))
+    # r13: materialize — referenced by queries AND scored (guide §3.3)
+    final = (
+        _km_assign(corpus, cents)
+        .withColumn("norm", _norm(F.col("vec")))
+        .localCheckpoint(eager=True)
+    )
     queries = final.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("cell").alias("qcell"),
@@ -303,7 +308,15 @@ def _train_kmeans_on(corpus: DataFrame, k: int = _KM_K) -> DataFrame:
         F.col("vec_id").cast("int").alias("cell"), F.col("vec").alias("cvec")
     )
     for _ in range(_KM_ITERS):
-        cents = _km_recompute(_km_assign(corpus, cents))
+        # r13 (guide §3.3/§5): eager localCheckpoint per round — the
+        # nested assign(recompute(assign(...))) lineage otherwise
+        # doubles per iteration AND re-executes once per downstream
+        # consumer (every ANN/SemDeDup query references the centroid
+        # table several times with no shared-subtree reuse). K x dim
+        # rows, recomputed per invocation — nothing persists across runs.
+        cents = _km_recompute(_km_assign(corpus, cents)).localCheckpoint(
+            eager=True
+        )
     return cents
 
 
@@ -478,7 +491,10 @@ def ann_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
         "m", F.col("vec_id").cast("int").alias("cell"), F.col("svec").alias("cvec")
     )
     for _ in range(_PQ_ITERS):
-        cents = _pq_recompute(_pq_assign(subvecs, cents))
+        # r13: per-round materialization (see _train_kmeans_on)
+        cents = _pq_recompute(_pq_assign(subvecs, cents)).localCheckpoint(
+            eager=True
+        )
     codes = _pq_assign(subvecs, cents).select("vec_id", "m", "cell")
 
     qsub = _pq_subvectors(corpus.where(F.col("vec_id") < _N_QUERIES)).select(
@@ -995,7 +1011,12 @@ def ann_ivf_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     corpus, cents = _train_kmeans(spark, sf)
-    final = _km_assign(corpus, cents).withColumn("norm", _norm(F.col("vec")))
+    # r13: materialize — referenced by queries AND cand (guide §3.3)
+    final = (
+        _km_assign(corpus, cents)
+        .withColumn("norm", _norm(F.col("vec")))
+        .localCheckpoint(eager=True)
+    )
     queries = final.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -1161,14 +1182,19 @@ _IVFPQ_NPROBE = 2
 
 def ann_ivfpq_adc(spark: SparkSession, sf: str) -> DataFrame:
     corpus, kcents = _train_kmeans(spark, sf)
-    assigned = _km_assign(corpus, kcents)  # (vec_id, vec, cell)
+    # r13: materialize the assignment — it is referenced by queries AND
+    # cand below, and each reference re-executed the full k-means chain
+    assigned = _km_assign(corpus, kcents).localCheckpoint(eager=True)
 
     subvecs = _pq_subvectors(corpus)
     pcents = subvecs.where(F.col("vec_id") < _PQ_K).select(
         "m", F.col("vec_id").cast("int").alias("cell"), F.col("svec").alias("cvec")
     )
     for _ in range(_PQ_ITERS):
-        pcents = _pq_recompute(_pq_assign(subvecs, pcents))
+        # r13: per-round materialization (see _train_kmeans_on)
+        pcents = _pq_recompute(_pq_assign(subvecs, pcents)).localCheckpoint(
+            eager=True
+        )
     codes = _pq_assign(subvecs, pcents).select("vec_id", "m", "cell")
 
     queries = assigned.where(F.col("vec_id") < _N_QUERIES).select(
@@ -1303,7 +1329,10 @@ def _residual_adc_pairs(spark: SparkSession, sf: str):
     the ADC estimate) and ann_ivfpq_rerank (exact re-rank of the ADC
     shortlist)."""
     corpus, kcents = _train_kmeans(spark, sf)
-    assigned = _km_assign(corpus, kcents)  # (vec_id, vec, cell)
+    # r13: materialize — assigned is referenced by resid, queries, cand
+    # here plus qv/exact in ann_ivfpq_rerank; un-materialized, every
+    # reference re-ran the whole k-means chain (guide §3.3/§5)
+    assigned = _km_assign(corpus, kcents).localCheckpoint(eager=True)
 
     resid = (
         assigned.join(F.broadcast(kcents), "cell")
@@ -1327,7 +1356,10 @@ def _residual_adc_pairs(spark: SparkSession, sf: str):
         )
     )
     for _ in range(_PQ_ITERS):
-        rcents = _rpq_recompute(_rpq_assign(rsub, rcents))
+        # r13: per-round materialization (see _train_kmeans_on)
+        rcents = _rpq_recompute(_rpq_assign(rsub, rcents)).localCheckpoint(
+            eager=True
+        )
     rcodes = _rpq_assign(rsub, rcents).select("vec_id", "kcell", "m", "cell")
 
     queries = assigned.where(F.col("vec_id") < _N_QUERIES).select(
@@ -1349,6 +1381,8 @@ def _residual_adc_pairs(spark: SparkSession, sf: str):
         )
         .where(F.col("crank") <= _IVFPQ_NPROBE)
         .select("query_id", "cell", "qvec")
+        # r13: |queries| x nprobe rows, referenced by qresid AND cand
+        .localCheckpoint(eager=True)
     )
     # per-probed-cell query residual -> per-cell distance table
     qresid = (
