@@ -27,7 +27,13 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 3) -> DataFrame:
     for an undirected graph.  Returns nodes + `rank_e12` (long)."""
     extra = [c for c in nodes.columns if c != "node_id"]
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    edged = edges.join(deg, "src")
+    # r13 (guide §3.3/§5): materialize the degree-annotated edge list
+    # once — every iteration's message join otherwise re-derived it
+    # (including whatever joins/distinct built `edges`), and the replay
+    # count doubles per round because `ranks` is referenced twice per
+    # round. Same per-round truncation as operators/components.py; the
+    # standard iterative-graph materialization (GraphX does the same).
+    edged = edges.join(deg, "src").localCheckpoint(eager=True)
     n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node_id",
@@ -54,5 +60,7 @@ def pagerank(nodes: DataFrame, edges: DataFrame, iters: int = 3) -> DataFrame:
                     + F.expr("(85 * coalesce(insum, CAST(0 AS LONG))) div 100")
                 ).alias("rank"),
             )
+            # r13: per-round truncation — see the `edged` note above
+            .localCheckpoint(eager=True)
         )
     return ranks.select("node_id", *extra, F.col("rank").alias("rank_e12"))

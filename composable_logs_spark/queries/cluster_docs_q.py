@@ -74,7 +74,11 @@ def _doc_vectors(docs: DataFrame) -> DataFrame:
 def assign_doc_clusters(d: DataFrame) -> DataFrame:
     """(doc_id, cell): the trained cluster assignment — shared by the
     cluster report and the DoReMi reweighting composition (doremi_q)."""
-    vecs = _doc_vectors(d)
+    # r13 (guide §3.3/§5): materialize the hashed-BoW vectors — every
+    # Lloyd pass plus the final assignment re-derived them from raw
+    # text (explode + md5 + conv per term) otherwise. ~N x B doubles,
+    # computed per invocation.
+    vecs = _doc_vectors(d).localCheckpoint(eager=True)
     cents = _train_kmeans_on(vecs)
     return _km_assign(vecs, cents).select(F.col("vec_id").alias("doc_id"), "cell")
 
@@ -112,7 +116,8 @@ def cluster_docs_minibatch(spark: SparkSession, sf: str) -> DataFrame:
     memberships legitimately differ — the oracle replicates the
     sampled trainer exactly."""
     d = load(spark, sf, "documents")
-    vecs = _doc_vectors(d)
+    # r13: materialized for the same reason as assign_doc_clusters
+    vecs = _doc_vectors(d).localCheckpoint(eager=True)
     sample = vecs.where(
         (
             F.conv(

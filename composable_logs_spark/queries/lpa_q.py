@@ -39,6 +39,12 @@ def lpa(nodes: DataFrame, edges: DataFrame, iters: int) -> DataFrame:
     """Synchronous LPA over (node_id, kind) nodes and (src, dst) edges;
     returns (node_id, kind, community)."""
     labels = nodes.select("node_id", "kind", F.col("node_id").alias("label"))
+    # r13 (guide §3.3/§5): materialize the edge list once and each
+    # round's labels — labels is referenced twice per round (votes +
+    # the coalesce join), so un-materialized the replay count doubles
+    # per round and every round re-derived the purchase-graph joins.
+    # Same per-round truncation as operators/components.py/pagerank.py.
+    edges = edges.localCheckpoint(eager=True)
     for _ in range(iters):
         votes = (
             edges.join(
@@ -60,6 +66,7 @@ def lpa(nodes: DataFrame, edges: DataFrame, iters: int) -> DataFrame:
                 "kind",
                 F.coalesce("new_label", "label").alias("label"),
             )
+            .localCheckpoint(eager=True)  # r13: per-round truncation
         )
     return labels.select(
         "node_id", "kind", F.col("label").alias("community")
