@@ -60,7 +60,10 @@ def _doc_features(d: DataFrame) -> DataFrame:
 
 def text_lang_classifier(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
-    feats = _doc_features(d)
+    # r13 (guide §3.3/§5): materialize the hashed feature stream — cnt,
+    # nc, grid and the scoring join each re-ran the explode + per-token
+    # md5+conv otherwise. Computed per invocation.
+    feats = _doc_features(d).localCheckpoint(eager=True)
     # class-conditional bucket model: <= B x |classes| rows
     cls = spark.createDataFrame([(c,) for c in _LANGS], "cls string")
     cnt = feats.groupBy("bucket", F.col("lang").alias("cls")).agg(

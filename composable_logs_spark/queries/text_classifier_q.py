@@ -118,18 +118,28 @@ def _features(examples: DataFrame) -> DataFrame:
 
 def nb_logodds_weights(feats: DataFrame) -> DataFrame:
     """(bucket, w_micro): closed-form naive-Bayes log-odds in integer
-    micro-nats — <= _B rows by construction."""
-    cp = feats.where("is_prose").groupBy("bucket").agg(F.count("*").alias("c_pos"))
-    cn = feats.where(~F.col("is_prose")).groupBy("bucket").agg(
-        F.count("*").alias("c_neg")
+    micro-nats — <= _B rows by construction.
+
+    r13 (guide §2.4): ONE conditional-sum histogram pass instead of
+    four feature-stream scans (per-class bucket counts + per-class
+    totals) — the bucket set (either class present) and every count are
+    identical to the old full-join formulation, and the class totals
+    are exact sums of the bucket histogram, so w_micro is bit-identical.
+    """
+    counts = (
+        feats.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_prose"), 1).otherwise(0)).alias("c_pos"),
+            F.sum(F.when(F.col("is_prose"), 0).otherwise(1)).alias("c_neg"),
+        )
+        # <= _B rows; pinned so the totals agg below doesn't re-scan
+        .localCheckpoint(eager=True)
     )
-    np_ = feats.where("is_prose").agg(F.count("*").alias("n_pos"))
-    nn = feats.where(~F.col("is_prose")).agg(F.count("*").alias("n_neg"))
+    totals = counts.agg(
+        F.sum("c_pos").alias("n_pos"), F.sum("c_neg").alias("n_neg")
+    )
     return (
-        cp.join(cn, "bucket", "full")
-        .na.fill({"c_pos": 0, "c_neg": 0})
-        .crossJoin(F.broadcast(np_))
-        .crossJoin(F.broadcast(nn))
+        counts.crossJoin(F.broadcast(totals))
         .select(
             "bucket",
             F.round(
@@ -149,7 +159,13 @@ def scored_examples(spark: SparkSession, sf: str) -> DataFrame:
     """(ex_id, is_prose, n_feats, logit_micro): the trained classifier
     applied back to its training examples — exact integer logits, the
     frame both the gated query and the AUC evaluation rank."""
-    feats = _features(labeled_examples(load(spark, sf, "documents")))
+    # r13 (guide §3.3/§5): materialize the hashed feature stream — it
+    # is consumed by the weight histogram AND the scoring join, and
+    # every reference otherwise re-ran the unigram+bigram explode with
+    # an md5+conv per feature occurrence. Computed per invocation.
+    feats = _features(
+        labeled_examples(load(spark, sf, "documents"))
+    ).localCheckpoint(eager=True)
     # the weight table is bounded at _B rows REGARDLESS of corpus size
     # (hashing trick) — broadcast is safe where a vocab join would not be
     w = nb_logodds_weights(feats)
