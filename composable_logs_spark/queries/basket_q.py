@@ -186,6 +186,9 @@ def triangle_count_copurchase(spark: SparkSession, sf: str) -> DataFrame:
             .alias("e")
         )
         .select("e.src", "e.dst")
+        # r13 (guide §3.3): both sides of the wedge self-join reference
+        # this frame — un-materialized, the orientation joins run twice
+        .localCheckpoint(eager=True)
     )
     # wedges around each apex: every triangle has exactly ONE node whose
     # two triangle edges are both oriented outward (the degree-order

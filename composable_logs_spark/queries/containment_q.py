@@ -59,7 +59,10 @@ def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("df") <= _MAX_DF)
         .select("shingle")
     )
-    inv_rare = inv.join(rare, "shingle")
+    # r13 (guide §3.3): materialized — both sides of the candidate
+    # self-join reference inv_rare; un-materialized, the explode +
+    # docfreq join runs once per side
+    inv_rare = inv.join(rare, "shingle").localCheckpoint(eager=True)
     # DIRECTED candidates (a != b, both orientations): containment is
     # asymmetric, so (small-in-big) and (big-in-small) are different
     # hypotheses — the n_b > n_a filter below keeps the proper ones

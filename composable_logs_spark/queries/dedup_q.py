@@ -864,9 +864,16 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     # prefix length = n - ceil(tau*n) + 1, ceil in exact integer math
-    prefix = ranked.where(
-        F.col("rn") <= F.col("n") - F.expr("(6 * n + 9) div 10") + 1
-    ).select("doc_id", "shingle")
+    prefix = (
+        ranked.where(
+            F.col("rn") <= F.col("n") - F.expr("(6 * n + 9) div 10") + 1
+        )
+        .select("doc_id", "shingle")
+        # r13 (guide §3.3): materialized — both sides of the candidate
+        # self-join reference prefix; un-materialized, the docfreq join
+        # + per-doc rank window run once per side
+        .localCheckpoint(eager=True)
+    )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")

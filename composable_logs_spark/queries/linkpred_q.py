@@ -55,8 +55,11 @@ def graph_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("CAST(round(1000000 / ln(deg)) AS BIGINT)").alias("aa_w"),
         F.expr("1000000 div deg").alias("ra_w"),
     ).where(F.col("deg") <= _MAX_HUB)
-    # wedges around each non-hub apex w: every unordered neighbor pair
-    apex = adj.join(weights, "node")
+    # wedges around each non-hub apex w: every unordered neighbor pair.
+    # r13 (guide §3.3): materialized — both sides of the wedge
+    # self-join reference apex, so the adjacency+degree derivation
+    # otherwise runs twice
+    apex = adj.join(weights, "node").localCheckpoint(eager=True)
     wedges = (
         apex.alias("x")
         .join(apex.alias("y"), ["node", "deg", "aa_w", "ra_w"])
