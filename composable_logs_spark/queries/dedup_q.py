@@ -157,16 +157,102 @@ _B = [1915941032, 1171165722, 186699713, 1268073012, 906070220, 68252793,
 def minhash_mh(docs: DataFrame) -> DataFrame:
     """(doc_id, text) -> (doc_id, hashes, mh0..mh{K-1}).
 
-    All K minhashes in ONE pass over the shingle array: hash each
-    shingle once (md5 -> 31-bit int), then fold an element-wise min of
-    the K universal hashes. (K separate array_min(transform(...))
-    columns would re-scan — and re-hash — the array K times.)
+    One ``mapInArrow`` pass: tokenize, shingle, md5 each distinct
+    shingle once (60-bit hex prefix -> 31-bit int, first-occurrence
+    distinct), then all K universal-hash minima in one numpy broadcast.
+    Everything is exact integer arithmetic (h < 2^31, a < 2^31, so
+    h*a+b < 2^63 — no overflow in int64), so the output is bit-identical
+    to the former expression form (kept as ``_minhash_mh_expr`` below and
+    parity-locked by tests/test_minhash_arrow.py).
+
+    r13 (guide §4.1/§4.2): the expression form ran the shingle
+    construction (two zip_with), the per-shingle md5 (inside transform)
+    and the K-way fold (aggregate of zip_with over a 12-element array
+    PER SHINGLE) as interpreted higher-order lambdas — no codegen, one
+    expression-tree walk per element. The measured headline cost was
+    2.0-2.7 s at sf0.1 for 10k docs; the Arrow pass does the same work
+    as one hashlib loop + one numpy matmul-shaped broadcast per batch.
+
+    Tokenization replicates the Spark expressions bit-for-bit: trim
+    strips leading/trailing ASCII spaces only (StringTrim), the split
+    regex [ \\t\\n\\x0B\\f\\r]+ is Java's \\s (Python's \\s also matches
+    unicode whitespace — deliberately NOT used), short docs pad missing
+    shingle slots with '' exactly like the zip_with/coalesce
+    construction, and both distincts keep first-occurrence order.
 
     Reused by ``minhash_signatures`` (production banding), the
     band-parameter sweep below, and — via the signatures —
     ``streaming.incremental_dedup`` (same signatures on both the
     static index and each streamed micro-batch, so verdicts agree).
     """
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        a_vec = np.array(_A, dtype=np.int64)
+        b_vec = np.array(_B, dtype=np.int64)
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            hashes_col: list = []
+            mh_cols: list[list] = [[] for _ in range(_K)]
+            for t in texts:
+                if t is None:
+                    hashes_col.append(None)
+                    for s in range(_K):
+                        mh_cols[s].append(None)
+                    continue
+                toks = ws.split(t.strip(" "))
+                n = max(len(toks) - 2, 1)
+                padded = toks + ["", ""]
+                shingles = dict.fromkeys(
+                    "%s %s %s" % (toks[i], padded[i + 1], padded[i + 2])
+                    for i in range(n)
+                )
+                hs = list(
+                    dict.fromkeys(
+                        (
+                            int.from_bytes(
+                                hashlib.md5(s.encode("utf-8")).digest()[:8], "big"
+                            )
+                            >> 4
+                        )
+                        % _M
+                        for s in shingles
+                    )
+                )
+                hashes_col.append(hs)
+                if hs:
+                    arr = np.asarray(hs, dtype=np.int64)
+                    mins = ((arr[:, None] * a_vec + b_vec) % _M).min(axis=0)
+                else:  # unreachable for non-null text (n >= 1); fold init
+                    mins = np.full(_K, 1 << 62, dtype=np.int64)
+                for s in range(_K):
+                    mh_cols[s].append(int(mins[s]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(hashes_col, type=pa.list_(pa.int64())),
+                    *[pa.array(mh_cols[s], type=pa.int64()) for s in range(_K)],
+                ],
+                names=["doc_id", "hashes", *[f"mh{s}" for s in range(_K)]],
+            )
+
+    schema = "doc_id long, hashes array<long>, " + ", ".join(
+        f"mh{s} long" for s in range(_K)
+    )
+    return docs.select("doc_id", "text").mapInArrow(gen, schema)
+
+
+def _minhash_mh_expr(docs: DataFrame) -> DataFrame:
+    """The original all-expression formulation of ``minhash_mh`` — kept
+    as the parity reference for tests/test_minhash_arrow.py (the Arrow
+    pass above must be bit-identical on any corpus)."""
 
     shingled = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
 
