@@ -86,6 +86,104 @@ def _with_tokens(docs: DataFrame) -> DataFrame:
 
 def _grams(docs: DataFrame, l: int = _L) -> DataFrame:
     """(doc_id, n_tokens, pos, h): 60-bit polynomial hash of the
+    L-token window at every start position — one ``mapInArrow`` pass.
+
+    r13 (guide §4.1/§4.2): the expression form (kept as ``_grams_expr``,
+    parity-locked by tests/test_grams_arrow.py) ran the per-token md5
+    inside ``transform`` and the per-position Horner fold as
+    ``aggregate(sequence(...))`` — interpreted higher-order lambdas, one
+    expression-tree walk per token per ladder, allocating a sequence
+    array per position. This pass does the same exact-integer math as
+    one memoized hashlib loop per distinct token plus 2*L vectorized
+    numpy ops per batch (sliding_window_view over the concatenated
+    token-hash array; cross-doc windows masked out). All arithmetic is
+    int64-exact (acc < 2^30, acc*B < 2^50, +th < 2^61), so ``h`` is
+    bit-identical to the expression form and to the DuckDB oracle.
+
+    Tokenization parity: a raw text frame is split in Python with
+    ``text.split(" ")`` — identical to Spark ``split(text, ' ')``
+    (literal single-space regex keeps empty tokens, including leading/
+    trailing). A pre-tokenized frame (``tok`` column, no ``text``)
+    ships the arrays instead.
+    """
+    use_tok = "text" not in docs.columns
+    src = docs.select("doc_id", "tok" if use_tok else "text")
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        memo: dict = {}
+
+        def th_of(tok):
+            v = memo.get(tok)
+            if v is None:
+                v = (
+                    int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                    >> 4
+                )
+                memo[tok] = v
+            return v
+
+        names = ["doc_id", "n_tokens", "pos", "h"]
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            vals = batch.column(1).to_pylist()
+            th_chunks, doc_ids, lens = [], [], []
+            for doc_id, v in zip(ids, vals):
+                if v is None:
+                    continue  # size(null) = -1 < l in the expression form
+                toks = v if use_tok else v.split(" ")
+                n = len(toks)
+                if n < l:  # docs shorter than L cannot contain a dup span
+                    continue
+                th_chunks.append(
+                    np.fromiter((th_of(t) for t in toks), dtype=np.int64, count=n)
+                )
+                doc_ids.append(doc_id)
+                lens.append(n)
+            if not doc_ids:
+                continue
+            allth = np.concatenate(th_chunks)
+            windows = sliding_window_view(allth, l)
+            acc1 = np.zeros(len(windows), dtype=np.int64)
+            acc2 = np.zeros(len(windows), dtype=np.int64)
+            for j in range(l):
+                col = windows[:, j]
+                acc1 = (acc1 * _B1 + col) % _P1
+                acc2 = (acc2 * _B2 + col) % _P2
+            h = acc1 * _P2 + acc2
+            lens_a = np.asarray(lens, dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens_a)[:-1]))
+            counts = lens_a - l + 1
+            idx = np.concatenate(
+                [np.arange(s, s + c) for s, c in zip(starts, counts)]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.repeat(np.asarray(doc_ids, dtype=np.int64), counts)
+                    ),
+                    pa.array(
+                        np.repeat(lens_a, counts).astype(np.int32), type=pa.int32()
+                    ),
+                    pa.array(
+                        (idx - np.repeat(starts, counts) + 1).astype(np.int32),
+                        type=pa.int32(),
+                    ),
+                    pa.array(h[idx]),
+                ],
+                names=names,
+            )
+
+    return src.mapInArrow(gen, "doc_id long, n_tokens int, pos int, h long")
+
+
+def _grams_expr(docs: DataFrame, l: int = _L) -> DataFrame:
+    """(doc_id, n_tokens, pos, h): 60-bit polynomial hash of the
     L-token window at every start position, from ONE md5 per token.
 
     Each token hashes once to a 60-bit integer (`th`); the window key
