@@ -583,8 +583,84 @@ _SIMHASH_BITS = 64
 _HAMMING_MAX = 6
 
 
-def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    corpus = _near_dup_corpus(spark, sf)
+def _simhash_sig(corpus: DataFrame) -> DataFrame:
+    """(doc_id, sim_lo, sim_hi): the 64-bit simhash signature, one
+    ``mapInArrow`` pass per doc.
+
+    r13 (guide §4.1/§4.2/§2.3): the expression form (kept as
+    ``_simhash_sig_expr``, parity-locked by tests/test_simhash_arrow.py)
+    built shingles with interpreted zip_with, md5-ed them inside an
+    interpreted ``transform``, EXPLODED the hash strings (a corpus of
+    33-char rows through a shuffle) and reduced them with a 64-column
+    hash aggregate of conv(substring(...)) bit expressions. This pass
+    emits the finished signature per doc — no explode, no per-doc
+    aggregation exchange, nothing but (doc_id, 2 longs) ever leaves the
+    scan stage. All-integer: nibble bits straight from the md5 digest
+    bytes (hex char j, 1-based, = high nibble of byte (j-1)//2 for odd
+    j), ±1 sums per bit, sign-packed exactly like the old half_col.
+    """
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        weights = np.array([1 << j for j in range(32)], dtype=np.int64)
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            id_col, lo_col, hi_col = [], [], []
+            for doc_id, t in zip(ids, texts):
+                if t is None:
+                    # parity with the expression form: explode(null
+                    # hashes) drops the doc from the signature frame
+                    continue
+                toks = ws.split(t.strip(" "))
+                n = max(len(toks) - 2, 1)
+                padded = toks + ["", ""]
+                shingles = dict.fromkeys(
+                    "%s %s %s" % (toks[i], padded[i + 1], padded[i + 2])
+                    for i in range(n)
+                )
+                digests = b"".join(
+                    hashlib.md5(s.encode("utf-8")).digest() for s in shingles
+                )
+                arr = np.frombuffer(digests, dtype=np.uint8).reshape(-1, 16)
+                nibs = np.empty((arr.shape[0], 32), dtype=np.int64)
+                nibs[:, 0::2] = arr >> 4
+                nibs[:, 1::2] = arr & 15
+                # bit i of a shingle hash = bit (i % 2) of nibble (i // 2):
+                # even i -> nibble bit 0, odd i -> nibble bit 1
+                bit0 = nibs & 1
+                bit1 = (nibs >> 1) & 1
+                bits = np.empty((arr.shape[0], 64), dtype=np.int64)
+                bits[:, 0::2] = bit0
+                bits[:, 1::2] = bit1
+                sums = (2 * bits - 1).sum(axis=0)  # per-bit ±1 totals
+                pos = (sums > 0).astype(np.int64)
+                id_col.append(doc_id)
+                lo_col.append(int((pos[0:32] * weights).sum()))
+                hi_col.append(int((pos[32:64] * weights).sum()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(id_col, type=pa.int64()),
+                    pa.array(lo_col, type=pa.int64()),
+                    pa.array(hi_col, type=pa.int64()),
+                ],
+                names=["doc_id", "sim_lo", "sim_hi"],
+            )
+
+    return corpus.select("doc_id", "text").mapInArrow(
+        gen, "doc_id long, sim_lo long, sim_hi long"
+    )
+
+
+def _simhash_sig_expr(corpus: DataFrame) -> DataFrame:
+    """The original expression formulation of the simhash signature —
+    the parity reference for tests/test_simhash_arrow.py."""
     # hash 3-gram shingles, not single tokens: token-set simhash collapses
     # on a shared-vocabulary corpus (every doc within hamming<=6 of every
     # other) while shingles keep word order and separate documents
@@ -593,11 +669,6 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     # bit i of shingle-hash = bit (i mod 2) of hex char (i div 2 + 1).
-    # Explode the hash array and accumulate the 64 per-bit ±1 sums with a
-    # codegen'd hash aggregate (map-side partial combine -> the shuffle
-    # carries one 64-column row per doc) — faster than per-element array
-    # folds, and the shape that scales: the wide payload is reduced before
-    # it moves.
     exploded = d.select("doc_id", F.explode("hashes").alias("h"))
 
     def bit_col(i: int):
@@ -618,9 +689,14 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
             col = term if col is None else col + term
         return col.cast("long")
 
-    sig = sums.select(
+    return sums.select(
         "doc_id", half_col(0).alias("sim_lo"), half_col(32).alias("sim_hi")
     )
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _near_dup_corpus(spark, sf)
+    sig = _simhash_sig(corpus)
 
     buckets = sig.select(
         "doc_id",
