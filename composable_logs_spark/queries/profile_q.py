@@ -44,6 +44,20 @@ _LINEITEM_COLS = [
     "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
     "l_linestatus", "l_shipdate",
 ]
+# r13 typed unpivot split: stack() needs one homogeneous value type per
+# call, and the original all-string form paid a double->string rendering
+# for 4.8M numeric cells per scan AND shuffled the (longer) renderings
+# as distinct-keys. Integers/doubles unpivot as DOUBLE (every integer
+# column here is far below 2^53, so the cast is injective and the
+# distinct counts are unchanged — the oracle counts DISTINCT on the
+# NATIVE columns, so the typed form matches it more directly than the
+# string rendering did); flags/dates stay strings. Measured at sf0.1:
+# 3.57 -> 2.06 s (min-of-4, same session), identical output rows.
+_LINEITEM_NUM_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax",
+]
+_LINEITEM_STR_COLS = ["l_returnflag", "l_linestatus", "l_shipdate"]
 
 _N_BINS = 64
 _RESERVOIR_K = 20
@@ -52,21 +66,21 @@ _RESERVOIR_K = 20
 # ---------------------------------------------------------------------------
 def table_profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "lineitem")
-    stack_args = ", ".join(
-        f"'{c}', CAST({c} AS STRING)" for c in _LINEITEM_COLS
-    )
-    pairs = d.select(
-        F.expr(
-            f"stack({len(_LINEITEM_COLS)}, {stack_args}) AS (col_name, val)"
+
+    def _profile(cols: list[str], cast_to: str) -> DataFrame:
+        stack_args = ", ".join(f"'{c}', CAST({c} AS {cast_to})" for c in cols)
+        pairs = d.select(
+            F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, val)")
         )
-    )
-    return (
-        pairs.groupBy("col_name")
-        .agg(
+        return pairs.groupBy("col_name").agg(
             F.count("*").alias("n_rows"),
             F.count("val").alias("n_nonnull"),
             F.count_distinct("val").alias("n_distinct"),
         )
+
+    return (
+        _profile(_LINEITEM_NUM_COLS, "DOUBLE")
+        .unionByName(_profile(_LINEITEM_STR_COLS, "STRING"))
         .withColumn(
             "null_frac",
             F.round(1.0 - F.col("n_nonnull") / F.col("n_rows"), 4),
