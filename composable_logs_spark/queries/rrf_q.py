@@ -124,6 +124,80 @@ def dense_scores(vecs: DataFrame, qvecs: DataFrame) -> DataFrame:
     )
 
 
+def _dense_scores_arrow(
+    emb: DataFrame, emb_path: str, stride: int = _QUERY_STRIDE
+) -> DataFrame:
+    """The batch query's dense side as one ``mapInArrow`` pass — the
+    ann_cosine_top5 pattern (guide §4.2/§4.5): the expression form
+    (``dense_scores``, kept verbatim — the streaming index scores
+    arbitrary micro-batch frames with it) evaluates an interpreted
+    zip_with + two aggregate lambdas per (corpus row x query), 64 dims
+    of non-codegen work each. Here numpy accumulates the dot product
+    and squared norms dimension-at-a-time in float64 — the SAME
+    left-to-right fold, the same IEEE ops in the same order, so values
+    are bit-identical (parity-locked by tests/test_rrf_dense_arrow.py);
+    the 6dp rounding stays in Spark (HALF_UP). Query vectors (vec_id %
+    stride == 0) are re-read per task from the input parquet — init
+    once per task, no driver collect."""
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def seq_sq_norm(m):
+            acc = np.zeros(m.shape[0], dtype=np.float64)
+            for i in range(m.shape[1]):
+                acc = acc + m[:, i] * m[:, i]
+            return np.sqrt(acc)
+
+        qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+        q_ids_all = qt.column("vec_id").to_numpy()
+        sel = q_ids_all % stride == 0
+        q_ids = q_ids_all[sel]
+        order = np.argsort(q_ids)
+        q_ids = q_ids[order]
+        qm = (
+            qt.column("embedding")
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(q_ids_all), -1)[sel][order]
+        )
+        qnorm = seq_sq_norm(qm)
+        dim = qm.shape[1]
+        for batch in batches:
+            ids = batch.column(0).to_numpy()
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            v = flat.astype(np.float64).reshape(len(ids), dim)
+            norms = seq_sq_norm(v)
+            out_q, out_d, out_c = [], [], []
+            for k in range(len(q_ids)):
+                dot = np.zeros(len(ids), dtype=np.float64)
+                for i in range(dim):
+                    dot = dot + v[:, i] * qm[k, i]
+                cos = dot / (norms * qnorm[k])
+                keep = ids != q_ids[k]
+                out_q.append(np.full(int(keep.sum()), q_ids[k], dtype=np.int64))
+                out_d.append(ids[keep])
+                out_c.append(cos[keep])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_d)),
+                    pa.array(np.concatenate(out_c)),
+                ],
+                names=["query_id", "doc_id", "cosine"],
+            )
+
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInArrow(score, "query_id long, doc_id long, cosine double")
+        .select("query_id", "doc_id", F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
 def fuse_rrf(sparse_top: DataFrame, dense_top: DataFrame) -> DataFrame:
     """Integer RRF fusion over the union of both candidate lists.
     Inputs are the per-ranker (query_id, doc_id, <rank>) frames; the
@@ -185,11 +259,11 @@ def to_vecs(emb: DataFrame) -> DataFrame:
 
 def retrieval_rrf_hybrid(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
-    vecs = to_vecs(load(spark, sf, "embeddings"))
+    emb = load(spark, sf, "embeddings")
     return rrf_rank(
         _postings(docs),
         query_terms(docs),
-        dense_scores(vecs, query_vecs(vecs)),
+        _dense_scores_arrow(emb, f"{sf}/embeddings.parquet"),
     )
 
 
