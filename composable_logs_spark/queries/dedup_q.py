@@ -330,10 +330,16 @@ def bands_long(sig: DataFrame) -> DataFrame:
 def jaccard_col(a: str, b: str):
     """Exact Jaccard over the hashed shingle sets (31-bit md5 prefixes:
     identical on both engines; within-doc collisions removed by
-    array_distinct on BOTH sides)."""
-    return F.round(
-        F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b)), 4
-    )
+    array_distinct on BOTH sides).
+
+    r13: |A ∪ B| computed as |A| + |B| - |A ∩ B| — exact for the
+    distinct arrays every caller passes, same integers so the rounded
+    double is bit-identical, and the per-pair array_union hashset build
+    (the second of two per-row set constructions in the verify stage)
+    disappears. Measured on the bandsweep's 490k-pair verify: see
+    OPTIMIZATION_r13.md."""
+    inter = F.size(F.array_intersect(a, b))
+    return F.round(inter / (F.size(a) + F.size(b) - inter), 4)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -499,7 +505,13 @@ def dedup_minhash_est_error(spark: SparkSession, sf: str) -> DataFrame:
                 lambda acc, e: acc + e,
             ).alias("n_match"),
             F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
-            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("n_union"),
+            # |A ∪ B| = |A| + |B| - |A ∩ B| for the distinct hash arrays
+            # (r13, see jaccard_col): same integer, no second hashset
+            (
+                F.size("sh_a").cast("long")
+                + F.size("sh_b").cast("long")
+                - F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+            ).alias("n_union"),
         )
         # exact Jaccard in micro-units, HALF-UP, pure integer arithmetic
         .withColumn(
@@ -831,12 +843,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
         .withColumn(
+            # shared jaccard_col: |A ∪ B| = |A|+|B|-|A ∩ B| (r13) — the
+            # shingle arrays are array_distinct'd, so values identical
             "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
-            ),
+            jaccard_col("sh_a", "sh_b"),
         )
         .where(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", "jaccard")
@@ -1060,12 +1070,10 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
             "doc_b",
         )
         .withColumn(
+            # shared jaccard_col: |A ∪ B| = |A|+|B|-|A ∩ B| (r13) — the
+            # shingle arrays are array_distinct'd, so values identical
             "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                4,
-            ),
+            jaccard_col("sh_a", "sh_b"),
         )
         .where(F.col("jaccard") >= _PREFIX_TAU)
         .select("doc_a", "doc_b", "jaccard")
