@@ -58,8 +58,23 @@ def descendants(
     ).cache()
 
     def _extend(frontier: DataFrame, d: int) -> DataFrame:
+        # shuffle_hash hint (r13, the operators/components.py lesson):
+        # a million-span log's narrow edge table sits UNDER the 64 MB
+        # autoBroadcast threshold, so without the hint Spark
+        # driver-collects and broadcasts the FULL edge relation at
+        # every depth (measured on the 940k-span fixture: a 56 MB
+        # BroadcastExchange per step), ignoring the hash partitioning
+        # the repartition above paid for — and a broadcast of the
+        # input-sized edge relation is impossible at archive scale.
+        # The hint pins the shuffled hash join: the cached edge side
+        # reuses its exchange, only the (shrinking) frontier — the
+        # build side — moves. Measured: big-fixture summarize
+        # 15.6 -> 14.3 s min-of-3; the tiny-fixture gate queries pay
+        # ~0.1 s for the scale-correct shape (same trade
+        # components.py documents).
         return (
             frontier.alias("f")
+            .hint("shuffle_hash")
             .join(
                 edges.alias("e"),
                 (F.col("f.span_id") == F.col("e.parent_span_id"))
