@@ -94,7 +94,13 @@ def _write_round_record(payload: dict, records_dir: str | None = None) -> str | 
     newest driver BENCH round + 1, i.e. the round currently being
     built), so per-query timings survive even when the driver envelope
     truncates stdout. Only at the driver's sf (0.1) — smaller-SF
-    iteration runs are not round records. Returns the path written."""
+    iteration runs are not round records. Returns the path written.
+
+    Round records are IMMUTABLE once present (r13 verdict item 3: the
+    driver's own bench run overwrote the committed r13.json and dirtied
+    the working tree): the first run of a round writes the record,
+    every later run of the same round leaves it untouched and returns
+    None."""
     import glob
     import re
 
@@ -109,6 +115,8 @@ def _write_round_record(payload: dict, records_dir: str | None = None) -> str | 
     out_dir = os.path.join(here, "bench_records")
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"r{n}.json")
+    if os.path.exists(path):
+        return None
     with open(path, "w") as f:
         json.dump(payload, f, indent=1)
     return path

@@ -128,6 +128,19 @@ def test_round_record_written_and_read_back(tmp_path):
     assert bench._write_round_record(dict(_PARSED, sf=0.01), records_dir=str(tmp_path)) is None
 
 
+def test_round_record_is_immutable_once_written(tmp_path):
+    """r13 verdict item 3: the driver's bench run overwrote the committed
+    bench_records/r13.json. A round record, once present, must never be
+    rewritten — the second run of the same round is a no-op."""
+    _write_driver_record(tmp_path, 9, dict(_PARSED, value=99.0))
+    first = bench._write_round_record(dict(_PARSED, value=7.5), records_dir=str(tmp_path))
+    assert first is not None and first.endswith(os.path.join("bench_records", "r10.json"))
+    before = open(first).read()
+    # a second run of the same round (e.g. the driver's) must not touch it
+    assert bench._write_round_record(dict(_PARSED, value=123.0), records_dir=str(tmp_path)) is None
+    assert open(first).read() == before
+
+
 def test_round_record_preferred_over_truncated_envelope_same_round(tmp_path):
     """Same round number on both sides: the full bench_records copy must
     win over a driver envelope whose parsed is null."""
