@@ -48,44 +48,44 @@ _MIN_CONTAINMENT = 0.9
 
 
 def dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    # r14 (guide §2.3/§4.1): dictionary-encoded postings (see
+    # dedup_q._encoded_shingle_postings) — the directed candidate
+    # self-join equi-joins on dense 8-byte ids and the exact verify
+    # intersects long arrays; |A ∩ B| / |A| / |B| are invariant under
+    # the injective relabeling, so the output is bit-identical. The
+    # encode join replaces the old rare join; inv_enc arrives
+    # checkpointed, so both self-join sides share one materialization.
+    from .dedup_q import _encoded_shingle_postings
+
     corpus = _near_dup_corpus(spark, sf)
     docs = corpus.select(
         "doc_id", _shingles(F.col("text")).alias("shingles")
-    ).cache()
-    inv = docs.select("doc_id", F.explode("shingles").alias("shingle"))
-    rare = (
-        inv.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= _MAX_DF)
-        .select("shingle")
     )
-    # r13 (guide §3.3): materialized — both sides of the candidate
-    # self-join reference inv_rare; un-materialized, the explode +
-    # docfreq join runs once per side
-    inv_rare = inv.join(rare, "shingle").localCheckpoint(eager=True)
+    inv_enc, doc_sids = _encoded_shingle_postings(docs)
+    inv_rare = inv_enc.where(F.col("df") <= _MAX_DF).select("doc_id", "sid")
     # DIRECTED candidates (a != b, both orientations): containment is
     # asymmetric, so (small-in-big) and (big-in-small) are different
     # hypotheses — the n_b > n_a filter below keeps the proper ones
     cand = (
         inv_rare.alias("a")
-        .join(inv_rare.alias("b"), "shingle")
+        .join(inv_rare.alias("b"), "sid")
         .where(F.col("a.doc_id") != F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_rare_common"))
         .where(F.col("n_rare_common") >= _MIN_COMMON)
         .select("doc_a", "doc_b")
     )
-    sh = docs.select("doc_id", "shingles")
+    sh = doc_sids
     return (
         cand.join(
             sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "shingles", "sh_a"
+                "sids", "sh_a"
             ),
             "doc_a",
         )
         .join(
             sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "shingles", "sh_b"
+                "sids", "sh_b"
             ),
             "doc_b",
         )

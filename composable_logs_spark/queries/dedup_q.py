@@ -135,6 +135,51 @@ _SHINGLES_SQL = """
 """
 
 
+def _encoded_shingle_postings(docs: DataFrame):
+    """Dictionary-encode a (doc_id, shingles array<string>) frame:
+    returns (inv_enc, doc_sids) where
+
+    - ``inv_enc``: one row per (doc, distinct shingle) —
+      (doc_id, n, sid, df): n = the doc's shingle-set size, sid = the
+      shingle's dense 64-bit id, df = its corpus document frequency;
+    - ``doc_sids``: (doc_id, sids array<long>) — each doc's shingle set
+      re-encoded as ids, for the exact verify stage.
+
+    r14 (guide §2.3/§4.1, r13 verdict item 1): ids come from
+    ``monotonically_increasing_id`` over the DISTINCT-shingle table —
+    an injective relabeling (collision-free by construction, unlike
+    md5-hashing the strings), pinned by an eager localCheckpoint so
+    every consumer sees one assignment. Every downstream statistic the
+    jaccard/containment family computes (equi-join candidate sets,
+    shared-shingle counts, |A ∩ B|, |A|, |B|) is invariant under an
+    injective relabeling, so results are bit-identical while the
+    candidate self-joins shuffle 8-byte longs instead of ~25-char
+    3-gram strings and the per-pair verify builds long hashsets instead
+    of string hashsets. The df agg is the same agg the DF-cut /
+    prefix-rank already needed — the encode join replaces the old
+    df-attach join, it does not add one."""
+    docs = docs.cache()  # one shingle pass feeds both encode-join sides
+    inv = docs.select(
+        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
+    )
+    dict_tab = (
+        inv.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .withColumn("sid", F.monotonically_increasing_id())
+    )
+    # the ONE materialization: dict_tab has a single consumer (this
+    # join), so the id assignment is pinned by pinning inv_enc — every
+    # downstream frame (self-joins, doc_sids) derives from it
+    inv_enc = inv.join(dict_tab, "shingle").select(
+        "doc_id", "n", "sid", "df"
+    ).localCheckpoint(eager=True)
+    docs.unpersist()
+    # cheap int agg off the checkpoint; both verify-join sides re-run
+    # it rather than paying another checkpoint round-trip
+    doc_sids = inv_enc.groupBy("doc_id").agg(F.collect_list("sid").alias("sids"))
+    return inv_enc, doc_sids
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding. k=12 hash functions, 4 bands × 3 rows.
 #
@@ -817,34 +862,33 @@ _MIN_COMMON = 3
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    # r14 (guide §2.3/§4.1): dictionary-encoded postings — the candidate
+    # self-join equi-joins on dense 8-byte ids and the exact verify
+    # intersects long arrays; identical output by injectivity (see
+    # _encoded_shingle_postings). The old rare-shingle join IS the
+    # encode join now (df rides along instead of being pre-filtered).
     corpus = _near_dup_corpus(spark, sf)
-    docs = corpus.select("doc_id", _shingles(F.col("text")).alias("shingles")).cache()
-    inv = docs.select("doc_id", F.explode("shingles").alias("shingle"))
-    rare = (
-        inv.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= _MAX_DF)
-        .select("shingle")
-    )
-    inv_rare = inv.join(rare, "shingle")
+    docs = corpus.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    inv_enc, doc_sids = _encoded_shingle_postings(docs)
+    inv_rare = inv_enc.where(F.col("df") <= _MAX_DF).select("doc_id", "sid")
     cand = (
         inv_rare.alias("a")
-        .join(inv_rare.alias("b"), "shingle")
+        .join(inv_rare.alias("b"), "sid")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_rare_common"))
         .where(F.col("n_rare_common") >= _MIN_COMMON)
         .select("doc_a", "doc_b")
     )
-    # verify with EXACT jaccard over the full shingle sets — the DF cut
-    # only gates candidate generation, it does not bias the statistic
-    sh = docs.select("doc_id", "shingles")
+    # verify with EXACT jaccard over the full (encoded) shingle sets —
+    # the DF cut only gates candidate generation, not the statistic
+    sh = doc_sids
     return (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sids", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sids", "sh_b"), "doc_b")
         .withColumn(
             # shared jaccard_col: |A ∪ B| = |A|+|B|-|A ∩ B| (r13) — the
-            # shingle arrays are array_distinct'd, so values identical
+            # id arrays are distinct per doc, so values identical
             "jaccard",
             jaccard_col("sh_a", "sh_b"),
         )
@@ -1021,18 +1065,23 @@ _PREFIX_TAU = 0.6
 def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    # r14 (guide §2.3/§2.6/§4.1, r13 verdict item 1): dictionary-encoded
+    # postings — the rank window, prefix self-join and exact verify all
+    # run over dense 8-byte ids instead of 3-gram strings. The global
+    # rarity order is (df, sid) rather than (df, shingle): prefix
+    # filtering is COMPLETE under ANY consistent total token order
+    # (test_dedup_prefix_complete proves no-miss against brute force),
+    # and the verify keeps only true >= tau pairs, so the OUTPUT is the
+    # exact >= tau pair set either way — identical to the oracle's.
     corpus = _near_dup_corpus(spark, sf)
     docs = corpus.select(
         "doc_id", _shingles(F.col("text")).alias("shingles")
-    ).cache()
-    inv = docs.select(
-        "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("shingle")
     )
-    df_tab = inv.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = inv.join(df_tab, "shingle").withColumn(
+    inv_enc, doc_sids = _encoded_shingle_postings(docs)
+    ranked = inv_enc.withColumn(
         "rn",
         F.row_number().over(
-            W.partitionBy("doc_id").orderBy("df", "shingle")
+            W.partitionBy("doc_id").orderBy("df", "sid")
         ),
     )
     # prefix length = n - ceil(tau*n) + 1, ceil in exact integer math
@@ -1040,38 +1089,44 @@ def dedup_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
         ranked.where(
             F.col("rn") <= F.col("n") - F.expr("(6 * n + 9) div 10") + 1
         )
-        .select("doc_id", "shingle")
+        .select("doc_id", "sid")
         # r13 (guide §3.3): materialized — both sides of the candidate
-        # self-join reference prefix; un-materialized, the docfreq join
-        # + per-doc rank window run once per side
+        # self-join reference prefix; un-materialized, the rank window
+        # runs once per side
         .localCheckpoint(eager=True)
     )
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), "shingle")
+        .join(prefix.alias("b"), "sid")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .dropDuplicates(["doc_a", "doc_b"])
+        # r14 (guide §2.6, the er_fellegi_sunter pattern): the verify is
+        # a CPU-bound per-pair set intersection over ~1.1M candidate
+        # pairs at sf0.1, but the deduped pair frame is only a few MB so
+        # AQE coalesced it to 8 tasks on a 32-core box; round-robin
+        # width restores full parallelism for the verify stage
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    sh = docs
+    sh = doc_sids
     return (
         cand.join(
             sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "shingles", "sh_a"
+                "sids", "sh_a"
             ),
             "doc_a",
         )
         .join(
             sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "shingles", "sh_b"
+                "sids", "sh_b"
             ),
             "doc_b",
         )
         .withColumn(
             # shared jaccard_col: |A ∪ B| = |A|+|B|-|A ∩ B| (r13) — the
-            # shingle arrays are array_distinct'd, so values identical
+            # id arrays are distinct per doc, so values identical
             "jaccard",
             jaccard_col("sh_a", "sh_b"),
         )
