@@ -138,9 +138,20 @@ def _dense_scores_arrow(
     are bit-identical (parity-locked by tests/test_rrf_dense_arrow.py);
     the 6dp rounding stays in Spark (HALF_UP). Query vectors (vec_id %
     stride == 0) are re-read per task from the input parquet — init
-    once per task, no driver collect."""
+    once per task, no driver collect. The path must be
+    executor-readable (true for any shared-storage deployment; the
+    expression form ``dense_scores`` is the fallback where it is not).
+
+    r14 (ADVICE): the panel is extracted record-batch-at-a-time with a
+    boolean mask, so a task holds only the ~1/stride query rows as
+    float64 — the old form materialized the ENTIRE corpus embedding
+    matrix per task before slicing, O(corpus) memory that contradicts
+    the module's 100 TB notes. Same float64 values in the same sorted
+    order, so scores stay bit-identical."""
 
     def score(batches):
+        import os
+
         import numpy as np
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -151,20 +162,51 @@ def _dense_scores_arrow(
                 acc = acc + m[:, i] * m[:, i]
             return np.sqrt(acc)
 
-        qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-        q_ids_all = qt.column("vec_id").to_numpy()
-        sel = q_ids_all % stride == 0
-        q_ids = q_ids_all[sel]
+        files = (
+            sorted(
+                os.path.join(emb_path, f)
+                for f in os.listdir(emb_path)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(emb_path)
+            else [emb_path]
+        )
+        id_chunks: list = []
+        vec_chunks: list = []
+        for path in files:
+            for rb in pq.ParquetFile(path).iter_batches(
+                columns=["vec_id", "embedding"]
+            ):
+                ids = rb.column(0).to_numpy()
+                mask = ids % stride == 0
+                if not mask.any():
+                    continue
+                col = rb.column(1)
+                if col.null_count:
+                    raise ValueError("query panel: null embedding rows")
+                sub = col.take(pa.array(np.flatnonzero(mask)))
+                flat = (
+                    sub.flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                )
+                n_sel = int(mask.sum())
+                if flat.size == 0 or flat.size % n_sel != 0:
+                    raise ValueError(
+                        "query panel: ragged or empty embedding lists "
+                        f"({flat.size} values across {n_sel} rows)"
+                    )
+                id_chunks.append(ids[mask])
+                vec_chunks.append(flat.reshape(n_sel, -1))
+        if not id_chunks:
+            # tiny/filtered corpus with no query vector: no output rows
+            for _ in batches:
+                pass
+            return
+        q_ids = np.concatenate(id_chunks)
         order = np.argsort(q_ids)
         q_ids = q_ids[order]
-        qm = (
-            qt.column("embedding")
-            .combine_chunks()
-            .flatten()
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64)
-            .reshape(len(q_ids_all), -1)[sel][order]
-        )
+        qm = np.vstack(vec_chunks)[order]
         qnorm = seq_sq_norm(qm)
         dim = qm.shape[1]
         for batch in batches:
