@@ -106,7 +106,12 @@ def _grams(docs: DataFrame, l: int = _L) -> DataFrame:
     trailing). A pre-tokenized frame (``tok`` column, no ``text``)
     ships the arrays instead.
     """
-    use_tok = "text" not in docs.columns
+    # r14 (ADVICE): "tok" wins when present — the same precedence as
+    # _with_tokens. The old `"text" not in columns` test inverted it for
+    # frames carrying BOTH (e.g. _cut_frame's cached token frame), which
+    # silently re-split text in Python and bypassed the r11
+    # single-tokenization design.
+    use_tok = "tok" in docs.columns
     src = docs.select("doc_id", "tok" if use_tok else "text")
 
     def gen(batches):
