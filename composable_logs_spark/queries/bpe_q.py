@@ -102,11 +102,37 @@ def _train(spark: SparkSession, sf: str):
     bpe_train_merges AND bpe_encode_stats paid the full loop (sweep:
     33.8 s + 41.7 s of build). After: one word-count job + an
     in-process loop."""
-    merges = train_bpe_local(_collect_word_counts(spark, sf))
+    merges = _train_merges(spark, sf)
     vocab = _vocab(spark, sf).withColumn(
         "sym", apply_merges(F.col("sym"), merges)
     )
     return merges, vocab
+
+
+# Vocab-size ceiling for the driver-side merge loop: past this many
+# distinct words the collected (word, count) table is real driver heap
+# (10^8 rows would be tens of GB of Python tuples — the r13 verdict's
+# "both can't be true" scale wall), so training falls back to the
+# parity-locked distributed loop. 5M rows is ~hundreds of MB collected —
+# comfortably inside the default 4 GB driver, far above any test SF.
+_LOCAL_VOCAB_MAX = 5_000_000
+
+
+def _train_merges(spark: SparkSession, sf: str):
+    """The learned merge list, by whichever trainer the vocab size
+    allows: count the distinct-word table first (the agg is cached so
+    count + collect is one computation), collect-and-loop driver-side
+    when it fits, otherwise run the distributed per-round loop —
+    identical output by test_local_trainer_equals_distributed /
+    test_adaptive_trainer_switch."""
+    wc = _word_counts_df(spark, sf).cache()
+    try:
+        if wc.count() <= _LOCAL_VOCAB_MAX:
+            rows = wc.collect()
+            return train_bpe_local([(r["word"], r["cnt"]) for r in rows])
+        return _train_distributed(spark, sf)[0]
+    finally:
+        wc.unpersist()
 
 
 def _train_distributed(spark: SparkSession, sf: str):
@@ -183,16 +209,22 @@ def train_bpe_local(
     return merges
 
 
-def _collect_word_counts(spark: SparkSession, sf: str) -> list[tuple[str, int]]:
+def _word_counts_df(spark: SparkSession, sf: str) -> DataFrame:
     """The ONE corpus-sized pass; its result is vocab-sized."""
-    rows = (
+    return (
         load(spark, sf, "documents")
         .select(F.explode(F.split("text", " ")).alias("word"))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
-        .collect()
     )
+
+
+def _collect_word_counts(spark: SparkSession, sf: str) -> list[tuple[str, int]]:
+    """The collected (word, count) table — callers must know it fits
+    the driver; the query surface goes through ``_train_merges``, which
+    gates on ``_LOCAL_VOCAB_MAX`` first."""
+    rows = _word_counts_df(spark, sf).collect()
     return [(r["word"], r["cnt"]) for r in rows]
 
 
@@ -269,7 +301,7 @@ def bpe_encode_oov(spark: SparkSession, sf: str) -> DataFrame:
     agg over the target table, then K scalar replaces — merge count
     bounds the expression depth, corpus size only the scan.
     """
-    merges = train_bpe_local(_collect_word_counts(spark, sf))
+    merges = _train_merges(spark, sf)
     words = (
         load(spark, sf, "part")
         .select(F.explode(F.split("p_name", " ")).alias("word"))

@@ -92,6 +92,18 @@ def test_local_trainer_equals_distributed(spark, sf_dir):
     assert local == dist
 
 
+def test_adaptive_trainer_switch(spark, sf_dir, monkeypatch):
+    """r13 verdict item 1: _train_merges must gate the driver-side
+    collect on the vocab size — past _LOCAL_VOCAB_MAX it falls back to
+    the distributed loop, with an identical merge sequence."""
+    from composable_logs_spark.queries import bpe_q
+
+    local = bpe_q._train_merges(spark, sf_dir)  # fits: driver-side path
+    monkeypatch.setattr(bpe_q, "_LOCAL_VOCAB_MAX", 0)  # nothing "fits"
+    forced_dist = bpe_q._train_merges(spark, sf_dir)
+    assert local == forced_dist
+
+
 def test_encode_oov_tokenizes_unseen_words(spark, sf_dir):
     """Merge application at encode time must tokenize words ABSENT from
     the training vocabulary (the train-time vocab join can't), and must
