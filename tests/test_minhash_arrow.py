@@ -48,11 +48,11 @@ def test_arrow_minhash_bit_identical_to_expression_form(spark, docs_df):
     assert got == want
 
 
-def test_arrow_minhash_on_corpus_slice(spark):
+def test_arrow_minhash_on_corpus_slice(spark, sf_dir):
     # real corpus shapes (sf0.001 documents + the truncated variant)
     from composable_logs_spark.queries.dedup_q import _near_dup_corpus
 
-    corpus = _near_dup_corpus(spark, "/root/testdata/sf0.001")
+    corpus = _near_dup_corpus(spark, sf_dir)
     got = _rows(minhash_mh(corpus))
     want = _rows(_minhash_mh_expr(corpus))
     assert got == want
