@@ -96,6 +96,10 @@ from .mix_q import _MIX_TARGET
 _LID_MIN_SCORE = 2
 _BENCH_DOCS = 20
 _BOILER_FREQ = 3  # stage-1 span-frequency floor (see docstring)
+# r14: submit the three independent stage-2/3 gate materializations
+# from a driver thread pool (guide §2.6) — results identical either
+# way; the flag exists so the A/B stays measurable in one session
+_OVERLAP_GATES = True
 
 
 def _lm_tercile_keepers(cutd: DataFrame) -> DataFrame:
@@ -109,7 +113,7 @@ def _lm_tercile_keepers(cutd: DataFrame) -> DataFrame:
     doc-grain sort or row_number anywhere."""
     from pyspark.sql import Window
 
-    from .trigram_q import _with_arr, trigram_doc_scores
+    from .trigram_q import _with_arr, self_trained_doc_scores
 
     # r12: tokenize the cut text ONCE into a pinned (doc_id, arr) frame
     # shared by all four LM passes (train trigram/bigram/unigram tables
@@ -127,8 +131,12 @@ def _lm_tercile_keepers(cutd: DataFrame) -> DataFrame:
     # one row per scored doc; two consumers (histogram + keep filter),
     # so pin it — without it the full trigram-LM pipeline would
     # execute twice (the perplexity_q/dedup_q cache discipline)
+    # r14: self_trained_doc_scores — train == scored here, so the
+    # specialized scorer (one trigram explode, type-grain join, no
+    # backoff tables) is bit-identical to trigram_doc_scores(arr, arr);
+    # see its docstring + tests/test_trigram_lm.py parity lock
     lm_lang = (
-        trigram_doc_scores(arr, arr)
+        self_trained_doc_scores(arr)
         .select("doc_id", F.expr("lp_sum_micro div n_trigrams").alias("score_micro"))
         .join(cutd.select("doc_id", "lang"), "doc_id")
         .localCheckpoint(eager=True)
@@ -209,14 +217,45 @@ def pipeline_ccnet_recipe(spark: SparkSession, sf: str) -> DataFrame:
 
     # 2-3: per-doc filters on the cut text, composed by doc_id
     # semi-joins (each predicate evaluated once — the
-    # pipeline_clean_corpus discipline)
-    lid = (
-        lang_scores(cutd)
-        .where(F.col("score") >= _LID_MIN_SCORE)
-        .select("doc_id")
-    )
-    qual = quality_stats(cutd).where("passes_quality").select("doc_id")
-    lm = _lm_tercile_keepers(cutd)
+    # pipeline_clean_corpus discipline).
+    # r14 (guide §2.6): the three gates are INDEPENDENT given cutd (a
+    # pinned checkpoint), so their materializations are submitted from
+    # a small driver thread pool — the LID regex pass and the quality
+    # rules back-fill executors while the trigram-LM chain (the long
+    # pole) runs, instead of queueing serially behind it. Each thread
+    # produces a pinned doc_id frame; the s3 composition below then
+    # joins materialized lists, so results are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _lid():
+        spark.sparkContext.setJobDescription("ccnet: stage-2 LID gate")
+        return (
+            lang_scores(cutd)
+            .where(F.col("score") >= _LID_MIN_SCORE)
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+
+    def _qual():
+        spark.sparkContext.setJobDescription("ccnet: stage-3 quality rules")
+        return (
+            quality_stats(cutd)
+            .where("passes_quality")
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+
+    def _lm():
+        spark.sparkContext.setJobDescription("ccnet: stage-3 LM tercile gate")
+        return _lm_tercile_keepers(cutd)
+
+    if _OVERLAP_GATES:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_lid, f_qual, f_lm = pool.submit(_lid), pool.submit(_qual), pool.submit(_lm)
+            lid, qual, lm = f_lid.result(), f_qual.result(), f_lm.result()
+    else:
+        lid, qual, lm = _lid(), _qual(), _lm()
+    spark.sparkContext.setJobDescription(None)
     s2 = cutd.join(lid, "doc_id", "semi")
     # s3 feeds the near-dup keeper AND the s4/s5 chain AND the
     # per-stage counts; s5 feeds counts, the ranked draw, and the

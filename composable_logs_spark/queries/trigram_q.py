@@ -170,6 +170,55 @@ def trigram_doc_scores(train: DataFrame, scored: DataFrame) -> DataFrame:
     return score_with_model(scored, trigram_model(train))
 
 
+def self_trained_doc_scores(arr: DataFrame) -> DataFrame:
+    """``trigram_doc_scores(arr, arr)`` specialized to SELF-scoring —
+    bit-identical output (tests/test_trigram_lm.py parity lock), much
+    less work (r14, guide §1.2/§2.3):
+
+    - every scored trigram occurs in the training corpus (it IS the
+      training corpus), so c3 >= 1 always, the stupid-backoff CASE
+      always takes the seen-trigram rung ln(c3/cb12), and the bigram/
+      unigram rung tables (bi_s backoff counts, uni, the (N, V) row)
+      are provably never read — they are not built;
+    - the scored stream and the model's trigram stream are the same
+      explode, so the corpus type counts are derived FROM the per-doc
+      type counts (one explode instead of two);
+    - the score join runs at the (doc, trigram-type) grain instead of
+      the token grain: a type occurring m times in a doc contributes
+      exactly m * round(ln(c3/cb12) * 1e6) — the same integers the
+      per-token sum adds one at a time.
+
+    The one remaining extra pass is the bigram explode: cb12 is the
+    count of (w1, w2) over BIGRAM tokens, which the trigram stream
+    cannot supply (each doc's final bigram starts no trigram)."""
+    dt = (
+        _ngrams(arr, 3, "w1", "w2", "w3")
+        .groupBy("doc_id", "w1", "w2", "w3")
+        .agg(F.count("*").alias("m"))
+    )
+    tric = dt.groupBy("w1", "w2", "w3").agg(F.sum("m").alias("c3"))
+    bic = (
+        _ngrams(arr, 2, "a", "b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cb"))
+        .select(F.col("a").alias("w1"), F.col("b").alias("w2"), F.col("cb").alias("cb12"))
+    )
+    # inner joins are total: (w1,w2,w3) in dt => in tric by derivation,
+    # and every trigram's prefix bigram occurs in the bigram stream
+    typed = tric.join(bic, ["w1", "w2"]).withColumn(
+        "lp_micro",
+        F.round(F.log(F.col("c3") / F.col("cb12")) * 1e6).cast("long"),
+    )
+    return (
+        dt.join(typed, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("int").alias("n_trigrams"),
+            F.sum(F.col("m") * F.col("lp_micro")).alias("lp_sum_micro"),
+        )
+    )
+
+
 def trigram_avg_logprob(train: DataFrame, scored: DataFrame) -> DataFrame:
     """(doc_id, n_trigrams, avg_logprob) — the per-doc average form of
     ``trigram_doc_scores``, reusable verbatim as a pipeline stage (the

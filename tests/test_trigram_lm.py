@@ -157,3 +157,34 @@ def test_backoff_beats_add1_bigram_on_heldout_prose(spark):
     )
     bi_avg = bi[0]["lp_sum_micro"] / (bi[0]["n_bigrams"] * 1e6)
     assert tri_avg > bi_avg
+
+
+def test_self_trained_scorer_equals_general_scorer(spark, sf_dir):
+    """r14 parity lock: self_trained_doc_scores(arr) must be
+    bit-identical to trigram_doc_scores(arr, arr) — the specialization
+    rests on every scored trigram hitting the seen-trigram rung, which
+    this proves on a real corpus (plus the planted-prose frame)."""
+    from composable_logs_spark.queries import load
+    from composable_logs_spark.queries.trigram_q import (
+        self_trained_doc_scores,
+        trigram_doc_scores,
+    )
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["n_trigrams"], r["lp_sum_micro"]) for r in df.collect()
+        )
+
+    corpus = load(spark, sf_dir, "documents").select("doc_id", "text")
+    assert rows(self_trained_doc_scores(corpus)) == rows(
+        trigram_doc_scores(corpus, corpus)
+    )
+    planted = _df(
+        spark,
+        [(i, _SENT) for i in range(5)]
+        + [(100 + i, f"filler{i} words about topic{i} number{i} nine") for i in range(5)]
+        + [(200, "a b"), (201, "")],  # <3 tokens: excluded by both
+    )
+    assert rows(self_trained_doc_scores(planted)) == rows(
+        trigram_doc_scores(planted, planted)
+    )
