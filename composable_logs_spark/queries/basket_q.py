@@ -274,7 +274,11 @@ def bfs_purchase_distance(spark: SparkSession, sf: str) -> DataFrame:
         )
         if nxt.count() == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        # r14 (guide §1.2): visited is a UNION of per-hop checkpoints —
+        # already flat (one scan per hop, bounded by _MAX_HOPS), so the
+        # old per-hop re-checkpoint of the ENTIRE visited set (one more
+        # job per hop, rewriting O(V) rows each time) bought nothing
+        visited = visited.unionAll(nxt)
         frontier = nxt
     return (
         visited.groupBy("dist")
@@ -440,6 +444,10 @@ def cheapest_path_copurchase(spark: SparkSession, sf: str) -> DataFrame:
     dist = src.withColumn("cost", F.lit(0).cast("long")).localCheckpoint(
         eager=True
     )
+    # r14: a convergence-fingerprint early exit ((count, sum) unchanged
+    # => fixpoint) was implemented and measured SLOWER here — the graph
+    # doesn't converge before the 4-round budget at bench SFs, so the
+    # per-round signature collect was pure overhead. Reverted.
     for _ in range(_MAX_COST_HOPS):
         cand = (
             dist.join(adj, dist["node"] == adj["a"])

@@ -99,7 +99,9 @@ def crossdoc_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
 
     corpus = _near_dup_corpus(spark, sf)
     # shingles are distinct per doc already; hash to a 60-bit integer so
-    # the docfreq shuffle ships 8-byte keys, not strings
+    # the docfreq shuffle ships 8-byte keys, not strings.
+    # r14 (guide §3.3): pinned — both the docfreq agg and the join probe
+    # read sh; un-materialized, the shingle+md5 pass ran once per side
     sh = corpus.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
     ).select(
@@ -107,7 +109,7 @@ def crossdoc_ngram_overlap(spark: SparkSession, sf: str) -> DataFrame:
         F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
         .cast("long")
         .alias("sh_h"),
-    )
+    ).localCheckpoint(eager=True)
     docfreq = sh.groupBy("sh_h").agg(F.count("*").alias("dfreq"))
     per_doc = (
         sh.join(docfreq, "sh_h")
