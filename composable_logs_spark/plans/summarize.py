@@ -105,7 +105,12 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
     # cached: the bounded closure is a deep join tree consumed by several
     # branches (exceptions/attributes/values/artifacts) — without the
     # cache every consumer re-executes all max_depth joins (this is the
-    # reference's _cached_graph memo, opentelemetry_helpers.py:407-419)
+    # reference's _cached_graph memo, opentelemetry_helpers.py:407-419).
+    # r14: dropping this cache in favour of only the owned_incl cache
+    # below was measured 1.5x SLOWER cold on the 940k-span fixture
+    # (18.5 -> 27.6 s min-of-4) — the union-of-step-caches feeding the
+    # ownership join re-shuffles worse than one materialized relation —
+    # so BOTH stay cached.
     edges = spans.where(F.col("parent_id").isNotNull()).select(
         "run_id", F.col("parent_id").alias("parent_span_id"), "span_id"
     )
@@ -139,12 +144,16 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
     )
     # inclusive variant (task span owns itself): lets the exception and
     # attribute passes run as ONE join + ONE groupBy instead of separate
-    # subtree + own-span branches
+    # subtree + own-span branches.
+    # r14: cached — owned_incl is read by the exception pass, the
+    # attribute pass, AND (new) the named-value/artifact gathers, so the
+    # closure ⋈ task_spans ownership join above runs once instead of
+    # once per consumer
     owned_incl = owned.unionByName(
         task_spans.select(
             "run_id", "task_span_id", F.col("task_span_id").alias("span_id")
         )
-    )
+    ).cache()
 
     # --- per-task exception counts (A5/A6) ------------------------------
     # r13: the events array no longer rides the cache; the per-span count
@@ -278,13 +287,16 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
         F.col("attributes").getItem("content_encoded").alias("content_encoded"),
         F.to_timestamp("start_time").alias("start_time"),
     ]
+    # r14: joins owned_incl (the cached frame), not owned — identical
+    # matches: the extra task-owns-itself rows pair only with spans that
+    # ARE execute-task spans, which the named-value name filter excludes
     named_values = (
         spans.where(
             (F.col("name") == S.SPAN_NAMED_VALUE)
             & (F.col("status_code") == "OK")  # F4
         )
         .select(*data_span_cols)
-        .join(owned, ["run_id", "span_id"], "inner")
+        .join(owned_incl, ["run_id", "span_id"], "inner")
     )
     dup_values = (
         named_values.groupBy(*task_keys, "name")
@@ -329,7 +341,9 @@ def summarize_spans(spans: DataFrame, legacy_deps: bool = True) -> SpanSummary:
             (F.col("name") == S.SPAN_ARTEFACT) & (F.col("status_code") == "OK")
         )
         .select(*data_span_cols)
-        .join(owned, ["run_id", "span_id"], "inner")
+        # owned_incl, same argument as named_values: artefact spans are
+        # never execute-task spans, so the self-rows cannot match
+        .join(owned_incl, ["run_id", "span_id"], "inner")
         .withColumn("_rn", F.row_number().over(_art_w))
         .where(F.col("_rn") == 1)
         .select(
