@@ -55,6 +55,10 @@ QUERIES = [
     # round-13: the sub-linear-training variant, tracked alongside the
     # exact query so the slope difference is measured, not asserted
     "cluster_docs_minibatch",
+    # round-14 (VERDICT #8): the r13 Arrow-rewritten per-row passes,
+    # re-measured at 64x to confirm the wins hold when shuffles dominate
+    "dedup_simhash",
+    "text_repetition",
 ]
 
 # SPARK_GRAFT_SCALING_QUERIES=a,b,c trims the list — the 128x+ replicas
