@@ -102,6 +102,10 @@ def ann_cosine_top5(spark: SparkSession, sf: str) -> DataFrame:
                 acc = acc + m[:, i] * m[:, i]
             return np.sqrt(acc)
 
+        # per-task panel read: qpath must be executor-readable (true for
+        # any shared-storage deployment; the filters kwarg pushes the
+        # vec_id predicate into the parquet scan, so only the bounded
+        # query panel is materialized)
         qt = pq.read_table(
             qpath,
             columns=["vec_id", "embedding"],
